@@ -1,0 +1,172 @@
+"""Whole-document processing: the per-group function of the reassembly stage.
+
+``process_document`` is THE shared semantic core: the Ray pipeline calls it
+once per ``groupby(doc_id)`` group (after sorting by ``offset``), and the
+oracle calls it per input document.  Both therefore produce identical
+results by construction; pytest verifies the *plumbing* around it
+(explode / shuffle / reassembly / ordering) against the oracle.
+
+Pipeline step parity with the reference's per-document flow
+(executable.py:218-407):
+  1. span recovery ≙ OCR word emission (ocr.py:275-300); empty-text spans
+     dropped (the reference computes but never applies min-confidence —
+     ocr.py:273-281 — replicated: only the empty-text filter exists)
+  2. inline block normalization (executable.py:271-281: normalized_text is
+     just ``text.lower()`` in the main path)
+  3. rule-based field extraction (extractor.py:143-185)
+  4. media classification ≙ signature/stamp detection (detector.py:318-394)
+  5. validation (validator.py:340-368)
+  6. flat result row ≙ ProcessingResult (executable.py:56-137)
+
+The invariant columns ``norm_spans`` carry the *fully* normalized span
+sequence (normalizer.py:153-208 chain incl. PII masking) in reading order:
+``(kind, text, media_ref, order)`` equality vs the oracle is the per-row
+correctness contract from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from zlib import crc32
+
+from . import detect as D
+from . import fieldex as F
+from . import textnorm as T
+from . import validate as VA
+from . import vocab as V
+
+NO_TEXT_ERROR = "No text extracted from document"
+
+
+def span_confidence(doc_id: str, offset: int) -> float:
+    """Deterministic per-span OCR-style confidence in [0.70, 0.98]."""
+    h = crc32(f"{doc_id}|{offset}".encode("utf-8"))
+    return 0.70 + (h % 29) / 100.0
+
+
+def span_bbox(offset: int, text: str) -> list[float]:
+    """Deterministic reading-order layout box (one span per line)."""
+    y1 = float(30 + (offset * 22) % (V.MEDIA_PAGE_H - 60))
+    x1 = 40.0
+    return [x1, y1, x1 + 8.0 * max(1, len(text)), y1 + 18.0]
+
+
+def sort_spans(spans: list[dict]) -> list[dict]:
+    """Reading order: offset ascending (ties impossible by contract;
+    break by kind then text for total determinism anyway)."""
+    return sorted(spans, key=lambda s: (s["offset"], s["kind"], s["text"], s["media_ref"]))
+
+
+def normalized_span_sequence(spans_sorted: list[dict], memo: dict | None = None) -> list[dict]:
+    """The invariant span sequence: empty-text spans dropped, text spans
+    carry the fully-normalized text, media spans pass through."""
+    if memo is None:
+        memo = {}
+    out = []
+    for s in spans_sorted:
+        if s["kind"] == "media":
+            out.append({"kind": "media", "text": "", "media_ref": s["media_ref"],
+                        "offset": s["offset"]})
+        else:
+            if not s["text"].strip():
+                continue
+            norm = memo.get(s["text"])
+            if norm is None:
+                norm = T.normalize_text(s["text"])
+                memo[s["text"]] = norm
+            out.append({"kind": "text", "text": norm, "media_ref": "",
+                        "offset": s["offset"]})
+    return out
+
+
+def process_document(doc_id: str,
+                     spans: list[dict],
+                     ground_truth: dict | None = None,
+                     dealer_master: list[str] | None = None,
+                     model_master: set[str] | None = None,
+                     rulebook: VA.RuleBook | None = None,
+                     media_model: D.MediaModel | None = None,
+                     norm_memo: dict | None = None) -> dict:
+    """spans: dicts with keys (kind, text, media_ref, offset), any order."""
+    spans_sorted = sort_spans(spans)
+    norm_spans = normalized_span_sequence(spans_sorted, memo=norm_memo)
+
+    raw_blocks = []
+    media_refs = []
+    for s in spans_sorted:
+        if s["kind"] == "media":
+            media_refs.append(s["media_ref"])
+        else:
+            text = s["text"].strip()
+            if not text:
+                continue
+            raw_blocks.append({
+                "text": text,
+                "normalized_text": text.lower(),     # executable.py:277 main path
+                "bbox": span_bbox(s["offset"], text),
+                "confidence": span_confidence(doc_id, s["offset"]),
+                "language": T.detect_language_ocr(text),
+            })
+
+    base = {
+        "doc_id": doc_id,
+        "n_spans": len(spans),
+        "norm_spans": norm_spans,
+    }
+
+    if not raw_blocks:
+        # reference raises -> failed row (executable.py:263-264, 374-407)
+        return {**base, **_empty_fields_row(), "status": "failed",
+                "error_message": NO_TEXT_ERROR}
+
+    extracted = F.extract_fields(raw_blocks, dealer_master, model_master)
+
+    gt_boxes = None
+    if ground_truth is not None:
+        gt_boxes = {"signature": ground_truth.get("signature_bbox"),
+                    "stamp": ground_truth.get("stamp_bbox")}
+    detection = D.classify_document_media(media_refs, media_model, gt_boxes)
+    extracted["signature"] = detection["signature"]
+    extracted["stamp"] = detection["stamp"]
+
+    validated = VA.validate_document(extracted, rulebook)
+
+    return {
+        **base,
+        "dealer_name": validated["dealer_name"].get("value"),
+        "dealer_name_confidence": float(validated["dealer_name"].get("confidence", 0.0)),
+        "model_name": validated["model_name"].get("value"),
+        "model_name_confidence": float(validated["model_name"].get("confidence", 0.0)),
+        "horse_power": _opt_float(validated["horse_power"].get("value")),
+        "horse_power_confidence": float(validated["horse_power"].get("confidence", 0.0)),
+        "asset_cost": validated["asset_cost"].get("value"),
+        "asset_cost_confidence": float(validated["asset_cost"].get("confidence", 0.0)),
+        "signature_present": bool(validated["signature"].get("present", False)),
+        "signature_bbox": validated["signature"].get("bbox"),
+        "signature_confidence": float(validated["signature"].get("confidence", 0.0)),
+        "signature_iou": _opt_float(validated["signature"].get("iou")),
+        "stamp_present": bool(validated["stamp"].get("present", False)),
+        "stamp_bbox": validated["stamp"].get("bbox"),
+        "stamp_confidence": float(validated["stamp"].get("confidence", 0.0)),
+        "stamp_iou": _opt_float(validated["stamp"].get("iou")),
+        "overall_confidence": float(validated.get("overall_confidence", 0.0)),
+        "status": "success",
+        "error_message": None,
+    }
+
+
+def _opt_float(x):
+    return float(x) if x is not None else None
+
+
+def _empty_fields_row() -> dict:
+    return {
+        "dealer_name": None, "dealer_name_confidence": 0.0,
+        "model_name": None, "model_name_confidence": 0.0,
+        "horse_power": None, "horse_power_confidence": 0.0,
+        "asset_cost": None, "asset_cost_confidence": 0.0,
+        "signature_present": False, "signature_bbox": None,
+        "signature_confidence": 0.0, "signature_iou": None,
+        "stamp_present": False, "stamp_bbox": None,
+        "stamp_confidence": 0.0, "stamp_iou": None,
+        "overall_confidence": 0.0,
+    }

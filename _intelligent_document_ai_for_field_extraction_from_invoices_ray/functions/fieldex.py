@@ -1,0 +1,358 @@
+"""Per-document field extraction: candidate generation + dedup-argmax.
+
+Operates on an *ordered* list of prepared text blocks (the reassembled
+span sequence of one document).  Pure function of its inputs — executed
+identically inside the Ray ``groupby(doc_id).map_groups`` stage and the
+single-process oracle.
+
+Semantics parity targets (reference file:line):
+- block preparation               utils/extractor.py:187-207
+- dealer strategies 1-4+fallback  utils/extractor.py:232-329
+- dealer validity / cleaning      utils/extractor.py:331-369
+- model patterns + brand context  utils/extractor.py:371-431
+- HP patterns + spec fallback     utils/extractor.py:433-490
+- cost patterns + financial fb    utils/extractor.py:492-562
+- section scan                    utils/extractor.py:564-570
+- weighted overall confidence     utils/extractor.py:588-605
+- extractor-level validation      utils/extractor.py:607-638
+
+Determinism note: wherever the reference iterates an unordered frozenset
+(brand-context scan), this engine iterates a *sorted* tuple so results are
+identical across worker processes regardless of PYTHONHASHSEED; the
+reference itself is process-order-dependent in those edge cases.
+"""
+
+from __future__ import annotations
+
+from . import patterns as P
+from . import textnorm as T
+from . import vocab as V
+from .fuzzy import token_sort_ratio
+
+_SORTED_BRANDS = tuple(sorted(V.COMMON_BRANDS))
+
+_EMPTY = {"value": None, "confidence": 0.0, "source": None, "bbox": None}
+
+
+def empty_field() -> dict:
+    return dict(_EMPTY)
+
+
+# ------------------------------------------------------------------ blocks
+def prepare_blocks(raw_blocks: list[dict]) -> list[dict]:
+    """raw block: {'text','normalized_text'?,'bbox','confidence','language'}."""
+    blocks = []
+    for idx, rb in enumerate(raw_blocks):
+        text = rb.get("text", "").strip()
+        if not text:
+            continue
+        blocks.append({
+            "idx": idx,
+            "text": rb.get("normalized_text", text.lower()),
+            "original": text,
+            "bbox": rb.get("bbox", [0, 0, 0, 0]),
+            "conf": rb.get("confidence", 0.0),
+            "nums": T.simple_numbers(text),
+            "keywords": T.detect_section_keywords(text.lower()),
+            "lang": rb.get("language", "unknown"),
+            "has_currency": T.has_block_currency(text),
+            "has_business_suffix": T.has_business_suffix(text),
+        })
+    return blocks
+
+
+def _find_section_blocks(blocks: list[dict], section: str, context: int) -> list[dict]:
+    keywords = V.SECTION_KEYWORDS.get(section, frozenset())
+    for i, block in enumerate(blocks):
+        if any(kw in block["text"] for kw in keywords):
+            return blocks[i:min(i + context, len(blocks))]
+    return []
+
+
+# ------------------------------------------------------------------ dealer
+def is_valid_dealer_name(name: str) -> bool:
+    if not name or len(name) < 3:
+        return False
+    if name.islower():
+        return False
+    if any(term in name.upper() for term in V.DEALER_REJECT_TERMS):
+        return False
+    if sum(c.isdigit() for c in name) > len(name) * 0.3:
+        return False
+    return True
+
+
+def clean_dealer_name(name: str) -> str:
+    name = P.DEALER_PREFIX_STRIP.sub("", name)
+    name = P.TRAILING_PUNCT.sub("", name)
+    name = P.PVT_LTD_STD.sub(" Pvt Ltd", name)
+    name = P.LTD_STD.sub(" Ltd", name)
+    return " ".join(name.split()).strip()
+
+
+def extract_dealer_name(blocks: list[dict], dealer_master: list[str] | None = None) -> dict:
+    candidates: list[dict] = []
+
+    # strategy 1: labelled / structural patterns over the document head
+    for block in blocks[:25]:
+        for pat in P.DEALER_PATTERNS:
+            for m in pat.finditer(block["original"]):
+                name = clean_dealer_name(m.group(1).strip())
+                if is_valid_dealer_name(name):
+                    score = block["conf"] * 0.88
+                    if T.has_business_suffix(name):
+                        score = min(score * 1.15, 0.96)
+                    candidates.append({"value": name, "confidence": score,
+                                       "source": "pattern", "bbox": block["bbox"]})
+
+    # strategy 2: business-suffix lines near the top
+    for i, block in enumerate(blocks[:15]):
+        if block["has_business_suffix"]:
+            name = clean_dealer_name(block["original"])
+            if is_valid_dealer_name(name):
+                score = block["conf"] * 0.82
+                if i < 5:
+                    score = min(score * 1.12, 0.94)
+                candidates.append({"value": name, "confidence": score,
+                                   "source": "business_suffix", "bbox": block["bbox"]})
+
+    # strategy 3: adjacent capitalized, number-free lines joined
+    for i in range(min(20, len(blocks) - 1)):
+        b1, b2 = blocks[i], blocks[i + 1]
+        if (b1["original"] and b1["original"][0].isupper()
+                and b2["original"] and b2["original"][0].isupper()
+                and not b1["nums"] and not b2["nums"]):
+            name = clean_dealer_name(f"{b1['original']} {b2['original']}")
+            if is_valid_dealer_name(name) and len(name) > 10:
+                candidates.append({"value": name,
+                                   "confidence": min(b1["conf"], b2["conf"]) * 0.75,
+                                   "source": "multiline", "bbox": b1["bbox"]})
+
+    # strategy 4: fuzzy lift against the master list (broadcast state)
+    if dealer_master:
+        seen: set[str] = set()
+        for cand in list(candidates):
+            if cand["value"] in seen:
+                continue
+            seen.add(cand["value"])
+            matched, pct = _fuzzy_best(cand["value"], dealer_master)
+            if pct > 75:
+                candidates.append({"value": matched,
+                                   "confidence": min(cand["confidence"] * (pct / 90), 0.97),
+                                   "source": "fuzzy_match", "bbox": cand["bbox"]})
+
+    if candidates:
+        return max(candidates, key=lambda c: c["confidence"])
+
+    # fallback: first capitalized multi-word, number-free block
+    for block in blocks[:10]:
+        if (block["original"] and block["original"][0].isupper()
+                and len(block["original"].split()) >= 2 and not block["nums"]):
+            name = clean_dealer_name(block["original"])
+            if is_valid_dealer_name(name):
+                return {"value": name, "confidence": block["conf"] * 0.60,
+                        "source": "fallback", "bbox": block["bbox"]}
+
+    return empty_field()
+
+
+def _fuzzy_best(candidate: str, master: list[str]) -> tuple[str, float]:
+    best, best_score = candidate, 0.0
+    for entry in master:
+        s = token_sort_ratio(candidate, entry)
+        if s > best_score:
+            best, best_score = entry, s
+    return best, best_score
+
+
+# ------------------------------------------------------------------ model
+def extract_model_field(blocks: list[dict], model_master: set[str] | None = None) -> dict:
+    candidates: list[dict] = []
+
+    for block in blocks:
+        for pat in P.EXT_MODEL_PATTERNS:
+            for m in pat.finditer(block["original"]):
+                if len(m.groups()) > 1 and m.group(2):
+                    model = f"{m.group(1)} {m.group(2)}".strip().upper()
+                else:
+                    model = m.group(1).strip().upper()
+                if len(model) < 2 or len(model) > 40:
+                    continue
+                score = block["conf"] * 0.90
+                if any(brand in model for brand in V.COMMON_BRANDS):
+                    score = min(score * 1.10, 0.96)
+                if model_master and model in model_master:
+                    score = min(score * 1.08, 0.98)
+                candidates.append({"value": model, "confidence": score,
+                                   "source": "pattern", "bbox": block["bbox"]})
+
+    # brand-context scan (sorted order for cross-process determinism)
+    for block in blocks:
+        upper = block["original"].upper()
+        for brand in _SORTED_BRANDS:
+            if brand in upper:
+                after = block["original"][upper.find(brand) + len(brand):].strip()
+                m = P.BRAND_TAIL.match(after)
+                if m:
+                    candidates.append({
+                        "value": f"{brand} {m.group(1).strip()}".upper(),
+                        "confidence": block["conf"] * 0.85,
+                        "source": "brand_context", "bbox": block["bbox"]})
+
+    if candidates:
+        return max(candidates, key=lambda c: c["confidence"])
+    return empty_field()
+
+
+# ------------------------------------------------------------------ HP
+def extract_hp_field(blocks: list[dict]) -> dict:
+    candidates: list[dict] = []
+    lo, hi = V.EXTRACTOR_HP_RANGE
+
+    for block in blocks:
+        for pat in P.EXT_HP_PATTERNS:
+            for m in pat.finditer(block["original"]):
+                try:
+                    hp = float(m.group(1))
+                except (ValueError, IndexError):
+                    continue
+                if "kw" in block["text"]:
+                    hp *= V.KW_TO_HP
+                if lo <= hp <= hi:
+                    score = block["conf"] * 0.91
+                    if any(kw in block["text"] for kw in ("horse", "power", "hp")):
+                        score = min(score * 1.08, 0.96)
+                    candidates.append({"value": round(hp, 1), "confidence": score,
+                                       "source": "pattern", "bbox": block["bbox"]})
+
+    for block in _find_section_blocks(blocks, "specs", 6):
+        for num in block["nums"]:
+            if lo <= num <= hi:
+                candidates.append({"value": round(num, 1),
+                                   "confidence": block["conf"] * 0.73,
+                                   "source": "spec_section", "bbox": block["bbox"]})
+
+    return _dedup_argmax(candidates)
+
+
+# ------------------------------------------------------------------ cost
+def extract_cost_field(blocks: list[dict]) -> dict:
+    candidates: list[dict] = []
+    lo, hi = V.EXTRACTOR_COST_RANGE
+
+    for block in blocks:
+        for pat in P.EXT_COST_PATTERNS:
+            for m in pat.finditer(block["original"]):
+                try:
+                    cost = float(m.group(1).replace(",", ""))
+                except (ValueError, IndexError):
+                    continue
+                text_lower = block["text"]
+                if len(m.groups()) > 1 and m.group(2):
+                    mult = m.group(2).lower()
+                    if "lakh" in mult or "lac" in mult:
+                        cost *= 100_000
+                    elif "crore" in mult or "cr" in mult:
+                        cost *= 10_000_000
+                elif "lakh" in text_lower and cost < 1000:
+                    cost *= 100_000
+                elif "crore" in text_lower and cost < 100:
+                    cost *= 10_000_000
+                if lo <= cost <= hi:
+                    score = block["conf"] * 0.86
+                    if any(kw in text_lower for kw in ("total", "grand", "payable", "net", "final")):
+                        score = min(score * 1.12, 0.95)
+                    candidates.append({"value": int(round(cost)), "confidence": score,
+                                       "source": "pattern", "bbox": block["bbox"]})
+
+    for block in _find_section_blocks(blocks, "financial", 8):
+        if block["has_currency"]:
+            for num in block["nums"]:
+                for mult in (1, 100_000, 10_000_000):
+                    cost = num * mult
+                    if lo <= cost <= hi:
+                        candidates.append({"value": int(round(cost)),
+                                           "confidence": block["conf"] * 0.68,
+                                           "source": "financial_section", "bbox": block["bbox"]})
+
+    return _dedup_argmax(candidates)
+
+
+def _dedup_argmax(candidates: list[dict]) -> dict:
+    """Keep max-confidence candidate per distinct value, then argmax.
+
+    Ties resolve to the earliest-inserted candidate (Python ``max``
+    semantics), identically in pipeline and oracle.
+    """
+    if not candidates:
+        return empty_field()
+    unique: dict = {}
+    for c in candidates:
+        prev = unique.get(c["value"])
+        if prev is None or c["confidence"] > prev["confidence"]:
+            unique[c["value"]] = c
+    return max(unique.values(), key=lambda c: c["confidence"])
+
+
+# ------------------------------------------------------------------ overall
+def overall_confidence(results: dict) -> float:
+    weighted = total = 0.0
+    for fld, weight in V.FIELD_WEIGHTS.items():
+        data = results.get(fld)
+        if data is None:
+            continue
+        if fld in V.BINARY_FIELDS:
+            if data.get("present"):
+                weighted += data.get("confidence", 0.0) * weight
+                total += weight
+        elif data.get("value") is not None:
+            weighted += data.get("confidence", 0.0) * weight
+            total += weight
+    return weighted / total if total > 0 else 0.0
+
+
+def extract_fields(raw_blocks: list[dict],
+                   dealer_master: list[str] | None = None,
+                   model_master: set[str] | None = None) -> dict:
+    """The per-document field extraction entry (extractor.py:143-185)."""
+    results = {
+        "dealer_name": empty_field(),
+        "model_name": empty_field(),
+        "horse_power": empty_field(),
+        "asset_cost": empty_field(),
+        "signature": {"present": False, "bbox": None, "confidence": 0.0},
+        "stamp": {"present": False, "bbox": None, "confidence": 0.0},
+    }
+    if not raw_blocks:
+        results["overall_confidence"] = 0.0
+        return results
+    blocks = prepare_blocks(raw_blocks)
+    results["dealer_name"] = extract_dealer_name(blocks, dealer_master)
+    results["model_name"] = extract_model_field(blocks, model_master)
+    results["horse_power"] = extract_hp_field(blocks)
+    results["asset_cost"] = extract_cost_field(blocks)
+    results["overall_confidence"] = overall_confidence(results)
+    return results
+
+
+def extractor_validate(results: dict) -> dict:
+    """Extractor-level cross checks (extractor.py:607-638)."""
+    hp = results["horse_power"].get("value")
+    if hp is not None:
+        lo, hi = V.EXTRACTOR_HP_RANGE
+        if not (lo <= hp <= hi):
+            results["horse_power"]["confidence"] *= 0.5
+    cost = results["asset_cost"].get("value")
+    if cost is not None:
+        lo, hi = V.EXTRACTOR_COST_RANGE
+        if not (lo <= cost <= hi):
+            results["asset_cost"]["confidence"] *= 0.6
+    model = results["model_name"].get("value")
+    if model and hp:
+        for key, expected in V.MODEL_HP_POINT.items():
+            if key in str(model):
+                if abs(hp - expected) > 10:
+                    results["horse_power"]["confidence"] *= 0.75
+                break
+    results["overall_confidence"] = overall_confidence(results)
+    return results
