@@ -58,7 +58,13 @@ def sort_spans(spans: list[dict]) -> list[dict]:
 
 def normalized_span_sequence(spans_sorted: list[dict], memo: dict | None = None) -> list[dict]:
     """The invariant span sequence: empty-text spans dropped, text spans
-    carry the fully-normalized text, media spans pass through."""
+    carry the fully-normalized text, media spans pass through.
+
+    Spans may carry a precomputed ``norm_text`` (set by the pipeline's
+    vectorized normalize stage); absent that, it is computed here — both
+    paths call the same ``textnorm.normalize_text``, so results are equal
+    by construction.
+    """
     if memo is None:
         memo = {}
     out = []
@@ -69,13 +75,38 @@ def normalized_span_sequence(spans_sorted: list[dict], memo: dict | None = None)
         else:
             if not s["text"].strip():
                 continue
-            norm = memo.get(s["text"])
+            norm = s.get("norm_text")
             if norm is None:
-                norm = T.normalize_text(s["text"])
-                memo[s["text"]] = norm
+                norm = memo.get(s["text"])
+                if norm is None:
+                    norm = T.normalize_text(s["text"])
+                    memo[s["text"]] = norm
             out.append({"kind": "text", "text": norm, "media_ref": "",
                         "offset": s["offset"]})
     return out
+
+
+def media_detections(spans_sorted: list[dict], model: D.MediaModel) -> list[dict]:
+    """Gated detections in reading order.
+
+    Prefers per-span precomputed fields ``det_class``/``det_conf``/
+    ``det_bbox`` (set by the actor-pool classify stage; ``det_class=''``
+    marks a span suppressed by the confidence/area gates), falling back to
+    running the model inline (oracle path).
+    """
+    dets: list[dict] = []
+    for s in spans_sorted:
+        if s["kind"] != "media":
+            continue
+        if "det_class" in s:
+            if s["det_class"]:
+                bbox = list(s["det_bbox"])
+                dets.append({"media_ref": s["media_ref"], "class_name": s["det_class"],
+                             "confidence": s["det_conf"], "bbox": bbox,
+                             "area": (bbox[2] - bbox[0]) * (bbox[3] - bbox[1])})
+        else:
+            dets.extend(model.predict([s["media_ref"]]))
+    return dets
 
 
 def process_document(doc_id: str,
@@ -91,11 +122,8 @@ def process_document(doc_id: str,
     norm_spans = normalized_span_sequence(spans_sorted, memo=norm_memo)
 
     raw_blocks = []
-    media_refs = []
     for s in spans_sorted:
-        if s["kind"] == "media":
-            media_refs.append(s["media_ref"])
-        else:
+        if s["kind"] != "media":
             text = s["text"].strip()
             if not text:
                 continue
@@ -103,8 +131,9 @@ def process_document(doc_id: str,
                 "text": text,
                 "normalized_text": text.lower(),     # executable.py:277 main path
                 "bbox": span_bbox(s["offset"], text),
-                "confidence": span_confidence(doc_id, s["offset"]),
-                "language": T.detect_language_ocr(text),
+                "confidence": s.get("confidence") if s.get("confidence") is not None
+                              else span_confidence(doc_id, s["offset"]),
+                "language": s.get("language") or T.detect_language_ocr(text),
             })
 
     base = {
@@ -124,7 +153,8 @@ def process_document(doc_id: str,
     if ground_truth is not None:
         gt_boxes = {"signature": ground_truth.get("signature_bbox"),
                     "stamp": ground_truth.get("stamp_bbox")}
-    detection = D.classify_document_media(media_refs, media_model, gt_boxes)
+    dets = media_detections(spans_sorted, media_model or D.MediaModel())
+    detection = D.summarize_detections(D.nms(dets), gt_boxes)
     extracted["signature"] = detection["signature"]
     extracted["stamp"] = detection["stamp"]
 

@@ -1,0 +1,165 @@
+"""Flagship pipeline: interleaved docs → extracted fields, Ray-Data-first.
+
+Physical plan (SURVEY.md §3.4):
+
+    read (Lance/Parquet)                          [streaming blocks]
+    → map_batches(explode)                        [zero-copy Arrow fan-out]
+    → (resume filter: completed partitions dropped before any heavy work)
+    → map_batches(normalize_spans)                [stateless regex stage]
+    → repartition(keys=['_salt'])                 [salted skew spreading]
+    → map_batches(MediaClassifier, concurrency=N) [stateful actor pool]
+    → groupby('_part').map_groups(assemble)       [THE shuffle: reassembly,
+                                                   extraction, shard + manifest]
+    → Dataset[RESULT_SCHEMA]                      [stream to sink/aggregate]
+
+Everything stays lazy; nothing materializes the full corpus.  The corpus
+generator is itself a Ray pipeline (``ray.data.range → map_batches``) so
+arbitrarily large synthetic corpora are produced distributively.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data import DataContext
+
+from ..functions.validate import RuleBook
+from ..schema import DOC_SCHEMA, GROUND_TRUTH_SCHEMA
+from ..sources import corpus as corpus_mod
+from ..sources import io as io_mod
+from ..stages.assemble import make_assemble_fn
+from ..stages.classify import MediaClassifier
+from ..stages.normalize import normalize_spans
+from ..stages.recover import make_explode
+from ..state import manifest as mf
+
+
+@dataclass
+class ExtractConfig:
+    """Knobs sized for a multi-node cluster; tests shrink them."""
+    num_partitions: int = 64          # output shards; P so a partition fits a worker heap
+    salt_buckets: int = 256           # _salt cardinality (doc-hash ^ offset-window)
+    salt_shuffle: bool = True         # hash-repartition by _salt before classify
+    explode_batch: int = 1024         # doc rows per explode call
+    normalize_batch: int = 8192       # span rows per normalize call
+    classify_batch: int = 4096
+    classify_concurrency: int = 4     # fixed actor-pool size
+    classify_num_gpus: float = 0.0    # >0 on GPU clusters (detector.py GPU path)
+
+
+def build_extraction(docs: rd.Dataset,
+                     cfg: ExtractConfig | None = None,
+                     ground_truth: dict | None = None,
+                     dealer_master: list[str] | None = None,
+                     model_master: set[str] | None = None,
+                     rulebook: RuleBook | None = None,
+                     output_dir: str | None = None,
+                     manifest_dir: str | None = None,
+                     resume: bool = True,
+                     input_lineage: list[str] | None = None) -> rd.Dataset:
+    cfg = cfg or ExtractConfig()
+
+    spans = docs.map_batches(make_explode(cfg.num_partitions, cfg.salt_buckets),
+                             batch_format="pyarrow", batch_size=cfg.explode_batch)
+
+    if resume and manifest_dir:
+        done = mf.completed_partitions(manifest_dir)
+        if done:
+            done_arr = pa.array(sorted(done), type=pa.int32())
+
+            def drop_done(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                mask = pc.invert(pc.is_in(batch.column("_part"), value_set=done_arr))
+                return batch.filter(mask)
+
+            spans = spans.map_batches(drop_done, batch_format="pyarrow")
+
+    spans = spans.map_batches(normalize_spans, batch_format="pyarrow",
+                              batch_size=cfg.normalize_batch)
+
+    if cfg.salt_shuffle:
+        # explicit skew handling: spans of one media-heavy document carry
+        # many distinct _salt values (doc-hash ^ offset-window), so they
+        # spread across blocks instead of hot-spotting one classify actor
+        # (north-rule requirement).  Under Ray's HASH_SHUFFLE strategy this
+        # is a true hash-repartition on the salt key; under the default
+        # sort-based strategy (this sandbox: keyed repartition unsupported,
+        # and HASH_SHUFFLE deadlocks in local mode) an equivalent full
+        # redistribution achieves the same spreading.
+        from ray.data.context import ShuffleStrategy
+
+        if DataContext.get_current().shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE:
+            spans = spans.repartition(num_blocks=cfg.salt_buckets,
+                                      keys=["_salt"], sort=False)
+        else:
+            spans = spans.repartition(num_blocks=cfg.salt_buckets, shuffle=True)
+
+    spans = spans.map_batches(MediaClassifier, batch_format="pyarrow",
+                              batch_size=cfg.classify_batch,
+                              concurrency=cfg.classify_concurrency,
+                              num_gpus=cfg.classify_num_gpus or None)
+
+    gt_ref = ray.put(ground_truth) if ground_truth else None
+    dealer_ref = ray.put(dealer_master) if dealer_master else None
+    model_ref = ray.put(model_master) if model_master else None
+
+    assemble = make_assemble_fn(output_dir=output_dir, manifest_dir=manifest_dir,
+                                gt_ref=gt_ref, dealer_master_ref=dealer_ref,
+                                model_master_ref=model_ref, rulebook=rulebook,
+                                input_lineage=input_lineage)
+    return spans.groupby("_part").map_groups(assemble, batch_format="pyarrow")
+
+
+def run_extraction(input_uri: str,
+                   cfg: ExtractConfig | None = None,
+                   output_dir: str | None = None,
+                   manifest_dir: str | None = None,
+                   resume: bool = True,
+                   **kwargs) -> rd.Dataset:
+    docs = io_mod.read_docs_ray(input_uri)
+    return build_extraction(docs, cfg=cfg, output_dir=output_dir,
+                            manifest_dir=manifest_dir, resume=resume,
+                            input_lineage=[input_uri], **kwargs)
+
+
+def load_results(output_dir: str) -> rd.Dataset:
+    """All completed shards (current + prior runs) as one Dataset."""
+    return rd.read_parquet(output_dir)
+
+
+# ------------------------------------------------------------------ corpus
+def generate_corpus_ray(n_docs: int, out_dir: str, seed: int = 42,
+                        overwrite: bool = False) -> tuple[str, str]:
+    """Distributed deterministic corpus generation; cached on disk.
+
+    Returns (docs_path, ground_truth_path).
+    """
+    docs_path = os.path.join(out_dir, "docs")
+    gt_path = os.path.join(out_dir, "gt")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker) and not overwrite:
+        return docs_path, gt_path
+
+    def gen_docs(batch: pa.Table) -> pa.Table:
+        rows, _ = corpus_mod.generate_rows(batch.column("id").to_pylist(), seed)
+        return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+
+    def gen_gt(batch: pa.Table) -> pa.Table:
+        _, gts = corpus_mod.generate_rows(batch.column("id").to_pylist(), seed)
+        return pa.Table.from_pylist(gts, schema=GROUND_TRUTH_SCHEMA)
+
+    os.makedirs(out_dir, exist_ok=True)
+    (rd.range(n_docs)
+       .map_batches(gen_docs, batch_format="pyarrow", batch_size=512)
+       .write_parquet(docs_path))
+    (rd.range(n_docs)
+       .map_batches(gen_gt, batch_format="pyarrow", batch_size=512)
+       .write_parquet(gt_path))
+    with open(marker, "w") as f:
+        f.write(str(n_docs))
+    return docs_path, gt_path

@@ -1,0 +1,113 @@
+"""Reassembly stage: the one semantic shuffle of the pipeline.
+
+``groupby('_part')`` (``_part = crc32(doc_id) % P``) co-locates every span
+of a document — documents may arrive chunked across input rows — then the
+per-partition group function:
+
+  1. groups spans by ``doc_id`` and sorts each doc by ``offset``
+     (Ray Data groups are unordered — SURVEY.md §7.4);
+  2. runs the shared ``process_document`` semantics per doc (extraction,
+     detection argmax/NMS, validation);
+  3. writes its output shard atomically and a manifest record with
+     lineage + per-stage timings (resumable layout);
+  4. returns the result rows downstream as a streaming block.
+
+Keying the shuffle on the doc-hash partition rather than raw ``doc_id``
+gives deterministic, resume-stable output shards with ONE shuffle, and a
+group size bounded by P (choose P so a partition's spans fit a worker's
+heap; docs are ≤ ~10^3..10^4 spans so any P ≥ corpus/2k docs works).
+Broadcast side state (ground truth, master data) travels by ``ray.put``
+ref, fetched zero-copy once per worker process.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+
+import pyarrow as pa
+
+import ray
+
+from ..functions import docproc
+from ..functions.detect import MediaModel
+from ..functions.validate import RuleBook
+from ..schema import RESULT_SCHEMA
+from ..state import manifest as mf
+
+_REF_CACHE: dict[str, object] = {}
+
+
+def _fetch(ref):
+    """Per-process cache of broadcast objects (plasma get is zero-copy,
+    but skip even that on repeat calls)."""
+    if ref is None:
+        return None
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    if key not in _REF_CACHE:
+        _REF_CACHE[key] = ray.get(ref)
+    return _REF_CACHE[key]
+
+
+def make_assemble_fn(output_dir: str | None = None,
+                     manifest_dir: str | None = None,
+                     gt_ref=None, dealer_master_ref=None, model_master_ref=None,
+                     rulebook: RuleBook | None = None,
+                     input_lineage: list[str] | None = None):
+    def assemble(group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        part_id = int(group.column("_part")[0].as_py())
+        gt_map = _fetch(gt_ref) or {}
+        dealer_master = _fetch(dealer_master_ref)
+        model_master = _fetch(model_master_ref)
+
+        rows = group.to_pylist()
+        by_doc: dict[str, list[dict]] = defaultdict(list)
+        for r in rows:
+            by_doc[r["doc_id"]].append(r)
+        t_group = time.perf_counter()
+
+        media_model = MediaModel()
+        memo: dict = {}
+        results = []
+        for doc_id in sorted(by_doc):
+            results.append(docproc.process_document(
+                doc_id, by_doc[doc_id], ground_truth=gt_map.get(doc_id),
+                dealer_master=dealer_master, model_master=model_master,
+                rulebook=rulebook, media_model=media_model, norm_memo=memo))
+        t_extract = time.perf_counter()
+
+        out = pa.Table.from_pylist(results, schema=RESULT_SCHEMA)
+
+        if output_dir:
+            import os
+
+            import pyarrow.parquet as pq
+
+            os.makedirs(output_dir, exist_ok=True)
+            path = mf.shard_path(output_dir, part_id)
+            tmp = path + f".tmp-{os.getpid()}"
+            pq.write_table(out, tmp)
+            os.replace(tmp, path)
+        t_write = time.perf_counter()
+
+        if manifest_dir:
+            doc_ids = sorted(by_doc)
+            mf.write_record(manifest_dir, {
+                "partition_id": part_id,
+                "doc_id_min": doc_ids[0] if doc_ids else None,
+                "doc_id_max": doc_ids[-1] if doc_ids else None,
+                "n_docs": len(doc_ids),
+                "rows": out.num_rows,
+                "n_spans": len(rows),
+                "stage_ms": {
+                    "group": (t_group - t0) * 1000,
+                    "extract": (t_extract - t_group) * 1000,
+                    "write": (t_write - t_extract) * 1000,
+                },
+                "input_frags": input_lineage or [],
+                "status": "done",
+            })
+        return out
+
+    return assemble

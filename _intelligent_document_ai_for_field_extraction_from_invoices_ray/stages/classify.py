@@ -1,0 +1,51 @@
+"""Stateful media-classification stage: the actor-pool analog of the
+reference's YOLO singleton (utils/detector.py:60-140).
+
+A callable CLASS for ``map_batches(MediaClassifier, concurrency=N,
+batch_size=B, num_cpus=c, num_gpus=g)``: the model loads ONCE per actor in
+``__init__`` (like YOLO weights), each ``__call__`` classifies one Arrow
+batch.  Confidence/area gates (detector.py:238-243) are applied here;
+suppressed spans get ``det_class=''``.  NMS and best-per-class stay in the
+per-document reassembly stage because they need the whole document.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.detect import MediaModel
+from ..functions import vocab as V
+
+
+class MediaClassifier:
+    def __init__(self, conf_thresholds: dict[str, float] | None = None):
+        # model load happens once per actor (GPU-capable slot: a real
+        # deployment passes num_gpus= to map_batches and moves weights here)
+        self.model = MediaModel(conf_thresholds)
+        self.page_area = V.MEDIA_PAGE_W * V.MEDIA_PAGE_H
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kind = batch.column("kind").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        n = len(kind)
+        det_class = [""] * n
+        det_conf = [0.0] * n
+        det_bbox: list[list[float] | None] = [None] * n
+        thresholds = self.model.conf_thresholds
+        for i in range(n):
+            if kind[i] != "media":
+                continue
+            cls, conf, bbox = self.model.predict_one(refs[i])
+            if conf < thresholds.get(cls, 0.5):
+                continue
+            area = (bbox[2] - bbox[0]) * (bbox[3] - bbox[1])
+            if (area < V.MEDIA_AREA_MIN_FRAC * self.page_area
+                    or area > V.MEDIA_AREA_MAX_FRAC * self.page_area):
+                continue
+            det_class[i] = cls
+            det_conf[i] = conf
+            det_bbox[i] = bbox
+        return (batch
+                .append_column("det_class", pa.array(det_class, type=pa.string()))
+                .append_column("det_conf", pa.array(det_conf, type=pa.float64()))
+                .append_column("det_bbox", pa.array(det_bbox, type=pa.list_(pa.float64()))))

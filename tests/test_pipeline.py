@@ -1,0 +1,152 @@
+"""Distributed-pipeline invariants vs the single-process oracle.
+
+The span invariant from BASELINE.json: for every document, the pipeline's
+normalized span sequence equals the oracle's under
+``(kind, text, media_ref, order)``; plus full field equality at float
+precision (both share the scalar code path — the comparison verifies the
+explode/shuffle/salting/reassembly plumbing)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.oracle import run_oracle
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.extract import (
+    ExtractConfig,
+    build_extraction,
+    load_results,
+)
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.sources.corpus import (
+    corpus_tables,
+)
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.state import manifest as mf
+
+CFG = ExtractConfig(num_partitions=8, salt_buckets=16, classify_concurrency=2)
+
+
+def _no_tensor_casting():
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_tensor_extension_casting = False
+
+
+def _span_key(spans):
+    return [(s["kind"], s["text"], s["media_ref"]) for s in spans]
+
+
+def assert_matches_oracle(pdf, odf):
+    assert len(pdf) == len(odf)
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    odf = odf.sort_values("doc_id").reset_index(drop=True)
+    for col in odf.columns:
+        if col == "norm_spans":
+            for a, b, d in zip(pdf[col], odf[col], odf["doc_id"]):
+                assert _span_key(a) == _span_key(b), f"span mismatch in {d}"
+        elif odf[col].dtype == object:
+            assert (pdf[col].astype(str) == odf[col].astype(str)).all(), col
+        elif np.issubdtype(odf[col].dtype, np.number):
+            assert ((pdf[col].fillna(-1) - odf[col].fillna(-1)).abs() < 1e-12).all(), col
+        else:
+            assert (pdf[col] == odf[col]).all(), col
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_matches_oracle_span_invariant(tmp_path):
+    _no_tensor_casting()
+    docs, gt = corpus_tables(200)
+    res = build_extraction(rd.from_arrow(docs), CFG,
+                           output_dir=str(tmp_path / "out"),
+                           manifest_dir=str(tmp_path / "mf"))
+    pdf = res.to_pandas()
+    odf = run_oracle(docs).to_pandas()
+    assert_matches_oracle(pdf[odf.columns], odf)
+    # resumable layout: one shard + one manifest record per partition
+    assert len(os.listdir(tmp_path / "out")) == CFG.num_partitions
+    recs = mf.load_records(str(tmp_path / "mf"))
+    assert len(recs) == CFG.num_partitions
+    assert all(r["status"] == "done" and "extract" in r["stage_ms"] for r in recs)
+    assert sum(r["rows"] for r in recs) == 200
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_no_salt_shuffle_same_result(tmp_path):
+    _no_tensor_casting()
+    docs, _ = corpus_tables(120)
+    cfg = ExtractConfig(num_partitions=4, salt_buckets=8,
+                        classify_concurrency=2, salt_shuffle=False)
+    pdf = build_extraction(rd.from_arrow(docs), cfg).to_pandas()
+    odf = run_oracle(docs).to_pandas()
+    assert_matches_oracle(pdf[odf.columns], odf)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffled_input_rows_reassemble(tmp_path):
+    """Chunked docs arrive as multiple rows in arbitrary order; forgetting
+    the in-group offset sort would silently break the invariant
+    (SURVEY.md §7.4 'In-group ordering')."""
+    _no_tensor_casting()
+    docs, _ = corpus_tables(56)        # every 7th doc (index%7==3) is chunked
+    import pyarrow as pa
+
+    perm = np.random.RandomState(7).permutation(docs.num_rows)
+    shuffled = docs.take(pa.array(perm))
+    pdf = build_extraction(rd.from_arrow(shuffled), CFG).to_pandas()
+    odf = run_oracle(docs).to_pandas()
+    assert_matches_oracle(pdf[odf.columns], odf)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_from_partial_manifest(tmp_path):
+    """Crash-rerun: delete a subset of shards+records, rerun with resume,
+    assert completed partitions are skipped and the final output has no
+    duplicate or missing documents."""
+    _no_tensor_casting()
+    out, man = str(tmp_path / "out"), str(tmp_path / "mf")
+    docs, _ = corpus_tables(160)
+    build_extraction(rd.from_arrow(docs), CFG, output_dir=out,
+                     manifest_dir=man).materialize()
+
+    # simulate a crash that lost partitions 1, 4, 6
+    lost = {1, 4, 6}
+    for p in lost:
+        os.remove(mf.shard_path(out, p))
+        os.remove(mf.record_path(man, p))
+    kept_mtimes = {p: os.path.getmtime(mf.shard_path(out, p))
+                   for p in range(CFG.num_partitions) if p not in lost}
+
+    rerun = build_extraction(rd.from_arrow(docs), CFG, output_dir=out,
+                             manifest_dir=man, resume=True)
+    rerun_rows = rerun.count()
+    # only the lost partitions were recomputed
+    lost_docs = sum(r["rows"] for r in mf.load_records(man)
+                    if r["partition_id"] in lost)
+    assert rerun_rows == lost_docs
+    for p, mtime in kept_mtimes.items():
+        assert os.path.getmtime(mf.shard_path(out, p)) == mtime, \
+            f"completed shard {p} was rewritten"
+
+    final = load_results(out).to_pandas()
+    assert len(final) == 160
+    assert final.doc_id.is_unique
+    assert_matches_oracle(final[run_oracle(docs).to_pandas().columns].copy(),
+                          run_oracle(docs).to_pandas())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_heavy_skew_doc(tmp_path):
+    """Doc index 613 carries 60 media spans + 240 line items (SKEW_FACTOR);
+    the salted pipeline completes and matches the oracle."""
+    _no_tensor_casting()
+    docs, _ = corpus_tables(616)
+    skew_rows = [r for r in docs.to_pylist() if r["doc_id"] == "invoice_00000613"]
+    assert sum(len(r["spans"]) for r in skew_rows) > 250
+    pdf = build_extraction(rd.from_arrow(docs), CFG).to_pandas()
+    odf = run_oracle(docs).to_pandas()
+    assert_matches_oracle(pdf[odf.columns], odf)
+    row = pdf[pdf.doc_id == "invoice_00000613"].iloc[0]
+    assert row.status == "success"
+    assert len(row.norm_spans) > 250
