@@ -1,44 +1,156 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship interleaved-document extraction pipeline on a
+  deterministic corpus sized from ``/root/testdata/sf0.001``.
+- ``queries()``: one callable per implemented operator/pipeline from
+  SURVEY.md §2 (+ the training-data extensions); each takes ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query
+  (flagship extraction, MinHash/SimHash internals and LSH-ANN are
+  non-SQL-expressible → rows-only checks).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_SCALAR_RESULT_COLS = [
+    "doc_id", "dealer_name", "dealer_name_confidence", "model_name",
+    "model_name_confidence", "horse_power", "horse_power_confidence",
+    "asset_cost", "asset_cost_confidence", "signature_present",
+    "signature_confidence", "stamp_present", "stamp_confidence",
+    "overall_confidence", "status", "n_spans",
+]
+
+
+def _corpus_for(sf_dir: str):
+    """Deterministic interleaved corpus sized from the sf documents table,
+    generated distributively once and cached under /tmp."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.extract import (
+        generate_corpus_ray,
+    )
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/dai_corpus/{tag}-{n_docs}"
+    return generate_corpus_ray(n_docs, out_dir), n_docs
+
+
+def _run_flagship(sf_dir: str):
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_tensor_extension_casting = False
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.extract import (
+        ExtractConfig,
+        build_extraction,
+    )
+
+    (docs_path, _gt_path), n_docs = _corpus_for(sf_dir)
+    cfg = ExtractConfig(num_partitions=max(8, n_docs // 500),
+                        salt_buckets=64, classify_concurrency=4)
+    return build_extraction(rd.read_parquet(docs_path), cfg)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; returns scalar columns
+    of the result table (nested bbox/span columns projected away for a
+    stable driver-facing schema)."""
+    res = _run_flagship("/root/testdata/sf0.001")
+    return res.select_columns(_SCALAR_RESULT_COLS)
+
+
+def _q_extract_fields(sf_dir: str):
+    return _run_flagship(sf_dir).select_columns(_SCALAR_RESULT_COLS)
+
+
+def _q_extract_spans(sf_dir: str):
+    """Per-doc normalized-span accounting (the invariant columns, flattened)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def flatten(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        for r in batch.select(["doc_id", "norm_spans"]).to_pylist():
+            n_text = sum(1 for s in r["norm_spans"] if s["kind"] == "text")
+            n_media = len(r["norm_spans"]) - n_text
+            rows.append((r["doc_id"], len(r["norm_spans"]), n_text, n_media))
+        return pd.DataFrame(rows, columns=["doc_id", "n_norm_spans",
+                                           "n_text_spans", "n_media_spans"])
+
+    return _run_flagship(sf_dir).map_batches(flatten, batch_format="pyarrow")
+
+
+def _q_extract_summary(sf_dir: str):
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.summary import (
+        summary_frame,
+    )
+
+    return summary_frame(_run_flagship(sf_dir))
+
+
+def _q_extract_evaluate(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.evaluate import (
+        evaluation_frame,
+    )
+
+    (docs_path, gt_path), _ = _corpus_for(sf_dir)
+    gt = {r["doc_id"]: r for r in pq.read_table(gt_path).to_pylist()}
+    return evaluation_frame(_run_flagship(sf_dir), gt)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.dedup import (
+        DEDUP_QUERIES,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
+        QUERIES as REL_QUERIES,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.similarity import (
+        SIM_QUERIES,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import (
+        TEXT_QUERIES,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        "extract_fields": _q_extract_fields,
+        "extract_spans": _q_extract_spans,
+        "extract_summary": _q_extract_summary,
+        "extract_evaluate": _q_extract_evaluate,
+    }
+    for bank in (REL_QUERIES, TEXT_QUERIES, DEDUP_QUERIES, SIM_QUERIES):
+        for name, (fn, _sql) in bank.items():
+            out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.dedup import (
+        DEDUP_QUERIES,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
+        QUERIES as REL_QUERIES,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.similarity import (
+        SIM_QUERIES,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import (
+        TEXT_QUERIES,
+    )
+
+    out: dict[str, str] = {}
+    for bank in (REL_QUERIES, TEXT_QUERIES, DEDUP_QUERIES, SIM_QUERIES):
+        for name, (_fn, sql) in bank.items():
+            if sql is not None:
+                out[name] = sql
+    return out

@@ -133,7 +133,11 @@ def process_document(doc_id: str,
                 "bbox": span_bbox(s["offset"], text),
                 "confidence": s.get("confidence") if s.get("confidence") is not None
                               else span_confidence(doc_id, s["offset"]),
-                "language": s.get("language") or T.detect_language_ocr(text),
+                # block-level language is metadata the extractor never reads
+                # (reference parity: ocr.py:295 computes it, extractor
+                # ignores it); the normalize stage / lang_id operator supply
+                # it when wanted, so the per-doc path does not pay for it
+                "language": s.get("language", "unknown"),
             })
 
     base = {

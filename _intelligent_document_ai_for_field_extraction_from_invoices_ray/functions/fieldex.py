@@ -40,23 +40,34 @@ def empty_field() -> dict:
 
 # ------------------------------------------------------------------ blocks
 def prepare_blocks(raw_blocks: list[dict]) -> list[dict]:
-    """raw block: {'text','normalized_text'?,'bbox','confidence','language'}."""
+    """raw block: {'text','normalized_text'?,'bbox','confidence','language'}.
+
+    ``_upper``/``_digit`` are private hot-path caches used by the exact
+    regex guards below; ``keywords`` is computed-but-never-read in the
+    reference (extractor.py:202 vs :568 which re-tests the raw text), so
+    the dead compute is skipped (``detect_section_keywords`` stays
+    available as the M15 operator).
+    """
     blocks = []
     for idx, rb in enumerate(raw_blocks):
         text = rb.get("text", "").strip()
         if not text:
             continue
+        upper = text.upper()
         blocks.append({
             "idx": idx,
             "text": rb.get("normalized_text", text.lower()),
             "original": text,
             "bbox": rb.get("bbox", [0, 0, 0, 0]),
             "conf": rb.get("confidence", 0.0),
-            "nums": T.simple_numbers(text),
-            "keywords": T.detect_section_keywords(text.lower()),
+            "nums": T.simple_numbers(text) if any(c.isdigit() for c in text) else [],
+            "keywords": None,
             "lang": rb.get("language", "unknown"),
             "has_currency": T.has_block_currency(text),
-            "has_business_suffix": T.has_business_suffix(text),
+            "has_business_suffix": any(s in upper for s in V.BUSINESS_SUFFIXES),
+            "_upper": upper,
+            "_lower": text.lower(),
+            "_digit": any(c.isdigit() for c in text),
         })
     return blocks
 
@@ -93,9 +104,25 @@ def clean_dealer_name(name: str) -> str:
 def extract_dealer_name(blocks: list[dict], dealer_master: list[str] | None = None) -> dict:
     candidates: list[dict] = []
 
-    # strategy 1: labelled / structural patterns over the document head
+    # strategy 1: labelled / structural patterns over the document head.
+    # each pattern carries an exact substring guard (a condition implied by
+    # the regex) so non-matching blocks skip the costly finditer entirely.
     for block in blocks[:25]:
-        for pat in P.DEALER_PATTERNS:
+        lower = block["_lower"]
+        guards = (
+            ("dealer" in lower or "seller" in lower or "vendor" in lower
+             or "supplier" in lower),
+            ("m/s" in lower or "m.s." in lower or "messrs" in lower),
+            "dealer" in lower,
+            block["has_business_suffix"],
+            True,                                  # AT/POST/... too common to guard
+            ("quotation" in lower or "invoice" in lower or "proforma" in lower),
+            ("डीलर" in block["original"] or "ડીલર" in block["original"]
+             or "विक्रेता" in block["original"]),
+        )
+        for pat, guard in zip(P.DEALER_PATTERNS, guards):
+            if not guard:
+                continue
             for m in pat.finditer(block["original"]):
                 name = clean_dealer_name(m.group(1).strip())
                 if is_valid_dealer_name(name):
@@ -170,7 +197,18 @@ def extract_model_field(blocks: list[dict], model_master: set[str] | None = None
     candidates: list[dict] = []
 
     for block in blocks:
-        for pat in P.EXT_MODEL_PATTERNS:
+        lower = block["_lower"]
+        has_brand = any(b in block["_upper"] for b in V.COMMON_BRANDS)
+        guards = (
+            "model" in lower,
+            block["_digit"],
+            ("variant" in lower or "type" in lower),
+            ("मॉडल" in block["original"] or "મોડેલ" in block["original"]),
+            has_brand,
+        )
+        for pat, guard in zip(P.EXT_MODEL_PATTERNS, guards):
+            if not guard:
+                continue
             for m in pat.finditer(block["original"]):
                 if len(m.groups()) > 1 and m.group(2):
                     model = f"{m.group(1)} {m.group(2)}".strip().upper()
@@ -188,7 +226,7 @@ def extract_model_field(blocks: list[dict], model_master: set[str] | None = None
 
     # brand-context scan (sorted order for cross-process determinism)
     for block in blocks:
-        upper = block["original"].upper()
+        upper = block["_upper"]
         for brand in _SORTED_BRANDS:
             if brand in upper:
                 after = block["original"][upper.find(brand) + len(brand):].strip()
@@ -210,6 +248,8 @@ def extract_hp_field(blocks: list[dict]) -> dict:
     lo, hi = V.EXTRACTOR_HP_RANGE
 
     for block in blocks:
+        if not block["_digit"]:        # every HP pattern requires a digit
+            continue
         for pat in P.EXT_HP_PATTERNS:
             for m in pat.finditer(block["original"]):
                 try:
@@ -241,6 +281,8 @@ def extract_cost_field(blocks: list[dict]) -> dict:
     lo, hi = V.EXTRACTOR_COST_RANGE
 
     for block in blocks:
+        if not block["_digit"]:        # every cost pattern requires a digit
+            continue
         for pat in P.EXT_COST_PATTERNS:
             for m in pat.finditer(block["original"]):
                 try:

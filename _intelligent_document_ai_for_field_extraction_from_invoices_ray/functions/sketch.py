@@ -1,0 +1,79 @@
+"""Deterministic sketches for dedup: MinHash, SimHash, rolling fingerprint.
+
+All public-knowledge constructions (Broder '97 min-wise hashing; Charikar
+'02 simhash), vectorized with numpy and seeded with fixed constants so
+every worker process computes identical sketches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+NUM_PERMS = 64
+LSH_BANDS = 16          # 16 bands x 4 rows: P(candidate | j) = 1-(1-j^4)^16
+LSH_ROWS = NUM_PERMS // LSH_BANDS
+
+_rng = np.random.RandomState(0xD0C5EED)
+_A = _rng.randint(1, _MERSENNE, size=NUM_PERMS, dtype=np.int64).astype(np.uint64)
+_B = _rng.randint(0, _MERSENNE, size=NUM_PERMS, dtype=np.int64).astype(np.uint64)
+
+
+def token_hash64(token: str) -> int:
+    """Stable 64-bit token hash (blake2b, process-independent)."""
+    return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def shingles(tokens: list[str], k: int = 3) -> set[str]:
+    if len(tokens) < k:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)}
+
+
+def minhash_signature(token_hashes: np.ndarray) -> np.ndarray:
+    """(NUM_PERMS,) uint64 signature via universal hashing a*x+b mod p."""
+    if token_hashes.size == 0:
+        return np.full(NUM_PERMS, np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = token_hashes.astype(np.uint64)[:, None]          # (n, 1)
+    hashed = (x * _A[None, :] + _B[None, :]) % np.uint64(_MERSENNE)
+    return hashed.min(axis=0)
+
+
+def lsh_band_keys(sig: np.ndarray) -> list[int]:
+    """One 64-bit bucket key per band (band index folded in)."""
+    keys = []
+    for b in range(LSH_BANDS):
+        chunk = sig[b * LSH_ROWS:(b + 1) * LSH_ROWS]
+        h = hashlib.blake2b(chunk.tobytes() + bytes([b]), digest_size=8).digest()
+        keys.append(int.from_bytes(h, "little"))
+    return keys
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over the token multiset."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in tokens:
+        h = token_hash64(tok)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def rolling_fingerprint(text: str, base: int = 257, mod: int = (1 << 61) - 1) -> int:
+    """Polynomial rolling hash of the canonical text (document fingerprint)."""
+    h = 0
+    for ch in text:
+        h = (h * base + ord(ch)) % mod
+    return h

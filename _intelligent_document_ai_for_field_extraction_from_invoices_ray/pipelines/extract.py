@@ -50,6 +50,25 @@ class ExtractConfig:
     classify_batch: int = 4096
     classify_concurrency: int = 4     # fixed actor-pool size
     classify_num_gpus: float = 0.0    # >0 on GPU clusters (detector.py GPU path)
+    # Scale tradeoff: with the pre-shuffle normalize stage ON, normalized
+    # text ships through the reassembly shuffle (≈40% more bytes moved);
+    # with it OFF the same shared function runs post-shuffle inside the
+    # per-doc stage with a per-partition memo (more memo hits, same
+    # output bit-for-bit).  Shuffle bytes beat recompute at scale, so
+    # benchmarks turn it off; default keeps the SURVEY §3.4 plan.
+    normalize_stage: bool = True
+    # Return the norm_spans invariant column to the consumer.  At scale
+    # the result payload ≈ the corpus; when results are sunk to shards
+    # (or only scalar fields are consumed) there is no reason to also
+    # stream the spans back through the object store.
+    emit_norm_spans: bool = True
+    # Compact exchange: ship NESTED doc rows (doc_id, spans, det-lists)
+    # through the reassembly shuffle instead of exploded span rows —
+    # ~4.5x fewer rows and no per-span doc_id/_part duplication, same
+    # semantics (the same process_document consumes the zipped spans).
+    # The exploded path stays the default (SURVEY §3.4 shape; required
+    # when upstream stages need span-level rows).
+    compact_shuffle: bool = False
 
 
 def build_extraction(docs: rd.Dataset,
@@ -63,6 +82,11 @@ def build_extraction(docs: rd.Dataset,
                      resume: bool = True,
                      input_lineage: list[str] | None = None) -> rd.Dataset:
     cfg = cfg or ExtractConfig()
+
+    if cfg.compact_shuffle:
+        return _build_compact(docs, cfg, ground_truth, dealer_master,
+                              model_master, rulebook, output_dir, manifest_dir,
+                              resume, input_lineage)
 
     spans = docs.map_batches(make_explode(cfg.num_partitions, cfg.salt_buckets),
                              batch_format="pyarrow", batch_size=cfg.explode_batch)
@@ -79,8 +103,9 @@ def build_extraction(docs: rd.Dataset,
 
             spans = spans.map_batches(drop_done, batch_format="pyarrow")
 
-    spans = spans.map_batches(normalize_spans, batch_format="pyarrow",
-                              batch_size=cfg.normalize_batch)
+    if cfg.normalize_stage:
+        spans = spans.map_batches(normalize_spans, batch_format="pyarrow",
+                                  batch_size=cfg.normalize_batch)
 
     if cfg.salt_shuffle:
         # explicit skew handling: spans of one media-heavy document carry
@@ -111,8 +136,67 @@ def build_extraction(docs: rd.Dataset,
     assemble = make_assemble_fn(output_dir=output_dir, manifest_dir=manifest_dir,
                                 gt_ref=gt_ref, dealer_master_ref=dealer_ref,
                                 model_master_ref=model_ref, rulebook=rulebook,
-                                input_lineage=input_lineage)
+                                input_lineage=input_lineage,
+                                emit_norm_spans=cfg.emit_norm_spans)
     return spans.groupby("_part").map_groups(assemble, batch_format="pyarrow")
+
+
+def _build_compact(docs, cfg, ground_truth, dealer_master, model_master,
+                   rulebook, output_dir, manifest_dir, resume,
+                   input_lineage) -> rd.Dataset:
+    """Compact-exchange plan: nested doc rows through ONE shuffle."""
+    from zlib import crc32
+
+    import numpy as np
+
+    from ..stages.assemble import make_assemble_nested_fn
+    from ..stages.classify import MediaClassifierNested
+
+    P = cfg.num_partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        memo: dict[str, int] = {}
+        part = np.empty(len(ids), dtype=np.int32)
+        for i, d in enumerate(ids):
+            v = memo.get(d)
+            if v is None:
+                v = crc32(d.encode("utf-8")) % P
+                memo[d] = v
+            part[i] = v
+        return batch.append_column("_part", pa.array(part))
+
+    rows = docs.map_batches(add_part, batch_format="pyarrow",
+                            batch_size=cfg.explode_batch)
+
+    if resume and manifest_dir:
+        done = mf.completed_partitions(manifest_dir)
+        if done:
+            done_arr = pa.array(sorted(done), type=pa.int32())
+
+            def drop_done(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                return batch.filter(pc.invert(
+                    pc.is_in(batch.column("_part"), value_set=done_arr)))
+
+            rows = rows.map_batches(drop_done, batch_format="pyarrow")
+
+    rows = rows.map_batches(MediaClassifierNested, batch_format="pyarrow",
+                            batch_size=max(256, cfg.classify_batch // 8),
+                            concurrency=cfg.classify_concurrency,
+                            num_gpus=cfg.classify_num_gpus or None)
+
+    gt_ref = ray.put(ground_truth) if ground_truth else None
+    dealer_ref = ray.put(dealer_master) if dealer_master else None
+    model_ref = ray.put(model_master) if model_master else None
+    assemble = make_assemble_nested_fn(output_dir=output_dir,
+                                       manifest_dir=manifest_dir,
+                                       gt_ref=gt_ref, dealer_master_ref=dealer_ref,
+                                       model_master_ref=model_ref,
+                                       rulebook=rulebook,
+                                       input_lineage=input_lineage,
+                                       emit_norm_spans=cfg.emit_norm_spans)
+    return rows.groupby("_part").map_groups(assemble, batch_format="pyarrow")
 
 
 def run_extraction(input_uri: str,

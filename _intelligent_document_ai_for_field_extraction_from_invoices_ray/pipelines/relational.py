@@ -1,0 +1,466 @@
+"""Relational operator suite over the TPC-H-ish testdata tables.
+
+Demonstrates the engine's general operator coverage (SURVEY.md §2.4-§2.7
+join/aggregate/sort/dedup families) Ray-Data-first, each with a DuckDB
+oracle registered in ``__ray_entry__.oracle_sql``:
+
+- grouped aggregation with a per-batch partial combiner (no raw-row shuffle)
+- broadcast hash join (small side via ``ray.put``, zero shuffle)
+- explicit bucketed hash join for two large sides (the portable pattern:
+  co-partition by key-hash bucket, join per bucket)
+- sort + limit (top-k), distinct, windowed/grouped event analytics,
+  running totals per key, JSON field extraction
+
+Float discipline: every aggregate is exact-integer arithmetic (money in
+cents / scaled units) so Ray and DuckDB agree bit-for-bit regardless of
+summation order — floating-point sums are NOT associative and DuckDB
+rounds half-away-from-zero while numpy rounds half-even, so raw double
+aggregates would be flaky oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr) -> np.ndarray:
+    """Exact cents from a 2-decimal double column (never lands on .5)."""
+    return np.round(np.asarray(arr, dtype=np.float64) * 100).astype(np.int64)
+
+
+# ------------------------------------------------------------ q_pricing_summary
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-style pricing summary with partial per-batch combining.
+
+    Each batch pre-aggregates to ≤ |flag×status| rows before the groupby,
+    so the shuffle moves O(groups × blocks) rows, not O(n).
+    """
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+              "l_discount", "l_tax", "l_shipdate"])
+
+    cutoff = np.datetime64("1998-09-02T00:00:00")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df.l_shipdate.to_numpy() <= cutoff]
+        if df.empty:
+            return pd.DataFrame(columns=["l_returnflag", "l_linestatus", "sum_qty",
+                                         "sum_base_cents", "sum_disc_scaled",
+                                         "sum_charge_scaled", "count_order"])
+        ext_c = _cents(df.l_extendedprice)
+        disc_pct = _cents(df.l_discount)       # 0..100 scaled by 100? -> actually x100
+        tax_pct = _cents(df.l_tax)
+        disc_scaled = ext_c * (100 - disc_pct)
+        charge_scaled = disc_scaled * (100 + tax_pct)
+        out = pd.DataFrame({
+            "l_returnflag": df.l_returnflag, "l_linestatus": df.l_linestatus,
+            "qty": df.l_quantity.astype(np.int64), "base": ext_c,
+            "disc": disc_scaled, "charge": charge_scaled,
+        })
+        g = out.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_base_cents=("base", "sum"),
+            sum_disc_scaled=("disc", "sum"), sum_charge_scaled=("charge", "sum"),
+            count_order=("qty", "size"))
+        return g
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = (partials.groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("sum_base_cents", alias_name="sum_base_cents"),
+                      Sum("sum_disc_scaled", alias_name="sum_disc_scaled"),
+                      Sum("sum_charge_scaled", alias_name="sum_charge_scaled"),
+                      Sum("count_order", alias_name="count_order"))
+           .to_pandas())
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_PRICING_SUMMARY = """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       SUM(qty) AS sum_qty,
+       SUM(ext_c) AS sum_base_cents,
+       SUM(ext_c * (100 - disc_pct)) AS sum_disc_scaled,
+       SUM(ext_c * (100 - disc_pct) * (100 + tax_pct)) AS sum_charge_scaled,
+       COUNT(*) AS count_order
+FROM t GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------ q_revenue_filter
+def q_revenue_filter(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q6-style predicate + global sum (column-pruned read)."""
+    ds = _pq(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount",
+                                  "l_shipdate"])
+    lo = np.datetime64("1996-01-01T00:00:00")
+    hi = np.datetime64("1997-01-01T00:00:00")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        sd = df.l_shipdate.to_numpy()
+        disc_pct = _cents(df.l_discount)
+        mask = ((sd >= lo) & (sd < hi) & (disc_pct >= 5) & (disc_pct <= 7)
+                & (df.l_quantity.to_numpy() < 24))
+        ext_c = _cents(df.l_extendedprice[mask])
+        rev = (ext_c * disc_pct[mask]).sum()
+        return pd.DataFrame({"revenue_scaled": [int(rev)]})
+
+    total = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+             .to_pandas()["revenue_scaled"].sum())
+    return pd.DataFrame({"revenue_scaled": [int(total)]})
+
+
+SQL_REVENUE_FILTER = """
+SELECT COALESCE(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * CAST(round(l_discount*100) AS BIGINT)), 0) AS revenue_scaled
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+# ------------------------------------------------------------ broadcast join
+def broadcast_lookup(ds: rd.Dataset, small_df: pd.DataFrame, key: str,
+                     batch_size: int = 65536) -> rd.Dataset:
+    """Left join a small dimension into a big fact table with zero shuffle:
+    the small side ships once via ``ray.put`` and maps per batch."""
+    ref = ray.put(small_df)
+
+    def join_batch(batch: pa.Table) -> pd.DataFrame:
+        small = ray.get(ref)
+        return batch.to_pandas().merge(small, on=key, how="left")
+
+    return ds.map_batches(join_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def q_segment_sales(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer (broadcast small side) → per-segment totals."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["price_c"] = _cents(df.o_totalprice)
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("price_c", "size"), total_cents=("price_c", "sum"))
+        return g
+
+    from ray.data.aggregate import Sum
+
+    joined = broadcast_lookup(orders, cust, "o_custkey")
+    out = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("total_cents", alias_name="total_cents"))
+           .to_pandas())
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_SEGMENT_SALES = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# ------------------------------------------------------------ bucketed hash join
+def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset,
+                       left_on: str, right_on: str,
+                       num_buckets: int = 32) -> rd.Dataset:
+    """Explicit partitioned hash join for two large sides (guide pattern):
+    tag each side, co-partition by key-hash bucket with ONE groupby, and
+    pandas-merge inside each bucket.  Skewed keys can be salted by raising
+    ``num_buckets``; dissimilar schemas are reconciled by column union."""
+
+    left_cols = left.schema().names
+    right_cols = right.schema().names
+    l_arrow = left.schema().base_schema
+    r_arrow = right.schema().base_schema
+
+    def tag(side: int, key: str, pad_schema: pa.Schema):
+        def fn(batch: pa.Table) -> pa.Table:
+            bucket = (batch.column(key).to_numpy(zero_copy_only=False)
+                      .astype(np.int64) % num_buckets).astype(np.int32)
+            batch = (batch.append_column("_b", pa.array(bucket))
+                          .append_column("_side", pa.array(
+                              np.full(batch.num_rows, side, dtype=np.int8))))
+            # pad the other side's columns with nulls so the union schema lines up
+            for field in pad_schema:
+                if field.name not in batch.column_names:
+                    batch = batch.append_column(
+                        field.name, pa.nulls(batch.num_rows, type=field.type))
+            order = left_cols + [c for c in right_cols if c not in left_cols] + ["_b", "_side"]
+            return batch.select(order)
+        return fn
+
+    left_t = left.map_batches(tag(0, left_on, r_arrow), batch_format="pyarrow")
+    right_t = right.map_batches(tag(1, right_on, l_arrow), batch_format="pyarrow")
+    both = left_t.union(right_t)
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lf = group.loc[group._side == 0, left_cols]
+        rf = group.loc[group._side == 1, right_cols]
+        if lf.empty or rf.empty:
+            return pd.DataFrame()
+        return lf.merge(rf, left_on=left_on, right_on=right_on, how="inner")
+
+    return both.groupby("_b").map_groups(join_bucket, batch_format="pandas")
+
+
+def q_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⋈ orders (both large → bucketed hash join) → revenue by
+    order priority."""
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = bucketed_hash_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(columns=["o_orderpriority", "n_items", "revenue_scaled"])
+        rev = _cents(df.l_extendedprice) * (100 - _cents(df.l_discount))
+        df = df.assign(revenue=rev)
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("revenue", "size"), revenue_scaled=("revenue", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    out = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("revenue_scaled", alias_name="revenue_scaled"))
+           .to_pandas())
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_PRIORITY_REVENUE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_scaled
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ------------------------------------------------------------ dim chain
+def q_region_customers(sf_dir: str) -> pd.DataFrame:
+    """customer ⋈ nation ⋈ region via a broadcast dimension chain."""
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim.rename(columns={"n_nationkey": "c_nationkey"})[["c_nationkey", "r_name"]]
+    cust = _pq(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["bal_c"] = _cents(df.c_acctbal)
+        return df.groupby("r_name", as_index=False).agg(
+            n_customers=("bal_c", "size"), total_acctbal_cents=("bal_c", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    out = (broadcast_lookup(cust, dim, "c_nationkey")
+           .map_batches(partial, batch_format="pandas")
+           .groupby("r_name")
+           .aggregate(Sum("n_customers", alias_name="n_customers"),
+                      Sum("total_acctbal_cents", alias_name="total_acctbal_cents"))
+           .to_pandas())
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+SQL_REGION_CUSTOMERS = """
+SELECT r_name,
+       COUNT(*) AS n_customers,
+       SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS total_acctbal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# ------------------------------------------------------------ sort / limit
+def q_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Global top-10 orders by price (distributed sort + limit)."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "price_cents", pa.array(_cents(batch.column("o_totalprice").to_numpy())))
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .sort(["price_cents", "o_orderkey"], descending=[True, False])
+           .limit(10).to_pandas())
+    return out[["o_orderkey", "o_custkey", "price_cents"]]
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct_flags(sf_dir: str) -> pd.DataFrame:
+    """Distinct (returnflag, linestatus) pairs (shuffle dedup)."""
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    out = (ds.groupby(["l_returnflag", "l_linestatus"]).count().to_pandas()
+           [["l_returnflag", "l_linestatus"]])
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_DISTINCT_FLAGS = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------ events
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-hour window per user: count + exact-cents sum.
+
+    ~10^5 output groups → the coarse-bucket pattern (grouping.py): one
+    shuffle into 64 key-hash buckets, vectorized pandas agg per bucket."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df.ts.astype("datetime64[ns]").astype("int64")
+        return pd.DataFrame({"user_id": df.user_id,
+                             "hour_bucket": (ns // 3_600_000_000_000).astype(np.int64),
+                             "v": _cents(df.value)})
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "hour_bucket"], as_index=False).agg(
+            n_events=("v", "size"), value_cents=("v", "sum"))
+
+    out = bucketed_group_apply(ds.map_batches(prep, batch_format="pandas"),
+                               ["user_id", "hour_bucket"], agg).to_pandas()
+    return out.sort_values(["user_id", "hour_bucket"]).reset_index(drop=True)
+
+
+SQL_EVENTS_HOURLY = """
+SELECT user_id,
+       CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value*100) AS BIGINT)) AS value_cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_events_top3_per_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k: 3 highest-value events per type (map_groups sort)."""
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(value_cents=_cents(g.value))
+        return (g.sort_values(["value_cents", "event_id"],
+                              ascending=[False, True])
+                .head(3)[["event_type", "event_id", "value_cents"]])
+
+    out = ds.groupby("event_type").map_groups(topk, batch_format="pandas").to_pandas()
+    return out.sort_values(["event_type", "value_cents", "event_id"],
+                           ascending=[True, False, True]).reset_index(drop=True)
+
+
+SQL_EVENTS_TOP3 = """
+SELECT event_type, event_id, value_cents FROM (
+  SELECT event_type, event_id,
+         CAST(round(value*100) AS BIGINT) AS value_cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(round(value*100) AS BIGINT) DESC,
+                                     event_id) AS rn
+  FROM events) WHERE rn <= 3
+ORDER BY event_type, value_cents DESC, event_id
+"""
+
+
+def q_events_json(sf_dir: str) -> pd.DataFrame:
+    """JSON prop extraction (vectorized per batch) + grouped sum."""
+    import json
+
+    ds = _pq(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df.props.map(lambda s: int(json.loads(s)["k"]))
+        out = pd.DataFrame({"event_type": df.event_type, "k": ks})
+        return out.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), k_total=("k", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("k_total", alias_name="k_total"))
+           .to_pandas())
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_running_spend(sf_dir: str) -> pd.DataFrame:
+    """Per-customer running order spend (windowed cumulative sum)."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice",
+                                "o_orderdate"])
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per bucket: sort once, grouped cumulative sum
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        df = df.assign(price_c=_cents(df.o_totalprice))
+        df["running_spend_cents"] = df.groupby("o_custkey").price_c.cumsum()
+        return df[["o_orderkey", "running_spend_cents"]]
+
+    from .grouping import bucketed_group_apply
+
+    out = bucketed_group_apply(ds, ["o_custkey"], running).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_RUNNING_SPEND = """
+SELECT o_orderkey,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS running_spend_cents
+FROM orders ORDER BY o_orderkey
+"""
+
+
+QUERIES = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "revenue_filter": (q_revenue_filter, SQL_REVENUE_FILTER),
+    "segment_sales": (q_segment_sales, SQL_SEGMENT_SALES),
+    "priority_revenue": (q_priority_revenue, SQL_PRIORITY_REVENUE),
+    "region_customers": (q_region_customers, SQL_REGION_CUSTOMERS),
+    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "distinct_flags": (q_distinct_flags, SQL_DISTINCT_FLAGS),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_top3_per_type": (q_events_top3_per_type, SQL_EVENTS_TOP3),
+    "events_json": (q_events_json, SQL_EVENTS_JSON),
+    "running_spend": (q_running_spend, SQL_RUNNING_SPEND),
+}

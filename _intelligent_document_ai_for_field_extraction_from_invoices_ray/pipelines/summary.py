@@ -1,0 +1,88 @@
+"""Corpus summary aggregation (reference A1, executable.py:596-681).
+
+One pass over the result Dataset with per-batch partial counters merged on
+the driver — the scalable replacement for the reference's driver-side list
+comprehension over all results.  No shuffle: the partials are one tiny row
+per batch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def summarize_results(results: rd.Dataset) -> dict:
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([
+            "status", "overall_confidence", "dealer_name", "model_name",
+            "horse_power", "asset_cost", "signature_present", "stamp_present",
+        ]).to_pandas()
+        ok = df[df.status == "success"]
+        return pd.DataFrame([{
+            "total": len(df),
+            "successful": len(ok),
+            "failed": len(df) - len(ok),
+            "conf_sum": ok.overall_confidence.sum(),
+            "conf_min": ok.overall_confidence.min() if len(ok) else 2.0,
+            "conf_max": ok.overall_confidence.max() if len(ok) else -1.0,
+            "high_conf": int((ok.overall_confidence >= 0.85).sum()),
+            "med_conf": int(((ok.overall_confidence >= 0.65)
+                             & (ok.overall_confidence < 0.85)).sum()),
+            "low_conf": int((ok.overall_confidence < 0.65).sum()),
+            "dealer_ok": int(ok.dealer_name.notna().sum()),
+            "model_ok": int(ok.model_name.notna().sum()),
+            "hp_ok": int(ok.horse_power.notna().sum()),
+            "cost_ok": int(ok.asset_cost.notna().sum()),
+            "sig": int(ok.signature_present.sum()),
+            "stamp": int(ok.stamp_present.sum()),
+        }])
+
+    parts = results.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total, succ = int(parts.total.sum()), int(parts.successful.sum())
+    summary = {
+        "total_documents": total,
+        "successful": succ,
+        "failed": int(parts.failed.sum()),
+        "success_rate": succ / total if total else 0.0,
+        "confidence_stats": {
+            "mean": float(parts.conf_sum.sum() / succ) if succ else 0.0,
+            "min": float(parts.conf_min.min()) if succ else 0.0,
+            "max": float(parts.conf_max.max()) if succ else 0.0,
+            "high_count": int(parts.high_conf.sum()),
+            "medium_count": int(parts.med_conf.sum()),
+            "low_count": int(parts.low_conf.sum()),
+        },
+        "field_extraction_stats": {
+            f: {"extracted": int(parts[c].sum()),
+                "rate": float(parts[c].sum() / succ) if succ else 0.0}
+            for f, c in [("dealer_name", "dealer_ok"), ("model_name", "model_ok"),
+                         ("horse_power", "hp_ok"), ("asset_cost", "cost_ok")]
+        },
+        "signature_detection": {"detected": int(parts.sig.sum()),
+                                "rate": float(parts.sig.sum() / succ) if succ else 0.0},
+        "stamp_detection": {"detected": int(parts.stamp.sum()),
+                            "rate": float(parts.stamp.sum() / succ) if succ else 0.0},
+    }
+    return summary
+
+
+def summary_frame(results: rd.Dataset) -> pd.DataFrame:
+    """Flat single-row integer view (driver-friendly)."""
+    s = summarize_results(results)
+    return pd.DataFrame([{
+        "total_documents": s["total_documents"],
+        "successful": s["successful"],
+        "failed": s["failed"],
+        "high_count": s["confidence_stats"]["high_count"],
+        "medium_count": s["confidence_stats"]["medium_count"],
+        "low_count": s["confidence_stats"]["low_count"],
+        "dealer_extracted": s["field_extraction_stats"]["dealer_name"]["extracted"],
+        "model_extracted": s["field_extraction_stats"]["model_name"]["extracted"],
+        "hp_extracted": s["field_extraction_stats"]["horse_power"]["extracted"],
+        "cost_extracted": s["field_extraction_stats"]["asset_cost"]["extracted"],
+        "signature_detected": s["signature_detection"]["detected"],
+        "stamp_detected": s["stamp_detection"]["detected"],
+    }])

@@ -49,11 +49,102 @@ def _fetch(ref):
     return _REF_CACHE[key]
 
 
+def make_assemble_nested_fn(output_dir: str | None = None,
+                            manifest_dir: str | None = None,
+                            gt_ref=None, dealer_master_ref=None,
+                            model_master_ref=None,
+                            rulebook: RuleBook | None = None,
+                            input_lineage: list[str] | None = None,
+                            emit_norm_spans: bool = True):
+    """Assemble for the COMPACT shuffle: groups of nested doc rows
+    (doc_id, spans, det_* list columns) instead of exploded span rows.
+    Identical semantics — the same ``process_document`` consumes the
+    zipped span dicts — with ~4.5x fewer rows through the exchange."""
+
+    def assemble(group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        part_id = int(group.column("_part")[0].as_py())
+        gt_map = _fetch(gt_ref) or {}
+        dealer_master = _fetch(dealer_master_ref)
+        model_master = _fetch(model_master_ref)
+
+        by_doc: dict[str, list[dict]] = defaultdict(list)
+        has_det = "det_class" in group.column_names
+        for r in group.to_pylist():
+            spans = r["spans"]
+            if has_det:
+                dc, df_, db = r["det_class"], r["det_conf"], r["det_bbox"]
+                for i, s in enumerate(spans):
+                    if s["kind"] == "media":
+                        s["det_class"] = dc[i]
+                        s["det_conf"] = df_[i]
+                        s["det_bbox"] = db[i]
+            by_doc[r["doc_id"]].extend(spans)
+        t_group = time.perf_counter()
+
+        media_model = MediaModel()
+        memo: dict = {}
+        results = []
+        for doc_id in sorted(by_doc):
+            results.append(docproc.process_document(
+                doc_id, by_doc[doc_id], ground_truth=gt_map.get(doc_id),
+                dealer_master=dealer_master, model_master=model_master,
+                rulebook=rulebook, media_model=media_model, norm_memo=memo))
+        t_extract = time.perf_counter()
+        return _finalize(results, by_doc, part_id, output_dir, manifest_dir,
+                         input_lineage, emit_norm_spans, t0, t_group, t_extract)
+
+    return assemble
+
+
+def _finalize(results, by_doc, part_id, output_dir, manifest_dir,
+              input_lineage, emit_norm_spans, t0, t_group, t_extract) -> pa.Table:
+    if emit_norm_spans:
+        out = pa.Table.from_pylist(results, schema=RESULT_SCHEMA)
+    else:
+        light = RESULT_SCHEMA.remove(RESULT_SCHEMA.get_field_index("norm_spans"))
+        for r in results:
+            r.pop("norm_spans", None)
+        out = pa.Table.from_pylist(results, schema=light)
+
+    if output_dir:
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(output_dir, exist_ok=True)
+        path = mf.shard_path(output_dir, part_id)
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+    t_write = time.perf_counter()
+
+    if manifest_dir:
+        doc_ids = sorted(by_doc)
+        mf.write_record(manifest_dir, {
+            "partition_id": part_id,
+            "doc_id_min": doc_ids[0] if doc_ids else None,
+            "doc_id_max": doc_ids[-1] if doc_ids else None,
+            "n_docs": len(doc_ids),
+            "rows": out.num_rows,
+            "n_spans": sum(len(v) for v in by_doc.values()),
+            "stage_ms": {
+                "group": (t_group - t0) * 1000,
+                "extract": (t_extract - t_group) * 1000,
+                "write": (t_write - t_extract) * 1000,
+            },
+            "input_frags": input_lineage or [],
+            "status": "done",
+        })
+    return out
+
+
 def make_assemble_fn(output_dir: str | None = None,
                      manifest_dir: str | None = None,
                      gt_ref=None, dealer_master_ref=None, model_master_ref=None,
                      rulebook: RuleBook | None = None,
-                     input_lineage: list[str] | None = None):
+                     input_lineage: list[str] | None = None,
+                     emit_norm_spans: bool = True):
     def assemble(group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         part_id = int(group.column("_part")[0].as_py())
@@ -76,38 +167,10 @@ def make_assemble_fn(output_dir: str | None = None,
                 dealer_master=dealer_master, model_master=model_master,
                 rulebook=rulebook, media_model=media_model, norm_memo=memo))
         t_extract = time.perf_counter()
-
-        out = pa.Table.from_pylist(results, schema=RESULT_SCHEMA)
-
-        if output_dir:
-            import os
-
-            import pyarrow.parquet as pq
-
-            os.makedirs(output_dir, exist_ok=True)
-            path = mf.shard_path(output_dir, part_id)
-            tmp = path + f".tmp-{os.getpid()}"
-            pq.write_table(out, tmp)
-            os.replace(tmp, path)
-        t_write = time.perf_counter()
-
-        if manifest_dir:
-            doc_ids = sorted(by_doc)
-            mf.write_record(manifest_dir, {
-                "partition_id": part_id,
-                "doc_id_min": doc_ids[0] if doc_ids else None,
-                "doc_id_max": doc_ids[-1] if doc_ids else None,
-                "n_docs": len(doc_ids),
-                "rows": out.num_rows,
-                "n_spans": len(rows),
-                "stage_ms": {
-                    "group": (t_group - t0) * 1000,
-                    "extract": (t_extract - t_group) * 1000,
-                    "write": (t_write - t_extract) * 1000,
-                },
-                "input_frags": input_lineage or [],
-                "status": "done",
-            })
-        return out
+        # norm_spans is always COMPUTED (it is the normalization work
+        # itself); emit=False only stops shipping it back through the
+        # object store when the caller consumes scalar fields / shards
+        return _finalize(results, by_doc, part_id, output_dir, manifest_dir,
+                         input_lineage, emit_norm_spans, t0, t_group, t_extract)
 
     return assemble

@@ -17,6 +17,40 @@ from ..functions.detect import MediaModel
 from ..functions import vocab as V
 
 
+class MediaClassifierNested:
+    """Actor-pool classifier for the COMPACT pipeline: doc rows with the
+    nested ``spans`` column.  Flattens the list column zero-copy, runs the
+    same per-ref model + gates, and re-wraps the detections as list columns
+    aligned with ``spans`` (same offsets), so nothing per-span ships as a
+    separate row through the shuffle."""
+
+    def __init__(self, conf_thresholds: dict[str, float] | None = None):
+        self.inner = MediaClassifier(conf_thresholds)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        flat_tbl = pa.table({"kind": flat.field("kind"),
+                             "media_ref": flat.field("media_ref")})
+        det = self.inner(flat_tbl)
+        # rebase offsets from value lengths (spans may be a sliced array
+        # whose raw offsets don't start at 0)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+        offsets = pa.array(np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32))
+        out = batch
+        for name in ("det_class", "det_conf", "det_bbox"):
+            col = det.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out = out.append_column(name, pa.ListArray.from_arrays(offsets, col))
+        return out
+
+
 class MediaClassifier:
     def __init__(self, conf_thresholds: dict[str, float] | None = None):
         # model load happens once per actor (GPU-capable slot: a real

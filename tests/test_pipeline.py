@@ -150,3 +150,35 @@ def test_media_heavy_skew_doc(tmp_path):
     row = pdf[pdf.doc_id == "invoice_00000613"].iloc[0]
     assert row.status == "success"
     assert len(row.norm_spans) > 250
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bench_light_config_same_fields(tmp_path):
+    """The benchmark configuration (post-shuffle normalization, no span
+    payload returned) must produce identical extraction fields — only the
+    norm_spans column is withheld from the return path."""
+    _no_tensor_casting()
+    docs, _ = corpus_tables(120)
+    cfg = ExtractConfig(num_partitions=4, salt_buckets=8, classify_concurrency=2,
+                        normalize_stage=False, emit_norm_spans=False)
+    pdf = build_extraction(rd.from_arrow(docs), cfg).to_pandas()
+    assert "norm_spans" not in pdf.columns
+    odf = run_oracle(docs).to_pandas().drop(columns=["norm_spans"])
+    assert_matches_oracle(pdf[odf.columns], odf)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_shuffle_matches_oracle(tmp_path):
+    """The compact (nested-row) exchange must be semantically identical to
+    the exploded span-row pipeline and the oracle — full columns incl.
+    the norm_spans invariant."""
+    _no_tensor_casting()
+    docs, _ = corpus_tables(200)
+    cfg = ExtractConfig(num_partitions=8, salt_buckets=16, classify_concurrency=2,
+                        compact_shuffle=True)
+    pdf = build_extraction(rd.from_arrow(docs), cfg,
+                           output_dir=str(tmp_path / "out"),
+                           manifest_dir=str(tmp_path / "mf")).to_pandas()
+    odf = run_oracle(docs).to_pandas()
+    assert_matches_oracle(pdf[odf.columns], odf)
+    assert len(mf.load_records(str(tmp_path / "mf"))) == 8
