@@ -108,6 +108,57 @@ def _q_extract_evaluate(sf_dir: str):
     return evaluation_frame(_run_flagship(sf_dir), gt)
 
 
+def _q_media_features(sf_dir: str):
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.media import (
+        q_media_features,
+    )
+
+    return q_media_features(sf_dir)
+
+
+def _q_extract_with_fallback(sf_dir: str):
+    """Flagship + low-confidence fallback branch (T3 analog): filter →
+    actor-pool second-opinion extraction → merge policies → union."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.fallback import (
+        with_fallback,
+    )
+
+    merged = with_fallback(_run_flagship(sf_dir), concurrency=2)
+    keep = _SCALAR_RESULT_COLS + [
+        "dealer_name_source", "model_name_source",
+        "horse_power_source", "asset_cost_source",
+    ]
+    return merged.select_columns(keep)
+
+
+def _q_span_scalars(sf_dir: str):
+    """Normalizer scalar bank (M12-M16) over the reassembled doc texts:
+    numbers / HP / model / keyword families / currency flags per doc."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions import (
+        textnorm as T,
+    )
+
+    def scalars(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        for r in batch.select(["doc_id", "norm_spans"]).to_pylist():
+            text = " ".join(s["text"] for s in r["norm_spans"] if s["kind"] == "text")
+            nums = T.extract_numbers(text)
+            kw = T.detect_keyword_families(text)
+            rows.append((r["doc_id"], len(nums),
+                         T.extract_horse_power(text) or -1.0,
+                         T.extract_model_name(text) or "",
+                         int(T.has_currency_symbol(text)),
+                         int(kw["dealer"]), int(kw["cost"]), int(kw["invoice"])))
+        return pd.DataFrame(rows, columns=["doc_id", "n_numbers", "hp_scalar",
+                                           "model_scalar", "has_currency",
+                                           "kw_dealer", "kw_cost", "kw_invoice"])
+
+    return _run_flagship(sf_dir).map_batches(scalars, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.dedup import (
         DEDUP_QUERIES,
@@ -127,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": _q_extract_spans,
         "extract_summary": _q_extract_summary,
         "extract_evaluate": _q_extract_evaluate,
+        "extract_with_fallback": _q_extract_with_fallback,
+        "media_features": _q_media_features,
+        "span_scalars": _q_span_scalars,
     }
     for bank in (REL_QUERIES, TEXT_QUERIES, DEDUP_QUERIES, SIM_QUERIES):
         for name, (fn, _sql) in bank.items():

@@ -451,6 +451,162 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+
+
+# ------------------------------------------------------------ as-of join
+def q_asof_latest_order(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each event matched to the latest prior order of the
+    customer with custkey == user_id (bucketed by key, ``pd.merge_asof``
+    per bucket — the guide's portable as-of pattern).  The right side is
+    deduped to one order per (custkey, orderdate) [max orderkey] so tie
+    semantics are deterministic and match the SQL oracle."""
+    from .grouping import bucketed_group_apply
+
+    events = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = (orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+              .groupby(["o_custkey", "o_orderdate"], as_index=False).last())
+    orders_ref = ray.put(orders)
+
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        right = ray.get(orders_ref)
+        right = right[right.o_custkey.isin(df.user_id.unique())]
+        left = df.sort_values("ts")
+        right = right.sort_values("o_orderdate")
+        out = pd.merge_asof(left, right, left_on="ts", right_on="o_orderdate",
+                            left_by="user_id", right_by="o_custkey",
+                            direction="backward")
+        out = out[out.o_orderkey.notna()]
+        return pd.DataFrame({"event_id": out.event_id,
+                             "o_orderkey": out.o_orderkey.astype(np.int64)})
+
+    out = bucketed_group_apply(events, ["user_id"], asof_bucket,
+                               num_buckets=32).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_ASOF_LATEST_ORDER = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, o.o_orderkey
+FROM events e ASOF JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+# ------------------------------------------------------------ semi / anti
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join via a broadcast key set (no shuffle): customers with no
+    big-ticket order (>3000 in whole currency units)."""
+    odf = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"]).to_pandas()
+    custkeys = set(odf[odf.o_totalprice > 300_000].o_custkey.unique().tolist())
+    ref = ray.put(custkeys)
+
+    def anti(batch: pa.Table) -> pd.DataFrame:
+        keys = ray.get(ref)
+        df = batch.to_pandas()
+        return df[~df.c_custkey.isin(keys)][["c_custkey", "c_name"]]
+
+    out = (_pq(sf_dir, "customer", ["c_custkey", "c_name"])
+           .map_batches(anti, batch_format="pyarrow").to_pandas())
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+ORDER BY c_custkey
+"""
+
+
+def q_parts_ordered_large(sf_dir: str) -> pd.DataFrame:
+    """Semi join via broadcast key set: parts of size > 25 that appear in
+    any lineitem."""
+    partkeys = set(_pq(sf_dir, "lineitem", ["l_partkey"]).to_pandas()
+                   .l_partkey.unique().tolist())
+    ref = ray.put(partkeys)
+
+    def semi(batch: pa.Table) -> pd.DataFrame:
+        keys = ray.get(ref)
+        df = batch.to_pandas()
+        return df[(df.p_size > 25) & df.p_partkey.isin(keys)][
+            ["p_partkey", "p_name", "p_size"]]
+
+    out = (_pq(sf_dir, "part", ["p_partkey", "p_name", "p_size"])
+           .map_batches(semi, batch_format="pyarrow").to_pandas())
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+SQL_PARTS_ORDERED_LARGE = """
+SELECT p_partkey, p_name, p_size FROM part
+WHERE p_size > 25 AND p_partkey IN (SELECT l_partkey FROM lineitem)
+ORDER BY p_partkey
+"""
+
+
+def q_part_brand_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-brand part stats (covers the part table aggregation path)."""
+    ds = _pq(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["price_c"] = _cents(df.p_retailprice)
+        return df.groupby("p_brand", as_index=False).agg(
+            n_parts=("price_c", "size"), total_retail_cents=("price_c", "sum"),
+            total_size=("p_size", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("p_brand")
+           .aggregate(Sum("n_parts", alias_name="n_parts"),
+                      Sum("total_retail_cents", alias_name="total_retail_cents"),
+                      Sum("total_size", alias_name="total_size"))
+           .to_pandas())
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_PART_BRAND_STATS = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS total_retail_cents,
+       SUM(p_size) AS total_size
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_supplier_nation(sf_dir: str) -> pd.DataFrame:
+    """supplier ⋈ nation (broadcast dim) → per-nation supplier stats."""
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation = nation.rename(columns={"n_nationkey": "s_nationkey"})
+    ds = _pq(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["bal_c"] = _cents(df.s_acctbal)
+        return df.groupby("n_name", as_index=False).agg(
+            n_suppliers=("bal_c", "size"), total_acctbal_cents=("bal_c", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    out = (broadcast_lookup(ds, nation, "s_nationkey")
+           .map_batches(partial, batch_format="pandas")
+           .groupby("n_name")
+           .aggregate(Sum("n_suppliers", alias_name="n_suppliers"),
+                      Sum("total_acctbal_cents", alias_name="total_acctbal_cents"))
+           .to_pandas())
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+SQL_SUPPLIER_NATION = """
+SELECT n_name, COUNT(*) AS n_suppliers,
+       SUM(CAST(round(s_acctbal*100) AS BIGINT)) AS total_acctbal_cents
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE_FILTER),
@@ -463,4 +619,9 @@ QUERIES = {
     "events_top3_per_type": (q_events_top3_per_type, SQL_EVENTS_TOP3),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
     "running_spend": (q_running_spend, SQL_RUNNING_SPEND),
+    "asof_latest_order": (q_asof_latest_order, SQL_ASOF_LATEST_ORDER),
+    "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "parts_ordered_large": (q_parts_ordered_large, SQL_PARTS_ORDERED_LARGE),
+    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
+    "supplier_nation": (q_supplier_nation, SQL_SUPPLIER_NATION),
 }

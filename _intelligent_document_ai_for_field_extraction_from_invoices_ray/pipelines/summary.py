@@ -41,6 +41,13 @@ def summarize_results(results: rd.Dataset) -> dict:
         }])
 
     parts = results.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or "total" not in parts.columns:
+        # empty input (e.g. a fully-resumed rerun produced no new work)
+        parts = partial(pa.Table.from_pylist([], schema=pa.schema([
+            ("status", pa.string()), ("overall_confidence", pa.float64()),
+            ("dealer_name", pa.string()), ("model_name", pa.string()),
+            ("horse_power", pa.float64()), ("asset_cost", pa.int64()),
+            ("signature_present", pa.bool_()), ("stamp_present", pa.bool_())])))
     total, succ = int(parts.total.sum()), int(parts.successful.sum())
     summary = {
         "total_documents": total,

@@ -1,0 +1,82 @@
+"""CLI entry point (SURVEY.md §3.4 lifecycle).
+
+Local:
+    python -m _intelligent_document_ai_for_field_extraction_from_invoices_ray.run \
+        --input /path/docs.parquet --output /out --manifest /out/manifest
+
+Cluster (the north-rule launch path; same module, the job driver owns the
+Ray session):
+    ray job submit --working-dir . -- python -m \
+        _intelligent_document_ai_for_field_extraction_from_invoices_ray.run \
+        --input <lance-or-parquet uri> --output <dir> --manifest <dir>
+
+Resumable by construction: rerunning after a crash skips every partition
+with a manifest record.  Prints the corpus summary JSON on completion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--input", required=True, help="docs table uri (lance/parquet)")
+    ap.add_argument("--output", required=True, help="result shard directory")
+    ap.add_argument("--manifest", required=True, help="checkpoint manifest directory")
+    ap.add_argument("--num-partitions", type=int, default=64)
+    ap.add_argument("--salt-buckets", type=int, default=256)
+    ap.add_argument("--classify-concurrency", type=int, default=4)
+    ap.add_argument("--classify-num-gpus", type=float, default=0.0)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--compact", action="store_true",
+                    help="use the compact nested-row exchange")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="process only the first N input rows (O4 analog)")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="only for standalone runs; ignored under ray job submit")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    owns_session = True
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_tensor_extension_casting = False
+
+    from .pipelines.extract import ExtractConfig, run_extraction
+    from .pipelines.summary import summarize_results
+
+    cfg = ExtractConfig(num_partitions=args.num_partitions,
+                        salt_buckets=args.salt_buckets,
+                        classify_concurrency=args.classify_concurrency,
+                        classify_num_gpus=args.classify_num_gpus,
+                        compact_shuffle=args.compact)
+    results = run_extraction(args.input, cfg, output_dir=args.output,
+                             manifest_dir=args.manifest,
+                             resume=not args.no_resume)
+    if args.limit:
+        results = results.limit(args.limit)
+    n_new = results.count()        # drives the pipeline (shards + manifest)
+
+    # summarize everything completed (this run + prior resumed runs)
+    from .pipelines.extract import load_results
+
+    summary = summarize_results(load_results(args.output))
+    summary["new_documents_this_run"] = n_new
+    print(json.dumps(summary))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
