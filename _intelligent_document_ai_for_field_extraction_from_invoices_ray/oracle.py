@@ -29,7 +29,8 @@ def run_oracle(docs: pa.Table,
                ground_truth: pa.Table | None = None,
                dealer_master: list[str] | None = None,
                model_master: set[str] | None = None,
-               rulebook: RuleBook | None = None) -> pa.Table:
+               rulebook: RuleBook | None = None,
+               media_model: MediaModel | None = None) -> pa.Table:
     """docs: (doc_id, spans) table, possibly with multiple rows per doc."""
     gt_by_id: dict[str, dict] = {}
     if ground_truth is not None:
@@ -40,7 +41,7 @@ def run_oracle(docs: pa.Table,
     for row in docs.to_pylist():
         spans_by_doc[row["doc_id"]].extend(row["spans"])
 
-    media_model = MediaModel()
+    media_model = media_model or MediaModel()
     memo: dict = {}
     results = []
     for doc_id in sorted(spans_by_doc):

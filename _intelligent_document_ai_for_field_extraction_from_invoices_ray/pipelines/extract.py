@@ -69,6 +69,9 @@ class ExtractConfig:
     # The exploded path stays the default (SURVEY §3.4 shape; required
     # when upstream stages need span-level rows).
     compact_shuffle: bool = False
+    # per-class detection thresholds (set_confidence_thresholds analog,
+    # detector.py:725-729); None = reference defaults {sig .4, stamp .5}
+    media_conf_thresholds: dict | None = None
 
 
 def build_extraction(docs: rd.Dataset,
@@ -127,7 +130,9 @@ def build_extraction(docs: rd.Dataset,
     spans = spans.map_batches(MediaClassifier, batch_format="pyarrow",
                               batch_size=cfg.classify_batch,
                               concurrency=cfg.classify_concurrency,
-                              num_gpus=cfg.classify_num_gpus or None)
+                              num_gpus=cfg.classify_num_gpus or None,
+                              fn_constructor_kwargs={
+                                  "conf_thresholds": cfg.media_conf_thresholds})
 
     gt_ref = ray.put(ground_truth) if ground_truth else None
     dealer_ref = ray.put(dealer_master) if dealer_master else None
@@ -184,7 +189,9 @@ def _build_compact(docs, cfg, ground_truth, dealer_master, model_master,
     rows = rows.map_batches(MediaClassifierNested, batch_format="pyarrow",
                             batch_size=max(256, cfg.classify_batch // 8),
                             concurrency=cfg.classify_concurrency,
-                            num_gpus=cfg.classify_num_gpus or None)
+                            num_gpus=cfg.classify_num_gpus or None,
+                            fn_constructor_kwargs={
+                                "conf_thresholds": cfg.media_conf_thresholds})
 
     gt_ref = ray.put(ground_truth) if ground_truth else None
     dealer_ref = ray.put(dealer_master) if dealer_master else None

@@ -607,6 +607,54 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+
+
+# ------------------------------------------------------------ sessionization
+def q_user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min inactivity gap) per user — the guide's
+    stream-shaped pattern: partition by key, sort by time inside the
+    bucket, gaps-and-islands with vectorized pandas."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    gap_ns = 30 * 60 * 1_000_000_000
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        ns = df.ts.astype("datetime64[ns]").astype("int64")
+        df["_ns"] = ns
+        df["v"] = _cents(df.value)
+        new_session = (df.user_id != df.user_id.shift()) | \
+                      (df._ns - df._ns.shift() > gap_ns)
+        df["_sid"] = new_session.cumsum()
+        out = df.groupby(["user_id", "_sid"], as_index=False).agg(
+            session_start_s=("_ns", "min"), n_events=("v", "size"),
+            value_cents=("v", "sum"))
+        out["session_start_s"] = out.session_start_s // 1_000_000_000
+        return out[["user_id", "session_start_s", "n_events", "value_cents"]]
+
+    out = bucketed_group_apply(ds, ["user_id"], sessions).to_pandas()
+    return out.sort_values(["user_id", "session_start_s"]).reset_index(drop=True)
+
+
+SQL_USER_SESSIONS = """
+WITH e AS (
+  SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS v,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
+       COUNT(*) AS n_events, SUM(v) AS value_cents
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_s
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE_FILTER),
@@ -624,4 +672,5 @@ QUERIES = {
     "parts_ordered_large": (q_parts_ordered_large, SQL_PARTS_ORDERED_LARGE),
     "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
     "supplier_nation": (q_supplier_nation, SQL_SUPPLIER_NATION),
+    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
 }

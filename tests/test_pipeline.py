@@ -182,3 +182,43 @@ def test_compact_shuffle_matches_oracle(tmp_path):
     odf = run_oracle(docs).to_pandas()
     assert_matches_oracle(pdf[odf.columns], odf)
     assert len(mf.load_records(str(tmp_path / "mf"))) == 8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_custom_detection_thresholds(tmp_path):
+    """set_confidence_thresholds analog (detector.py:725-729): raising the
+    signature threshold suppresses low-confidence detections, identically
+    in pipeline and oracle."""
+    _no_tensor_casting()
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions.detect import (
+        MediaModel,
+    )
+
+    thresholds = {"signature": 0.9, "stamp": 0.9}
+    docs, _ = corpus_tables(80)
+    cfg = ExtractConfig(num_partitions=4, salt_buckets=8, classify_concurrency=2,
+                        media_conf_thresholds=thresholds)
+    pdf = build_extraction(rd.from_arrow(docs), cfg).to_pandas()
+    odf = run_oracle(docs, media_model=MediaModel(thresholds)).to_pandas()
+    assert_matches_oracle(pdf[odf.columns], odf)
+    # stricter thresholds must reduce detections vs defaults
+    base = run_oracle(docs).to_pandas()
+    assert pdf.signature_present.sum() < base.signature_present.sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_master_data_fuzzy_path(tmp_path):
+    """T4/J2: dealer master list broadcast to the extract stage activates
+    the fuzzy-match strategy; pipeline and oracle share it."""
+    _no_tensor_casting()
+    docs, _ = corpus_tables(60)
+    master = ["Singh Motors Limited", "Balaji Agencies Limited",
+              "Kumar Tractors And Services"]
+    cfg = ExtractConfig(num_partitions=4, salt_buckets=8, classify_concurrency=2)
+    pdf = build_extraction(rd.from_arrow(docs), cfg,
+                           dealer_master=master).to_pandas()
+    odf = run_oracle(docs, dealer_master=master).to_pandas()
+    assert_matches_oracle(pdf[odf.columns], odf)
+    # at least one doc resolved through the master list
+    base = run_oracle(docs).to_pandas()
+    assert (pdf.dealer_name != base.dealer_name).any()

