@@ -32,6 +32,35 @@ def shingles(tokens: list[str], k: int = 3) -> set[str]:
     return {" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)}
 
 
+def shingle_hashes(tokens: list[str], k: int = 3,
+                   memo: dict | None = None) -> np.ndarray:
+    """Vectorized 64-bit shingle-set hashes: token-level blake2b (memoized
+    over the corpus vocabulary) combined per window with a polynomial mix —
+    numerically different from hashing shingle strings, but an equally
+    valid shingle identity, and ~10x cheaper for repeated tokens."""
+    if memo is None:
+        memo = {}
+    th = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        v = memo.get(t)
+        if v is None:
+            v = token_hash64(t)
+            memo[t] = v
+        th[i] = v
+    if len(tokens) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(tokens) < k:
+        acc = np.uint64(1469598103934665603)
+        for v in th:
+            acc = acc * np.uint64(1099511628211) + v
+        return np.array([acc], dtype=np.uint64)
+    P = np.uint64(1099511628211)
+    acc = th[:len(th) - k + 1].copy()
+    for j in range(1, k):
+        acc = acc * P + th[j:len(th) - k + 1 + j]
+    return np.unique(acc)
+
+
 def minhash_signature(token_hashes: np.ndarray) -> np.ndarray:
     """(NUM_PERMS,) uint64 signature via universal hashing a*x+b mod p."""
     if token_hashes.size == 0:

@@ -144,11 +144,10 @@ def minhash_lsh_pairs(docs: rd.Dataset, jaccard_milli: int = 800,
 
     def sigs(batch: pa.Table) -> pd.DataFrame:
         out = {"band_key": [], "doc_id": [], "sh": []}
+        tok_memo: dict = {}
         for d, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
-            sh = SK.shingles(t.lower().split(), shingle_k)
-            hashes = np.array(sorted(SK.token_hash64(s) for s in sh),
-                              dtype=np.uint64)
+            hashes = SK.shingle_hashes(t.lower().split(), shingle_k, tok_memo)
             sig = SK.minhash_signature(hashes)
             for key in SK.lsh_band_keys(sig):
                 out["band_key"].append(key)

@@ -655,6 +655,41 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_s
 """
 
 
+
+
+# ------------------------------------------------------------ native join
+def q_segment_status_native(sf_dir: str) -> pd.DataFrame:
+    """Ray's built-in hash-partitioned ``Dataset.join`` (available in this
+    Ray version — the explicit ``bucketed_hash_join`` above remains the
+    portable pattern), then a grouped aggregate."""
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, "inner", 8, on=("o_custkey",),
+                         right_on=("c_custkey",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["price_c"] = _cents(df.o_totalprice)
+        return df.groupby(["c_mktsegment", "o_orderstatus"], as_index=False).agg(
+            n_orders=("price_c", "size"), total_cents=("price_c", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    out = (joined.map_batches(partial, batch_format="pandas")
+           .groupby(["c_mktsegment", "o_orderstatus"])
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("total_cents", alias_name="total_cents"))
+           .to_pandas())
+    return out.sort_values(["c_mktsegment", "o_orderstatus"]).reset_index(drop=True)
+
+
+SQL_SEGMENT_STATUS_NATIVE = """
+SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderstatus ORDER BY c_mktsegment, o_orderstatus
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE_FILTER),
@@ -673,4 +708,5 @@ QUERIES = {
     "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
     "supplier_nation": (q_supplier_nation, SQL_SUPPLIER_NATION),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "segment_status_native": (q_segment_status_native, SQL_SEGMENT_STATUS_NATIVE),
 }
