@@ -42,11 +42,21 @@ def _corpus_for(sf_dir: str):
     return generate_corpus_ray(n_docs, out_dir), n_docs
 
 
+_FLAGSHIP_CACHE: dict[str, Any] = {}
+
+
 def _run_flagship(sf_dir: str):
+    """Flagship pipeline, materialized once per sf_dir per process — four
+    driver queries derive from it, so the pipeline runs once, not four
+    times (the materialized result is ~500 small rows)."""
     import ray.data as rd
     from ray.data import DataContext
 
     DataContext.get_current().enable_tensor_extension_casting = False
+
+    cached = _FLAGSHIP_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
 
     from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.extract import (
         ExtractConfig,
@@ -56,7 +66,9 @@ def _run_flagship(sf_dir: str):
     (docs_path, _gt_path), n_docs = _corpus_for(sf_dir)
     cfg = ExtractConfig(num_partitions=max(8, n_docs // 500),
                         salt_buckets=64, classify_concurrency=4)
-    return build_extraction(rd.read_parquet(docs_path), cfg)
+    res = build_extraction(rd.read_parquet(docs_path), cfg).materialize()
+    _FLAGSHIP_CACHE[sf_dir] = res
+    return res
 
 
 def entry() -> Any:

@@ -222,3 +222,18 @@ def test_master_data_fuzzy_path(tmp_path):
     # at least one doc resolved through the master list
     base = run_oracle(docs).to_pandas()
     assert (pdf.dealer_name != base.dealer_name).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_input_table(tmp_path):
+    """A zero-row input table flows through the whole plan without error."""
+    import pyarrow as pa
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.schema import (
+        DOC_SCHEMA,
+    )
+
+    _no_tensor_casting()
+    empty = pa.Table.from_pylist([], schema=DOC_SCHEMA)
+    out = build_extraction(rd.from_arrow(empty), CFG)
+    assert out.count() == 0
