@@ -54,20 +54,21 @@ def prepare_blocks(raw_blocks: list[dict]) -> list[dict]:
         if not text:
             continue
         upper = text.upper()
+        has_digit = P.DIGIT_SEARCH.search(text) is not None
         blocks.append({
             "idx": idx,
             "text": rb.get("normalized_text", text.lower()),
             "original": text,
             "bbox": rb.get("bbox", [0, 0, 0, 0]),
             "conf": rb.get("confidence", 0.0),
-            "nums": T.simple_numbers(text) if any(c.isdigit() for c in text) else [],
+            "nums": T.simple_numbers(text) if has_digit else [],
             "keywords": None,
             "lang": rb.get("language", "unknown"),
             "has_currency": T.has_block_currency(text),
-            "has_business_suffix": any(s in upper for s in V.BUSINESS_SUFFIXES),
+            "has_business_suffix": P.SUFFIX_SEARCH.search(upper) is not None,
             "_upper": upper,
             "_lower": text.lower(),
-            "_digit": any(c.isdigit() for c in text),
+            "_digit": has_digit,
         })
     return blocks
 
@@ -86,7 +87,7 @@ def is_valid_dealer_name(name: str) -> bool:
         return False
     if name.islower():
         return False
-    if any(term in name.upper() for term in V.DEALER_REJECT_TERMS):
+    if P.REJECT_SEARCH.search(name.upper()) is not None:
         return False
     if sum(c.isdigit() for c in name) > len(name) * 0.3:
         return False
@@ -198,7 +199,7 @@ def extract_model_field(blocks: list[dict], model_master: set[str] | None = None
 
     for block in blocks:
         lower = block["_lower"]
-        has_brand = any(b in block["_upper"] for b in V.COMMON_BRANDS)
+        has_brand = P.BRAND_SEARCH.search(block["_upper"]) is not None
         guards = (
             "model" in lower,
             block["_digit"],

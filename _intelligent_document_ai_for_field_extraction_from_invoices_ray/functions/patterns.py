@@ -101,6 +101,16 @@ LTD_STD = re.compile(r"\s*(?:Ltd\.?|Limited)\s*$", re.I)
 BRAND_TAIL = re.compile(r"^[:\s]*([A-Z0-9\s\-/]{2,20})", re.I)  # extractor.py:415
 WORD_TRAILING_PUNCT = re.compile(r"[,:;.]$")           # normalizer.py:354
 
+# ------------------------------------------------------- fast predicates
+# compiled alternations, boolean-equivalent to `any(term in text)` scans
+# but evaluated in C (hot path: every block of every document)
+from .vocab import BUSINESS_SUFFIXES as _SUF, DEALER_REJECT_TERMS as _REJ
+
+DIGIT_SEARCH = re.compile(r"\d")
+SUFFIX_SEARCH = re.compile("|".join(re.escape(x) for x in sorted(_SUF, key=len, reverse=True)))
+BRAND_SEARCH = re.compile("|".join(re.escape(x) for x in sorted(COMMON_BRANDS, key=len, reverse=True)))
+REJECT_SEARCH = re.compile("|".join(re.escape(x) for x in sorted(_REJ, key=len, reverse=True)))
+
 # ---------------------------------------------------------------- validator
 VAL_MODEL_PATTERN = re.compile(r"\b([2-9]\d{2,3}\s*(?:[A-Z]{1,3})?)\b", re.I)
 VAL_DIGIT = re.compile(r"\d")

@@ -195,8 +195,7 @@ def has_block_currency(text: str) -> bool:
 
 
 def has_business_suffix(text: str) -> bool:
-    up = text.upper()
-    return any(suffix in up for suffix in V.BUSINESS_SUFFIXES)
+    return P.SUFFIX_SEARCH.search(text.upper()) is not None
 
 
 def detect_keyword_families(normalized_text: str) -> dict[str, bool]:
