@@ -174,8 +174,82 @@ def q_embed_ann_lsh(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+
+
+# ------------------------------------------------------------ IVF ANN
+IVF_LISTS = 16
+IVF_PROBES = 4
+IVF_ITERS = 8
+
+
+def _ivf_centroids(mat: np.ndarray) -> np.ndarray:
+    """Deterministic coarse quantizer: seeded k-means on (a sample of) the
+    corpus — the IVF scale path from the repo directives.  At 10^12 rows
+    the fit runs on a driver-side sample; assignment is a blocked matmul."""
+    rng = np.random.RandomState(0x1F5)
+    n = min(len(mat), 4096)
+    sample = mat[rng.choice(len(mat), size=n, replace=False)]
+    cent = sample[rng.choice(n, size=IVF_LISTS, replace=False)].copy()
+    for _ in range(IVF_ITERS):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(IVF_LISTS):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+def q_embed_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate NN: coarse-quantize to IVF_LISTS inverted lists,
+    then each vector searches its IVF_PROBES nearest lists only.
+
+    Plan: fit centroids once (broadcast) → map_batches assigns vectors to
+    lists → groupby(list) buckets → per-bucket exact search against the
+    bucket's members for every vector probing it.  Cost ∝ n·(probes/lists)
+    of brute force.  Recall is checked by pytest (not SQL-expressible)."""
+    from .dedup import _docs  # noqa: F401  (keeps import graph explicit)
+    from .grouping import bucketed_group_apply  # noqa: F401
+
+    full_ids, full_mat = _to_matrix(
+        pa.Table.from_pandas(_emb(sf_dir).to_pandas()))
+    order = np.argsort(full_ids)
+    full_ids, full_mat = full_ids[order], _normalize(full_mat[order])
+    cent = _ivf_centroids(full_mat)
+    cent_ref = ray.put(cent)
+    # inverted lists: membership of every vector (its single nearest list)
+    owner = (full_mat @ cent.T).argmax(axis=1)
+    lists_ref = ray.put((full_ids, full_mat, owner))
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        ids, mat = _to_matrix(batch)
+        mat = _normalize(mat)
+        c = ray.get(cent_ref)
+        fids, fmat, fowner = ray.get(lists_ref)
+        sims_c = mat @ c.T                             # (b, LISTS)
+        probes = np.argsort(-sims_c, axis=1)[:, :IVF_PROBES]
+        out = []
+        for i in range(len(ids)):
+            mask = np.isin(fowner, probes[i]) & (fids != ids[i])
+            cand = np.nonzero(mask)[0]
+            if cand.size == 0:
+                out.append((int(ids[i]), -1))
+                continue
+            sims = fmat[cand] @ mat[i]
+            best = cand[np.lexsort((fids[cand], -sims))][0]
+            out.append((int(ids[i]), int(fids[best])))
+        return pd.DataFrame(out, columns=["vec_id", "nn_id"])
+
+    out = _emb(sf_dir).map_batches(probe, batch_format="pyarrow",
+                                   batch_size=1024).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 SIM_QUERIES = {
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     "embed_ann_lsh": (q_embed_ann_lsh, None),
+    "embed_ann_ivf": (q_embed_ann_ivf, None),
 }
