@@ -96,10 +96,10 @@ WITH t AS (
   FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 )
 SELECT l_returnflag, l_linestatus,
-       SUM(qty) AS sum_qty,
-       SUM(ext_c) AS sum_base_cents,
-       SUM(ext_c * (100 - disc_pct)) AS sum_disc_scaled,
-       SUM(ext_c * (100 - disc_pct) * (100 + tax_pct)) AS sum_charge_scaled,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       CAST(SUM(ext_c) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(ext_c * (100 - disc_pct)) AS BIGINT) AS sum_disc_scaled,
+       CAST(SUM(ext_c * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT) AS sum_charge_scaled,
        COUNT(*) AS count_order
 FROM t GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
@@ -179,7 +179,7 @@ def q_segment_sales(sf_dir: str) -> pd.DataFrame:
 SQL_SEGMENT_SALES = """
 SELECT c_mktsegment,
        COUNT(*) AS n_orders,
-       SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
@@ -292,7 +292,7 @@ def q_region_customers(sf_dir: str) -> pd.DataFrame:
 SQL_REGION_CUSTOMERS = """
 SELECT r_name,
        COUNT(*) AS n_customers,
-       SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS total_acctbal_cents
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS total_acctbal_cents
 FROM customer JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name
@@ -364,7 +364,7 @@ SQL_EVENTS_HOURLY = """
 SELECT user_id,
        CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value*100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -419,7 +419,7 @@ def q_events_json(sf_dir: str) -> pd.DataFrame:
 
 SQL_EVENTS_JSON = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -571,8 +571,8 @@ def q_part_brand_stats(sf_dir: str) -> pd.DataFrame:
 
 SQL_PART_BRAND_STATS = """
 SELECT p_brand, COUNT(*) AS n_parts,
-       SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS total_retail_cents,
-       SUM(p_size) AS total_size
+       CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) AS total_retail_cents,
+       CAST(SUM(p_size) AS BIGINT) AS total_size
 FROM part GROUP BY p_brand ORDER BY p_brand
 """
 
@@ -601,7 +601,7 @@ def q_supplier_nation(sf_dir: str) -> pd.DataFrame:
 
 SQL_SUPPLIER_NATION = """
 SELECT n_name, COUNT(*) AS n_suppliers,
-       SUM(CAST(round(s_acctbal*100) AS BIGINT)) AS total_acctbal_cents
+       CAST(SUM(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT) AS total_acctbal_cents
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
 """
@@ -650,7 +650,7 @@ WITH e AS (
   FROM e
 )
 SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
-       COUNT(*) AS n_events, SUM(v) AS value_cents
+       COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS value_cents
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_s
 """
 
@@ -684,7 +684,7 @@ def q_segment_status_native(sf_dir: str) -> pd.DataFrame:
 
 SQL_SEGMENT_STATUS_NATIVE = """
 SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
-       SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment, o_orderstatus ORDER BY c_mktsegment, o_orderstatus
 """
