@@ -237,3 +237,24 @@ def test_empty_input_table(tmp_path):
     empty = pa.Table.from_pylist([], schema=DOC_SCHEMA)
     out = build_extraction(rd.from_arrow(empty), CFG)
     assert out.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_resume(tmp_path):
+    """Crash-rerun under the compact exchange: same resume contract."""
+    _no_tensor_casting()
+    out, man = str(tmp_path / "out"), str(tmp_path / "mf")
+    docs, _ = corpus_tables(120)
+    cfg = ExtractConfig(num_partitions=6, classify_concurrency=2,
+                        compact_shuffle=True)
+    build_extraction(rd.from_arrow(docs), cfg, output_dir=out,
+                     manifest_dir=man).materialize()
+    os.remove(mf.shard_path(out, 2))
+    os.remove(mf.record_path(man, 2))
+    rerun = build_extraction(rd.from_arrow(docs), cfg, output_dir=out,
+                             manifest_dir=man, resume=True)
+    n_rerun = rerun.count()          # lazy: execute before reading manifest
+    lost_docs = [r["rows"] for r in mf.load_records(man) if r["partition_id"] == 2]
+    assert n_rerun == lost_docs[0]
+    final = load_results(out).to_pandas()
+    assert len(final) == 120 and final.doc_id.is_unique
