@@ -171,6 +171,29 @@ def _q_span_scalars(sf_dir: str):
     return _run_flagship(sf_dir).map_batches(scalars, batch_format="pyarrow")
 
 
+def _q_extract_error_samples(sf_dir: str):
+    """Bottom-k error samples (O5, evaluate.py:551-578)."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.evaluate import (
+        error_samples,
+    )
+
+    return error_samples(_run_flagship(sf_dir), k=10)
+
+
+def _q_extract_error_buckets(sf_dir: str):
+    """Per-field missing/wrong error buckets vs ground truth."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.evaluate import (
+        error_buckets,
+    )
+
+    (_docs_path, gt_path), _ = _corpus_for(sf_dir)
+    gt = {r["doc_id"]: r for r in pq.read_table(gt_path).to_pylist()}
+    return pd.DataFrame([error_buckets(_run_flagship(sf_dir), gt)])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.dedup import (
         DEDUP_QUERIES,
@@ -191,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_summary": _q_extract_summary,
         "extract_evaluate": _q_extract_evaluate,
         "extract_with_fallback": _q_extract_with_fallback,
+        "extract_error_samples": _q_extract_error_samples,
+        "extract_error_buckets": _q_extract_error_buckets,
         "media_features": _q_media_features,
         "span_scalars": _q_span_scalars,
     }

@@ -107,6 +107,47 @@ def evaluate_results(results: rd.Dataset, ground_truth: dict[str, dict]) -> dict
     return metrics
 
 
+def error_samples(results: rd.Dataset, k: int = 10) -> pd.DataFrame:
+    """Bottom-k lowest-confidence documents (evaluate.py:551-578): a
+    distributed sort + limit over the result table."""
+    out = (results.sort(["overall_confidence", "doc_id"])
+           .limit(k)
+           .select_columns(["doc_id", "overall_confidence", "status",
+                            "dealer_name", "model_name"]))
+    return out.to_pandas()
+
+
+def error_buckets(results: rd.Dataset, ground_truth: dict[str, dict]) -> dict:
+    """Error analysis (evaluate.py:487-608): per-field counts of
+    missing-prediction vs wrong-value errors, via partial counters."""
+    gt_ref = ray.put(ground_truth)
+    value_fields = ("dealer_name", "model_name", "horse_power", "asset_cost")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        gt_map = ray.get(gt_ref)
+        c = {}
+        for f in value_fields:
+            c[f"missing_{f}"] = c[f"wrong_{f}"] = 0
+        c["failed_docs"] = 0
+        for row in batch.to_pylist():
+            if row["status"] != "success":
+                c["failed_docs"] += 1
+                continue
+            gt = gt_map.get(row["doc_id"])
+            if gt is None:
+                continue
+            checks = _doc_checks(row, gt)
+            for f in value_fields:
+                if row[f] is None and gt.get(f) is not None:
+                    c[f"missing_{f}"] += 1
+                elif checks[f] is False:
+                    c[f"wrong_{f}"] += 1
+        return pd.DataFrame([c])
+
+    parts = results.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return {col: int(parts[col].sum()) for col in parts.columns}
+
+
 def evaluation_frame(results: rd.Dataset, ground_truth: dict[str, dict]) -> pd.DataFrame:
     m = evaluate_results(results, ground_truth)
     row = {"total_documents": m["total_documents"],
