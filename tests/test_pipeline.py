@@ -258,3 +258,41 @@ def test_compact_resume(tmp_path):
     assert n_rerun == lost_docs[0]
     final = load_results(out).to_pandas()
     assert len(final) == 120 and final.doc_id.is_unique
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_adversarial_span_content(tmp_path):
+    """Nasty inputs the synthetic corpus never produces: control chars,
+    newlines (dealer pattern 7 is newline-sensitive), RTL text, emoji,
+    digit walls, whitespace-only, very long tokens. Pipeline must equal
+    the oracle on all of them."""
+    import pyarrow as pa
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.schema import (
+        DOC_SCHEMA,
+    )
+
+    _no_tensor_casting()
+    nasty = [
+        "Dealer:\nM/s Newline Motors Pvt Ltd", "\t\t\t", "\x00\x01ctrl",
+        "مرحبا موتورز", "🚜🚜 SWARAJ 744 FE 🚜", "9" * 500,
+        "a" * 2000, "M/s " + "Very Long Name " * 40 + "Ltd",
+        "Price: ₹-5,00,000", "HP: inf", "nan HP", "1e9 HP", "0x50 HP",
+        "विक्रेता: टेस्ट\nट्रैक्टर्स", "Pow\u00aDer: 50 HP",   # soft hyphen
+        "Total: ₹１２３４５６",                                  # fullwidth digits
+        "  Model:   575    DI  ", "MODEL:575DI", ",,,,;;;;::::",
+        "Grand Total: 7.45 Lakh Crore", "-42 HP", "50.0.0 HP",
+    ]
+    rows = []
+    for i in range(40):
+        spans = []
+        for off in range(6):
+            t = nasty[(i * 6 + off) % len(nasty)]
+            spans.append({"kind": "text", "text": t, "media_ref": "", "offset": off})
+        spans.append({"kind": "media", "text": "", "media_ref": f"m://adv{i}/0",
+                      "offset": 6})
+        rows.append({"doc_id": f"adv_{i:04d}", "spans": spans})
+    docs = pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+    pdf = build_extraction(rd.from_arrow(docs), CFG).to_pandas()
+    odf = run_oracle(docs).to_pandas()
+    assert_matches_oracle(pdf[odf.columns], odf)
