@@ -210,9 +210,6 @@ def q_embed_ann_ivf(sf_dir: str) -> pd.DataFrame:
     lists → groupby(list) buckets → per-bucket exact search against the
     bucket's members for every vector probing it.  Cost ∝ n·(probes/lists)
     of brute force.  Recall is checked by pytest (not SQL-expressible)."""
-    from .dedup import _docs  # noqa: F401  (keeps import graph explicit)
-    from .grouping import bucketed_group_apply  # noqa: F401
-
     full_ids, full_mat = _to_matrix(
         pa.Table.from_pandas(_emb(sf_dir).to_pandas()))
     order = np.argsort(full_ids)
