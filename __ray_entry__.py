@@ -63,9 +63,15 @@ def _run_flagship(sf_dir: str):
         build_extraction,
     )
 
+    import ray
+
+    # actor pools holding >= all session CPUs starve the downstream
+    # all-to-all (measured deadlock) — size the pool to the session
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     (docs_path, _gt_path), n_docs = _corpus_for(sf_dir)
     cfg = ExtractConfig(num_partitions=max(8, n_docs // 500),
-                        salt_buckets=64, classify_concurrency=4)
+                        salt_buckets=64,
+                        classify_concurrency=max(2, min(4, cpus // 2)))
     res = build_extraction(rd.read_parquet(docs_path), cfg).materialize()
     _FLAGSHIP_CACHE[sf_dir] = res
     return res
