@@ -130,8 +130,8 @@ def q_revenue_filter(sf_dir: str) -> pd.DataFrame:
 
 
 SQL_REVENUE_FILTER = """
-SELECT COALESCE(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-           * CAST(round(l_discount*100) AS BIGINT)), 0) AS revenue_scaled
+SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * CAST(round(l_discount*100) AS BIGINT)), 0) AS BIGINT) AS revenue_scaled
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
@@ -257,8 +257,8 @@ def q_priority_revenue(sf_dir: str) -> pd.DataFrame:
 SQL_PRIORITY_REVENUE = """
 SELECT o_orderpriority,
        COUNT(*) AS n_items,
-       SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_scaled
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_scaled
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
@@ -444,9 +444,9 @@ def q_running_spend(sf_dir: str) -> pd.DataFrame:
 
 SQL_RUNNING_SPEND = """
 SELECT o_orderkey,
-       SUM(CAST(round(o_totalprice*100) AS BIGINT))
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS UNBOUNDED PRECEDING) AS running_spend_cents
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_spend_cents
 FROM orders ORDER BY o_orderkey
 """
 

@@ -41,7 +41,9 @@ def q_doc_tokens(sf_dir: str) -> pd.DataFrame:
 
 SQL_DOC_TOKENS = r"""
 SELECT doc_id,
-       CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+       END AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents ORDER BY doc_id
 """
@@ -75,15 +77,22 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
 
 SQL_DOC_QUALITY = rf"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END AS toks
   FROM documents
 )
 SELECT doc_id,
        CAST(array_length(toks) AS BIGINT) AS n_tokens,
-       (2000 * len(list_filter(toks, w -> w IN {_STOP_SQL})) + array_length(toks))
-         // (2 * array_length(toks)) AS stop_ratio_milli,
-       (2000 * list_sum(list_transform(toks, w -> length(w))) + array_length(toks))
-         // (2 * array_length(toks)) AS mean_token_len_milli
+       CASE WHEN array_length(toks) = 0 THEN 0
+            ELSE CAST((2000 * len(list_filter(toks, w -> w IN {_STOP_SQL})) + array_length(toks))
+                      // (2 * array_length(toks)) AS BIGINT)
+       END AS stop_ratio_milli,
+       CASE WHEN array_length(toks) = 0 THEN 0
+            ELSE CAST((2000 * list_sum(list_transform(toks, w -> length(w))) + array_length(toks))
+                      // (2 * array_length(toks)) AS BIGINT)
+       END AS mean_token_len_milli
 FROM t ORDER BY doc_id
 """
 
