@@ -156,10 +156,15 @@ def extract_dealer_name(blocks: list[dict], dealer_master: list[str] | None = No
                                    "confidence": min(b1["conf"], b2["conf"]) * 0.75,
                                    "source": "multiline", "bbox": b1["bbox"]})
 
-    # strategy 4: fuzzy lift against the master list (broadcast state)
+    # strategy 4: fuzzy lift against the master list (broadcast state).
+    # NOTE: the reference (extractor.py:297-307) iterates the LIVE list while
+    # appending, so a first-generation fuzzy candidate is itself re-matched
+    # (pct≈100 against the master entry it came from) and spawns a
+    # second-generation candidate at confidence ×(100/90), capped 0.97; the
+    # `seen` set terminates the chain.  Replicated verbatim.
     if dealer_master:
         seen: set[str] = set()
-        for cand in list(candidates):
+        for cand in candidates:
             if cand["value"] in seen:
                 continue
             seen.add(cand["value"])

@@ -52,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
     ctx = DataContext.get_current()
     ctx.enable_tensor_extension_casting = False
 
-    from .pipelines.extract import ExtractConfig, run_extraction
+    from .pipelines.extract import ExtractConfig
     from .pipelines.summary import summarize_results
 
     cfg = ExtractConfig(num_partitions=args.num_partitions,
@@ -60,11 +60,18 @@ def main(argv: list[str] | None = None) -> int:
                         classify_concurrency=args.classify_concurrency,
                         classify_num_gpus=args.classify_num_gpus,
                         compact_shuffle=args.compact)
-    results = run_extraction(args.input, cfg, output_dir=args.output,
-                             manifest_dir=args.manifest,
-                             resume=not args.no_resume)
+    # --limit truncates the INPUT (before any side-effectful stage) so
+    # shards/manifest records are only written for the limited document set
+    from .pipelines.extract import build_extraction
+    from .sources import io as io_mod
+
+    docs = io_mod.read_docs_ray(args.input)
     if args.limit:
-        results = results.limit(args.limit)
+        docs = docs.limit(args.limit)
+    results = build_extraction(docs, cfg=cfg, output_dir=args.output,
+                               manifest_dir=args.manifest,
+                               resume=not args.no_resume,
+                               input_lineage=[args.input])
     n_new = results.count()        # drives the pipeline (shards + manifest)
 
     # summarize everything completed (this run + prior resumed runs)

@@ -179,3 +179,28 @@ def test_custom_rule_extension():
     v = VA.validate_document(doc, rb)
     # in_valid_range 1.15, custom boost 1.5 (other boosts fail silently)
     assert v["asset_cost"]["confidence"] == pytest.approx(0.5 * 1.15 * 1.5)
+
+
+def test_fuzzy_second_generation_chain():
+    """Strategy 4 iterates the LIVE candidate list while appending
+    (extractor.py:297-307): the appended fuzzy candidate is re-matched at
+    pct≈100 against its own master entry and spawns a second-generation
+    candidate with confidence ×(100/90), capped at 0.97; the `seen` set
+    terminates the chain. Pins the live-iteration semantics end-to-end."""
+    bl = F.prepare_blocks(blocks([("RAJESH MOTORS PRIVATE LIMITED", 0.70)]))
+    master = ["Rajesh Motors Co Pvt Ltd"]
+
+    base = F.extract_dealer_name(bl)                     # pattern candidate
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions.fuzzy import (
+        token_sort_ratio,
+    )
+    pct = token_sort_ratio(base["value"], master[0])
+    assert 75 < pct < 96                                 # sub-cap regime
+    gen1 = min(base["confidence"] * (pct / 90), 0.97)
+    gen2 = min(gen1 * (100 / 90), 0.97)
+
+    out = F.extract_dealer_name(bl, dealer_master=master)
+    assert out["source"] == "fuzzy_match"
+    assert out["value"] == master[0]
+    assert out["confidence"] == pytest.approx(gen2)      # NOT gen1 (snapshot)
+    assert out["confidence"] > gen1
