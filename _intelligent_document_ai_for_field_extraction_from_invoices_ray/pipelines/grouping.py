@@ -47,3 +47,103 @@ def bucketed_group_apply(ds: rd.Dataset, keys: list[str],
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_kb").map_groups(apply, batch_format="pandas"))
+
+
+def bucketed_cogroup(left: rd.Dataset, right: rd.Dataset,
+                     left_keys: list[str], right_keys: list[str],
+                     fn: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
+                     num_buckets: int = 32) -> rd.Dataset:
+    """Co-partition TWO large datasets by key hash and apply
+    ``fn(left_df, right_df)`` once per bucket — the scale shape for
+    large-large joins (hash/asof/semi/anti) where neither side fits on the
+    driver.  Both sides ship through ONE union shuffle; nothing is
+    materialized driver-side or broadcast whole.
+
+    ``fn`` receives each bucket's rows with the original column names.
+    Caveat: the union pads each side with the other's columns as nulls, so
+    integer columns arrive in pandas as float64 when the other side is
+    non-empty — ``fn`` must cast key/int columns back if it needs exact
+    dtypes (the helpers in relational.py do).
+    """
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    order = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def tag(side: int, keys: list[str], pad_schema: pa.Schema):
+        def f(batch: pa.Table) -> pa.Table:
+            bucket = _bucket_ids(batch, keys, num_buckets)
+            batch = (batch.append_column("_kb", pa.array(bucket))
+                          .append_column("_side", pa.array(
+                              np.full(batch.num_rows, side, dtype=np.int8))))
+            for field in pad_schema:
+                if field.name not in batch.column_names:
+                    batch = batch.append_column(
+                        field.name, pa.nulls(batch.num_rows, type=field.type))
+            return batch.select(order + ["_kb", "_side"])
+        return f
+
+    left_t = left.map_batches(tag(0, left_keys, r_schema),
+                              batch_format="pyarrow")
+    right_t = right.map_batches(tag(1, right_keys, l_schema),
+                                batch_format="pyarrow")
+
+    def apply(group: pd.DataFrame) -> pd.DataFrame:
+        lf = group.loc[group._side == 0, left_cols]
+        rf = group.loc[group._side == 1, right_cols]
+        return fn(lf, rf)
+
+    return (left_t.union(right_t)
+            .groupby("_kb").map_groups(apply, batch_format="pandas"))
+
+
+def pair_grid_apply(ds: rd.Dataset, block_col_src: str,
+                    kernel: Callable[[pd.DataFrame, pd.DataFrame | None], pd.DataFrame],
+                    num_blocks: int = 8) -> rd.Dataset:
+    """Exact all-pairs over a dataset WITHOUT broadcasting it: the
+    block-pair (theta-join) grid.  Each row is assigned a block
+    p = hash(id) % B and replicated to every block pair {min(p,q),
+    max(p,q)}; a groupby on the pair key then hands ``kernel`` either one
+    diagonal block (compute within-block pairs, second arg None) or two
+    off-diagonal blocks (compute cross pairs only).  Every unordered row
+    pair is seen by exactly one task.
+
+    Exchange = n·B rows; per-task work = O((n/B)^2); total flops stay
+    O(n^2) but are spread over B(B+1)/2 independent tasks with bounded
+    memory — the distributed shape for *exact* all-pairs semantics.  Pick
+    B ≈ sqrt(desired tasks); sub-quadratic needs (LSH/IVF/prefix-filter)
+    live in dedup.py / similarity.py.
+    """
+    B = num_blocks
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        blk = _bucket_ids(batch, [block_col_src], B).astype(np.int64)
+        n = batch.num_rows
+        idx, keys, own = [], [], []
+        # row with block p lands on pair {p,q} for every q: the diagonal
+        # (p,p) once and each off-diagonal once — B distinct keys per row
+        for q in range(B):
+            lo = np.minimum(blk, q)
+            hi = np.maximum(blk, q)
+            idx.append(np.arange(n))
+            keys.append(lo * B + hi)
+            own.append(blk)
+        out = batch.take(pa.array(np.concatenate(idx)))
+        out = out.append_column("_pair", pa.array(np.concatenate(keys)))
+        return out.append_column("_blk", pa.array(np.concatenate(own)))
+
+    def apply(group: pd.DataFrame) -> pd.DataFrame:
+        key = int(group["_pair"].iloc[0])
+        lo, hi = key // B, key % B
+        g = group.drop(columns=["_pair"])
+        if lo == hi:
+            return kernel(g.drop(columns=["_blk"]), None)
+        a = g.loc[g._blk == lo].drop(columns=["_blk"])
+        b = g.loc[g._blk == hi].drop(columns=["_blk"])
+        if a.empty or b.empty:
+            return kernel(a.iloc[0:0], b.iloc[0:0])
+        return kernel(a, b)
+
+    return (ds.map_batches(replicate, batch_format="pyarrow")
+            .groupby("_pair").map_groups(apply, batch_format="pandas"))

@@ -1,13 +1,17 @@
 """Similarity search over the ``embeddings`` table (list<float> vectors).
 
-- **brute-force cosine top-k**: broadcast query matrix (``ray.put`` once),
-  per-batch numpy matmul, per-batch partial top-k, tiny driver merge —
-  the baseline exact path.
-- **cosine near-dup pairs**: blocked all-pairs matmul against a broadcast
-  normalized matrix.
+- **brute-force cosine top-k**: broadcast query matrix (``ray.put`` once —
+  the QUERY side is genuinely small), per-batch numpy matmul, per-batch
+  partial top-k, tiny driver merge — the baseline exact path.
+- **cosine near-dup pairs**: exact all-pairs via the block-pair grid
+  (``grouping.pair_grid_apply``) — vectors shuffle into block-pair groups,
+  nothing corpus-sized is broadcast or materialized driver-side.
 - **LSH-bucketed ANN**: random-hyperplane signatures → bucket groupby →
   within-bucket exact search; the sub-linear scale path (recall < 1 by
   construction → verified by a recall pytest, not a SQL oracle).
+- **IVF ANN**: sample-fit centroids (broadcast, tiny) → vectors shuffle
+  into inverted lists as members + probe-queries → per-list vectorized
+  search → per-vector reduce across probed lists.
 """
 
 from __future__ import annotations
@@ -103,25 +107,52 @@ ORDER BY query_id, rank
 
 
 # ------------------------------------------------------------ near-dup pairs
+NEARDUP_BLOCKS = 8
+
+
+def _pairs_frame(va=None, vb=None) -> pd.DataFrame:
+    if va is None:
+        return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                             "vec_b": pd.Series(dtype=np.int64)})
+    return pd.DataFrame({"vec_a": va.astype(np.int64),
+                         "vec_b": vb.astype(np.int64)})
+
+
 def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
-    """All pairs with cosine ≥ 0.5: blocked matmul vs a broadcast matrix."""
-    full_ids, full_mat = _to_matrix(
-        pa.Table.from_pandas(_emb(sf_dir).to_pandas()))
-    order = np.argsort(full_ids)
-    full_ids, full_mat = full_ids[order], _normalize(full_mat[order])
-    ref = ray.put((full_ids, full_mat))
+    """All pairs with cosine ≥ 0.5 — EXACT all-pairs, distributed.
 
-    def pairs(batch: pa.Table) -> pd.DataFrame:
-        ids, mat = _to_matrix(batch)
-        fids, fmat = ray.get(ref)
-        sims = _normalize(mat) @ fmat.T
-        keep = (sims >= 0.5) & (ids[:, None] < fids[None, :])
-        bi, ni = np.nonzero(keep)
-        return pd.DataFrame({"vec_a": ids[bi].astype(np.int64),
-                             "vec_b": fids[ni].astype(np.int64)})
+    Block-pair grid (grouping.pair_grid_apply): vectors shuffle into
+    B(B+1)/2 block-pair groups (each vector replicated B times), every
+    unordered pair lands in exactly one group, and the matmul runs
+    per-group over two bounded blocks.  Nothing dataset-sized is
+    broadcast or pulled to the driver; total flops stay O(n²) (inherent
+    to the exact semantics — LSH/IVF below are the sub-quadratic paths)
+    but memory per task is O((n/B)²) and tasks scale with the cluster."""
+    from .grouping import pair_grid_apply
 
-    out = _emb(sf_dir).map_batches(pairs, batch_format="pyarrow",
-                                   batch_size=1024).to_pandas()
+    def frame_matrix(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        ids = df.vec_id.to_numpy().astype(np.int64)
+        mat = _normalize(np.stack(df.embedding.to_numpy()).astype(np.float64))
+        return ids, mat
+
+    def kernel(a: pd.DataFrame, b: pd.DataFrame | None) -> pd.DataFrame:
+        if a.empty or (b is not None and b.empty):
+            return _pairs_frame()
+        ids_a, mat_a = frame_matrix(a)
+        if b is None:                       # diagonal: within-block pairs
+            sims = mat_a @ mat_a.T
+            keep = (sims >= 0.5) & (ids_a[:, None] < ids_a[None, :])
+            ai, bi = np.nonzero(keep)
+            return _pairs_frame(ids_a[ai], ids_a[bi])
+        ids_b, mat_b = frame_matrix(b)      # off-diagonal: cross pairs only
+        sims = mat_a @ mat_b.T
+        ai, bi = np.nonzero(sims >= 0.5)
+        lo = np.minimum(ids_a[ai], ids_b[bi])
+        hi = np.maximum(ids_a[ai], ids_b[bi])
+        return _pairs_frame(lo, hi)
+
+    out = pair_grid_apply(_emb(sf_dir), "vec_id", kernel,
+                          num_blocks=NEARDUP_BLOCKS).to_pandas()
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
@@ -182,17 +213,20 @@ IVF_PROBES = 4
 IVF_ITERS = 8
 
 
-def _ivf_centroids(mat: np.ndarray) -> np.ndarray:
-    """Deterministic coarse quantizer: seeded k-means on (a sample of) the
-    corpus — the IVF scale path from the repo directives.  At 10^12 rows
-    the fit runs on a driver-side sample; assignment is a blocked matmul."""
+IVF_FIT_SAMPLE = 4096
+
+
+def _ivf_centroids(sample: np.ndarray) -> np.ndarray:
+    """Deterministic coarse quantizer: seeded k-means on a FIXED-SIZE
+    sample (the fit is O(sample·iters), independent of corpus size; at
+    10^12 rows only the sample ever reaches the driver)."""
     rng = np.random.RandomState(0x1F5)
-    n = min(len(mat), 4096)
-    sample = mat[rng.choice(len(mat), size=n, replace=False)]
-    cent = sample[rng.choice(n, size=IVF_LISTS, replace=False)].copy()
+    cent = sample[rng.choice(len(sample),
+                             size=min(IVF_LISTS, len(sample)),
+                             replace=False)].copy()
     for _ in range(IVF_ITERS):
         assign = (sample @ cent.T).argmax(axis=1)
-        for c in range(IVF_LISTS):
+        for c in range(len(cent)):
             members = sample[assign == c]
             if len(members):
                 v = members.mean(axis=0)
@@ -204,43 +238,98 @@ def _ivf_centroids(mat: np.ndarray) -> np.ndarray:
 
 def q_embed_ann_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF approximate NN: coarse-quantize to IVF_LISTS inverted lists,
-    then each vector searches its IVF_PROBES nearest lists only.
+    each vector probes its IVF_PROBES nearest lists only.
 
-    Plan: fit centroids once (broadcast) → map_batches assigns vectors to
-    lists → groupby(list) buckets → per-bucket exact search against the
-    bucket's members for every vector probing it.  Cost ∝ n·(probes/lists)
-    of brute force.  Recall is checked by pytest (not SQL-expressible)."""
-    full_ids, full_mat = _to_matrix(
-        pa.Table.from_pandas(_emb(sf_dir).to_pandas()))
-    order = np.argsort(full_ids)
-    full_ids, full_mat = full_ids[order], _normalize(full_mat[order])
-    cent = _ivf_centroids(full_mat)
+    Distributed plan (no corpus-sized broadcast anywhere):
+    1. fit centroids on a fixed-size sample (``limit(4096)``, driver-side
+       k-means, centroids broadcast — IVF_LISTS·dim floats);
+    2. ``map_batches`` emits each vector once as a MEMBER of its owner
+       list and once per probe as a QUERY row → exchange is (1+probes)·n;
+    3. ``groupby(list_id)`` co-locates each inverted list with the
+       queries probing it; a vectorized matmul finds the per-list best;
+    4. a final per-vec_id reduce takes the best across probed lists
+       (owner lists are disjoint so candidates never double-count).
+    Cost ∝ n·(probes/lists) of brute force.  Recall is checked by pytest
+    (not SQL-expressible)."""
+    from .grouping import bucketed_group_apply
+
+    sample_df = _emb(sf_dir).limit(IVF_FIT_SAMPLE).to_pandas()
+    sample = _normalize(np.stack(sample_df.embedding.to_numpy())
+                        .astype(np.float64))
+    cent = _ivf_centroids(sample)
     cent_ref = ray.put(cent)
-    # inverted lists: membership of every vector (its single nearest list)
-    owner = (full_mat @ cent.T).argmax(axis=1)
-    lists_ref = ray.put((full_ids, full_mat, owner))
 
-    def probe(batch: pa.Table) -> pd.DataFrame:
+    def assign(batch: pa.Table) -> pd.DataFrame:
         ids, mat = _to_matrix(batch)
         mat = _normalize(mat)
         c = ray.get(cent_ref)
-        fids, fmat, fowner = ray.get(lists_ref)
-        sims_c = mat @ c.T                             # (b, LISTS)
+        sims_c = mat @ c.T                              # (b, LISTS)
+        owner = sims_c.argmax(axis=1)
         probes = np.argsort(-sims_c, axis=1)[:, :IVF_PROBES]
-        out = []
-        for i in range(len(ids)):
-            mask = np.isin(fowner, probes[i]) & (fids != ids[i])
-            cand = np.nonzero(mask)[0]
-            if cand.size == 0:
-                out.append((int(ids[i]), -1))
-                continue
-            sims = fmat[cand] @ mat[i]
-            best = cand[np.lexsort((fids[cand], -sims))][0]
-            out.append((int(ids[i]), int(fids[best])))
-        return pd.DataFrame(out, columns=["vec_id", "nn_id"])
+        n = len(ids)
+        emb_list = [r.tolist() for r in mat]
+        frames = [pd.DataFrame({"list_id": owner.astype(np.int64),
+                                "role": np.zeros(n, dtype=np.int8),
+                                "vec_id": ids.astype(np.int64),
+                                "emb": emb_list})]
+        for p in range(min(IVF_PROBES, probes.shape[1])):
+            frames.append(pd.DataFrame({
+                "list_id": probes[:, p].astype(np.int64),
+                "role": np.ones(n, dtype=np.int8),
+                "vec_id": ids.astype(np.int64),
+                "emb": emb_list}))
+        return pd.concat(frames, ignore_index=True)
 
-    out = _emb(sf_dir).map_batches(probe, batch_format="pyarrow",
-                                   batch_size=1024).to_pandas()
+    def list_nn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                              "nn_id": pd.Series(dtype=np.int64),
+                              "sim": pd.Series(dtype=np.float64)})
+        mem = df[df.role == 0]
+        qry = df[df.role == 1]
+        if mem.empty or qry.empty:
+            return empty
+        mids = mem.vec_id.to_numpy()
+        mmat = np.stack(mem.emb.to_numpy())
+        qids = qry.vec_id.to_numpy()
+        qmat = np.stack(qry.emb.to_numpy())
+        sims = qmat @ mmat.T                            # (q, m)
+        sims[qids[:, None] == mids[None, :]] = -np.inf  # mask self
+        best = sims.max(axis=1)
+        ok = best > -np.inf
+        if not ok.any():
+            return empty
+        # tie-break: among equal-sim members take the smallest vec_id
+        nn = np.where(sims[ok] == best[ok][:, None],
+                      mids[None, :], np.iinfo(np.int64).max).min(axis=1)
+        return pd.DataFrame({"vec_id": qids[ok].astype(np.int64),
+                             "nn_id": nn.astype(np.int64),
+                             "sim": best[ok]})
+
+    per_list = bucketed_group_apply(
+        _emb(sf_dir).map_batches(assign, batch_format="pyarrow",
+                                 batch_size=1024),
+        ["list_id"], lambda df: pd.concat(
+            [list_nn(g) for _, g in df.groupby("list_id")],
+            ignore_index=True) if len(df) else list_nn(df),
+        num_buckets=IVF_LISTS)
+
+    # sentinel guarantees every vec_id appears even with zero candidates
+    def sentinel(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"vec_id": ids.astype(np.int64),
+                             "nn_id": np.full(len(ids), -1, dtype=np.int64),
+                             "sim": np.full(len(ids), -np.inf)})
+
+    sent = _emb(sf_dir).map_batches(sentinel, batch_format="pyarrow")
+
+    def best_across_lists(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["vec_id", "sim", "nn_id"],
+                            ascending=[True, False, True])
+        out = df.groupby("vec_id", as_index=False).first()
+        return out[["vec_id", "nn_id"]].astype(np.int64)
+
+    out = bucketed_group_apply(per_list.union(sent), ["vec_id"],
+                               best_across_lists, num_buckets=32).to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
 
 

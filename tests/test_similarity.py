@@ -50,3 +50,60 @@ def test_topk_self_consistency():
     for q, g in out.groupby("query_id"):
         assert list(g["rank"]) == list(range(1, S.TOPK_K + 1))
         assert q not in set(g.neighbor_id)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_neardup_pair_grid_exact_vs_brute_force():
+    """pair_grid_apply must enumerate EXACTLY the brute-force pair set —
+    dense synthetic clusters exercise diagonal and off-diagonal groups."""
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.RandomState(7)
+    # 6 tight clusters of 20 → many qualifying pairs across blocks
+    centers = S._normalize(rng.normal(size=(6, 16)))
+    vecs, ids = [], []
+    for c in range(6):
+        for i in range(20):
+            v = centers[c] + 0.05 * rng.normal(size=16)
+            vecs.append(v)
+            ids.append(c * 100 + i)
+    mat = S._normalize(np.array(vecs))
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                                 "embedding": pa.array([v.tolist() for v in mat])}))
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.grouping import (
+        pair_grid_apply,
+    )
+
+    # reuse the production kernel via q_embed_neardup's internals: run the
+    # grid directly with the same kernel semantics
+    def frame_matrix(df):
+        return (df.vec_id.to_numpy().astype(np.int64),
+                S._normalize(np.stack(df.embedding.to_numpy()).astype(np.float64)))
+
+    def kernel(a, b):
+        if a.empty or (b is not None and b.empty):
+            return S._pairs_frame()
+        ia, ma = frame_matrix(a)
+        if b is None:
+            sims = ma @ ma.T
+            keep = (sims >= 0.5) & (ia[:, None] < ia[None, :])
+            x, y = np.nonzero(keep)
+            return S._pairs_frame(ia[x], ia[y])
+        ib, mb = frame_matrix(b)
+        sims = ma @ mb.T
+        x, y = np.nonzero(sims >= 0.5)
+        return S._pairs_frame(np.minimum(ia[x], ib[y]), np.maximum(ia[x], ib[y]))
+
+    got = (pair_grid_apply(ds, "vec_id", kernel, num_blocks=4)
+           .to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+
+    sims = mat @ mat.T
+    ids_np = np.array(ids)
+    keep = (sims >= 0.5) & (ids_np[:, None] < ids_np[None, :])
+    x, y = np.nonzero(keep)
+    want = (pd.DataFrame({"vec_a": ids_np[x], "vec_b": ids_np[y]})
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    assert len(want) > 50          # the scenario is actually dense
+    pd.testing.assert_frame_equal(got, want)
