@@ -26,6 +26,22 @@ def token_hash64(token: str) -> int:
     return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little")
 
 
+def token_hashes_unique(tokens: list[str], memo: dict | None = None) -> np.ndarray:
+    """Sorted unique int64 token-hash set (the canonical global order used
+    by the prefix-filter join).  |set| equals the distinct-token count
+    modulo 64-bit collisions."""
+    if memo is None:
+        memo = {}
+    h = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        v = memo.get(t)
+        if v is None:
+            v = token_hash64(t)
+            memo[t] = v
+        h[i] = v
+    return np.unique(h.view(np.int64))
+
+
 def shingles(tokens: list[str], k: int = 3) -> set[str]:
     if len(tokens) < k:
         return {" ".join(tokens)} if tokens else set()

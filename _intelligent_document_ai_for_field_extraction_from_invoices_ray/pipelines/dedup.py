@@ -1,20 +1,32 @@
 """Deduplication operators over the ``documents`` table.
 
-Four families, each a first-class training-data-pipeline component:
+Four families, each a first-class training-data-pipeline component, all
+built on distributed exchanges (no driver-side materialization, no
+corpus-sized broadcast):
 
-- **exact**: content-hash groupby → canonical doc per hash (scales as one
-  shuffle of (hash, doc_id) pairs, never the texts).
-- **token-set jaccard (exact near-dup)**: pairwise exact jaccard with a
-  pure-integer threshold test (``20·|∩| ≥ 19·|∪|`` ⟺ j ≥ 0.95) so the
-  DuckDB oracle agrees bit-for-bit.  Pairing uses a broadcast token-bitmap
-  matrix + blocked matmul per batch — right for corpora whose *candidate
-  structure* is dense (tiny vocab); the LSH path below is the sparse-/
-  web-scale route.
+- **exact**: content-hash groupby → canonical doc per hash (one shuffle of
+  (hash, doc_id) pairs, never the texts).
+- **exact set-similarity joins** (``jaccard_pairs`` token-level ≥0.95,
+  ``shingle_pairs`` 3-shingle-level ≥0.8): prefix filtering (Chaudhuri et
+  al. SSJoin / Bayardo AllPairs).  Under a global token order, two sets
+  with J ≥ t=num/den must share an element in their first
+  ``n - ceil(t·n) + 1`` elements, so each doc ships only that prefix to
+  the candidate shuffle (~n/20 hashes at 0.95); candidates are then
+  exact-verified by joining the pair list back to the full hash-sets with
+  two bucketed co-group joins.  Candidate exchange ∝ prefix size · docs;
+  verify exchange ∝ sets + pairs.  (Ordering by global token frequency,
+  rare-first, would shrink candidates further — a stats pass we skip; the
+  hash order used here is already a valid total order.)
 - **MinHash + LSH (scale path)**: shingle → 64-perm signature → 16-band
-  bucket groupby → candidate pairs → exact-jaccard verify.  At 10^12 docs
-  this is the only tractable near-dup plan: cost ∝ docs + colliding pairs.
+  bucket keys.  The band exchange ships ONLY (band_key:int64, doc_id) —
+  16×~16 B per doc, not the shingle sets — and candidates are
+  exact-verified through the same co-group join.  Recall < 1 by LSH
+  construction (miss ≈ (1-j⁴)¹⁶, ~2e-4 at j=0.8), so this operator is
+  deliberately NOT SQL-checked; a pytest pins precision == 1 and recall
+  against the exhaustive ``shingle_pairs``.
 - **SimHash**: 64-bit signatures + hamming-radius pairs via 4-segment
-  pigeonhole bucketing (any pair within hamming 3 shares ≥1 exact segment).
+  pigeonhole bucketing (any pair within hamming 3 shares ≥1 exact
+  segment).
 """
 
 from __future__ import annotations
@@ -25,7 +37,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-import ray
 import ray.data as rd
 
 from ..functions import sketch as SK
@@ -65,59 +76,148 @@ FROM documents GROUP BY md5(text) ORDER BY fp
 """
 
 
-# ------------------------------------------------------------ token prep
-def _token_sets(batch: pa.Table) -> pd.DataFrame:
-    rows = []
-    for d, t in zip(batch.column("doc_id").to_pylist(),
-                    batch.column("text").to_pylist()):
-        rows.append((d, sorted(set(t.lower().split()))))
-    return pd.DataFrame({"doc_id": [r[0] for r in rows],
-                         "tokens": [r[1] for r in rows]})
+# ------------------------------------------------------------ hash sets
+def hash_sets(docs: rd.Dataset, kind: str = "token") -> rd.Dataset:
+    """(doc_id, th) where th is the sorted-unique int64 hash set of the
+    doc's tokens (kind='token') or 3-shingles (kind='shingle').  The int64
+    sort order doubles as the prefix-filter's global total order."""
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        memo: dict = {}
+        out = []
+        for t in batch.column("text").to_pylist():
+            toks = t.lower().split()
+            if kind == "token":
+                hs = SK.token_hashes_unique(toks, memo)
+            else:
+                hs = np.unique(
+                    SK.shingle_hashes(toks, 3, memo).view(np.int64))
+            out.append(hs)
+        return pd.DataFrame({"doc_id": batch.column("doc_id").to_pylist(),
+                             "th": [h.tolist() for h in out]})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ candidates
+def _pairs_from_keys(keyed: rd.Dataset, key_col: str) -> rd.Dataset:
+    """(key, doc_id) rows → distinct (doc_a < doc_b) pairs sharing a key.
+    One shuffle for the key groupby, one for the pair dedup."""
+    from .grouping import bucketed_group_apply
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby(key_col):
+            ids = np.unique(g["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            i, j = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]}))
+        if not outs:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=object),
+                                 "doc_b": pd.Series(dtype=object)})
+        return pd.concat(outs, ignore_index=True)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["doc_a", "doc_b"])
+
+    pairs = bucketed_group_apply(keyed, [key_col], pairs_in_bucket,
+                                 num_buckets=128)
+    return bucketed_group_apply(pairs, ["doc_a", "doc_b"], dedup,
+                                num_buckets=32)
+
+
+def prefix_candidates(sets: rd.Dataset, num: int, den: int) -> rd.Dataset:
+    """Prefix-filter candidate pairs for J ≥ num/den: each doc emits only
+    the first ``n - ceil(t·n) + 1`` hashes of its sorted set."""
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column("th")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy()
+        values = col.values.to_numpy()
+        n = np.diff(offsets)
+        plen = np.where(n > 0, n - ((num * n + den - 1) // den) + 1, 0)
+        starts = np.repeat(offsets[:-1], plen)
+        within = np.arange(plen.sum()) - np.repeat(np.cumsum(plen) - plen, plen)
+        toks = values[starts + within]
+        ids = np.repeat(
+            batch.column("doc_id").to_numpy(zero_copy_only=False), plen)
+        return pd.DataFrame({"tok": toks.astype(np.int64), "doc_id": ids})
+
+    return _pairs_from_keys(sets.map_batches(emit, batch_format="pyarrow"),
+                            "tok")
+
+
+# ------------------------------------------------------------ verify join
+def verify_pairs(pairs: rd.Dataset, sets: rd.Dataset, num: int, den: int,
+                 emit) -> rd.Dataset:
+    """Exact-verify candidate (doc_a, doc_b) pairs against the full hash
+    sets: two bucketed co-group joins attach th_a / th_b (sets ship once
+    per join — never broadcast), then a vectorized-per-pair intersect
+    applies the integer threshold ``den·|∩| ≥ num·|∪|``.
+
+    ``emit(inter, union) -> dict`` builds the operator-specific output
+    columns for one qualifying pair."""
+    from .grouping import bucketed_cogroup
+
+    def attach(side: str, out_col: str):
+        def fn(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+            want = list(lf.columns) + [out_col]
+            if lf.empty or rf.empty:
+                out = lf.head(0).copy()          # keep the left dtypes
+                out[out_col] = pd.Series(dtype=object)
+                return out
+            rf = rf.rename(columns={"doc_id": side, "th": out_col})
+            return lf.merge(rf, on=side, how="inner")[want]
+        return fn
+
+    j1 = bucketed_cogroup(pairs, sets, ["doc_a"], ["doc_id"],
+                          attach("doc_a", "th_a"))
+    j2 = bucketed_cogroup(j1, sets, ["doc_b"], ["doc_id"],
+                          attach("doc_b", "th_b"))
+
+    def check(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        df = batch.to_pandas()
+        for r in df.itertuples(index=False):
+            a = np.asarray(r.th_a, dtype=np.int64)
+            b = np.asarray(r.th_b, dtype=np.int64)
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            if union and den * inter >= num * union:
+                rows.append({"doc_a": r.doc_a, "doc_b": r.doc_b,
+                             **emit(inter, union)})
+        if not rows:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=object),
+                                 "doc_b": pd.Series(dtype=object),
+                                 **{k: pd.Series(dtype=np.int64)
+                                    for k in emit(1, 1)}})
+        return pd.DataFrame(rows)
+
+    return j2.map_batches(check, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ exact jaccard
 def q_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     """All near-dup pairs with token-set jaccard ≥ 0.95 (exact, integer
-    threshold).  The doc→bitmap matrix is broadcast once; each batch
-    matmuls its slice against it (blocked all-pairs)."""
-    tok = _docs(sf_dir).map_batches(_token_sets, batch_format="pyarrow")
-    tok_df = tok.to_pandas()          # (doc_id, tokens) — tiny vs the texts
-
-    vocab = sorted({w for toks in tok_df.tokens for w in toks})
-    v_index = {w: i for i, w in enumerate(vocab)}
-    mat = np.zeros((len(tok_df), len(vocab)), dtype=np.int32)
-    doc_ids = tok_df.doc_id.to_numpy()
-    order = np.argsort(doc_ids)
-    tok_df = tok_df.iloc[order].reset_index(drop=True)
-    doc_ids = tok_df.doc_id.to_numpy()
-    for i, toks in enumerate(tok_df.tokens):
-        for w in toks:
-            mat[i, v_index[w]] = 1
-    sizes = mat.sum(axis=1)
-    mat_ref = ray.put((mat, sizes, doc_ids))
-
-    def pairs_batch(batch: pa.Table) -> pd.DataFrame:
-        full, full_sizes, full_ids = ray.get(mat_ref)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(full_ids, ids)
-        inter = full[idx] @ full.T                        # (b, N)
-        union = full_sizes[idx][:, None] + full_sizes[None, :] - inter
-        keep = (20 * inter >= 19 * union) & (ids[:, None] < full_ids[None, :])
-        bi, ni = np.nonzero(keep)
-        return pd.DataFrame({"doc_a": ids[bi], "doc_b": full_ids[ni],
-                             "inter_tokens": inter[bi, ni].astype(np.int64),
-                             "union_tokens": union[bi, ni].astype(np.int64)})
-
-    ids_only = rd.from_pandas(tok_df[["doc_id"]])
-    out = ids_only.map_batches(pairs_batch, batch_format="pyarrow",
-                               batch_size=128).to_pandas()
+    threshold ``20·|∩| ≥ 19·|∪|``) via the prefix-filter join."""
+    sets = hash_sets(_docs(sf_dir), "token").materialize()
+    cands = prefix_candidates(sets, num=19, den=20)
+    out = verify_pairs(
+        cands, sets, num=19, den=20,
+        emit=lambda i, u: {"inter_tokens": np.int64(i),
+                           "union_tokens": np.int64(u)}).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 SQL_JACCARD_PAIRS = r"""
 WITH t AS (
   SELECT doc_id,
-         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+         CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))
+         END AS toks
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -125,102 +225,94 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT)
          AS union_tokens
 FROM t a JOIN t b ON a.doc_id < b.doc_id
-WHERE 20 * len(list_intersect(a.toks, b.toks))
+WHERE len(a.toks) + len(b.toks) > 0
+  AND 20 * len(list_intersect(a.toks, b.toks))
       >= 19 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
 ORDER BY doc_a, doc_b
 """
 
 
+# ------------------------------------------------------------ shingle pairs
+def _jm(inter: int, union: int) -> dict:
+    return {"jaccard_milli": np.int64((2000 * inter + union) // (2 * union))}
+
+
+def q_shingle_pairs(sf_dir: str) -> pd.DataFrame:
+    """All pairs with 3-shingle jaccard ≥ 0.8 — exact (prefix-filter join
+    over shingle-hash sets); the exhaustive ground truth the MinHash+LSH
+    path below approximates."""
+    sets = hash_sets(_docs(sf_dir), "shingle").materialize()
+    cands = prefix_candidates(sets, num=4, den=5)
+    out = verify_pairs(cands, sets, num=4, den=5, emit=_jm).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# shingle-set jaccard (not token-set): SQL builds the same 3-shingles
+SQL_SHINGLE_PAIRS = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END AS w
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              END AS sh
+  FROM t
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST((2000 * len(list_intersect(a.sh, b.sh))
+        + (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+       // (2 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+         AS BIGINT) AS jaccard_milli
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(a.sh) + len(b.sh) > 0
+  AND 2000 * len(list_intersect(a.sh, b.sh))
+      >= 1600 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+ORDER BY doc_a, doc_b
+"""
+
+
 # ------------------------------------------------------------ minhash LSH
-def minhash_lsh_pairs(docs: rd.Dataset, jaccard_milli: int = 800,
-                      shingle_k: int = 3) -> rd.Dataset:
-    """MinHash+LSH near-dup candidates, exact-verified.
+def minhash_lsh_pairs(docs: rd.Dataset, jaccard_milli: int = 800) -> rd.Dataset:
+    """MinHash+LSH near-dup pairs, exact-verified.
 
-    Plan: signature per doc (map_batches) → explode to (band_key, doc_id,
-    shingle_hashes) → groupby(band_key) → within-bucket candidate pairs →
-    exact jaccard on the shingle-hash sets → integer threshold.
-    Verification is per-bucket; global dedup of (a,b) via a final groupby.
-    """
+    Plan: 64-perm signature per doc → explode to 16 compact
+    (band_key:int64, doc_id) rows — the whole band exchange is ~16×16 B
+    per doc — → groupby(band) → candidate pairs → exact shingle-jaccard
+    verification through the shared co-group verify join.  Cost ∝ docs +
+    colliding pairs; recall ≈ 1-(1-j⁴)¹⁶ (<1 ⇒ rows-only driver check;
+    pinned against the exhaustive shingle_pairs by pytest)."""
+    sets = hash_sets(docs, "shingle").materialize()
 
-    def sigs(batch: pa.Table) -> pd.DataFrame:
-        out = {"band_key": [], "doc_id": [], "sh": []}
-        tok_memo: dict = {}
-        for d, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            hashes = SK.shingle_hashes(t.lower().split(), shingle_k, tok_memo)
-            sig = SK.minhash_signature(hashes)
-            for key in SK.lsh_band_keys(sig):
-                out["band_key"].append(key)
-                out["doc_id"].append(d)
-                out["sh"].append(hashes.astype(np.int64).tolist())
-        return pd.DataFrame(out)
+    def band_keys(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column("th")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keys, ids = [], []
+        for d, hs in zip(batch.column("doc_id").to_pylist(), col.to_pylist()):
+            sig = SK.minhash_signature(np.asarray(hs, dtype=np.int64)
+                                       .view(np.uint64))
+            keys.extend(SK.lsh_band_keys(sig))
+            ids.extend([d] * SK.LSH_BANDS)
+        return pd.DataFrame({
+            "band": np.array(keys, dtype=np.uint64).view(np.int64),
+            "doc_id": ids})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard_milli"])
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        rows = []
-        recs = list(g.itertuples(index=False))
-        for i in range(len(recs)):
-            sa = set(recs[i].sh)
-            for j in range(i + 1, len(recs)):
-                sb = set(recs[j].sh)
-                inter = len(sa & sb)
-                union = len(sa) + len(sb) - inter
-                if union and 2000 * inter >= (2 * jaccard_milli) * union:
-                    jm = (2000 * inter + union) // (2 * union)
-                    rows.append((recs[i].doc_id, recs[j].doc_id, jm))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_milli"])
-
-    from .grouping import bucketed_group_apply
-
-    def bucket_apply(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [bucket_pairs(g) for _, g in df.groupby("band_key")]
-        outs = [o for o in outs if len(o)]
-        if not outs:
-            return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard_milli"])
-        return pd.concat(outs, ignore_index=True)
-
-    pairs = bucketed_group_apply(docs.map_batches(sigs, batch_format="pyarrow"),
-                                 ["band_key"], bucket_apply, num_buckets=128)
-
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["doc_a", "doc_b"], as_index=False).agg(
-            jaccard_milli=("jaccard_milli", "max"))
-
-    # a pair can surface from several bands -> dedup
-    return bucketed_group_apply(pairs, ["doc_a", "doc_b"], dedup_pairs,
-                                num_buckets=32)
+    cands = _pairs_from_keys(sets.map_batches(band_keys, batch_format="pyarrow"),
+                             "band")
+    num = jaccard_milli // 200   # 800/1000 = 4/5
+    den = 5
+    return verify_pairs(cands, sets, num=num, den=den, emit=_jm)
 
 
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     out = minhash_lsh_pairs(_docs(sf_dir), jaccard_milli=800).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-
-
-# shingle-set jaccard (not token-set): SQL oracle builds the same 3-shingles
-SQL_MINHASH_PAIRS = r"""
-WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
-  FROM documents
-), s AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-              ELSE list_transform(range(1, len(w) - 1),
-                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-              END) AS sh
-  FROM t
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       (2000 * len(list_intersect(a.sh, b.sh))
-        + (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
-       // (2 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
-         AS jaccard_milli
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE 2000 * len(list_intersect(a.sh, b.sh))
-      >= 1600 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-ORDER BY doc_a, doc_b
-"""
 
 
 # ------------------------------------------------------------ simhash
@@ -280,6 +372,9 @@ def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
 DEDUP_QUERIES = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
-    "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
+    "shingle_pairs": (q_shingle_pairs, SQL_SHINGLE_PAIRS),
+    # LSH recall < 1 ⇒ rows-only driver check; precision/recall pinned
+    # against shingle_pairs by tests/test_properties.py
+    "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),   # not SQL-expressible
 }

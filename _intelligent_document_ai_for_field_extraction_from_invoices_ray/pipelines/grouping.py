@@ -59,12 +59,16 @@ def bucketed_cogroup(left: rd.Dataset, right: rd.Dataset,
     driver.  Both sides ship through ONE union shuffle; nothing is
     materialized driver-side or broadcast whole.
 
-    ``fn`` receives each bucket's rows with the original column names.
-    Caveat: the union pads each side with the other's columns as nulls, so
-    integer columns arrive in pandas as float64 when the other side is
-    non-empty — ``fn`` must cast key/int columns back if it needs exact
-    dtypes (the helpers in relational.py do).
+    ``fn`` receives each bucket's rows with the original column names and
+    ORIGINAL dtypes: the union pads each side with the other's columns as
+    nulls, but the per-side split happens in Arrow (zero-copy filter)
+    before the pandas conversion, so the null padding never float64-izes
+    integer columns.
     """
+    # normalize to Arrow blocks so the schemas are pa.Schema (a side built
+    # by a pandas map_groups stage reports a PandasBlockSchema otherwise)
+    left = left.map_batches(lambda b: b, batch_format="pyarrow")
+    right = right.map_batches(lambda b: b, batch_format="pyarrow")
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
     l_schema = left.schema().base_schema
@@ -89,13 +93,14 @@ def bucketed_cogroup(left: rd.Dataset, right: rd.Dataset,
     right_t = right.map_batches(tag(1, right_keys, l_schema),
                                 batch_format="pyarrow")
 
-    def apply(group: pd.DataFrame) -> pd.DataFrame:
-        lf = group.loc[group._side == 0, left_cols]
-        rf = group.loc[group._side == 1, right_cols]
+    def apply(group: pa.Table) -> pd.DataFrame:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        lf = group.filter(pa.array(side == 0)).select(left_cols).to_pandas()
+        rf = group.filter(pa.array(side == 1)).select(right_cols).to_pandas()
         return fn(lf, rf)
 
     return (left_t.union(right_t)
-            .groupby("_kb").map_groups(apply, batch_format="pandas"))
+            .groupby("_kb").map_groups(apply, batch_format="pyarrow"))
 
 
 def pair_grid_apply(ds: rd.Dataset, block_col_src: str,

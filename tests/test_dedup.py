@@ -1,0 +1,115 @@
+"""Dedup-operator invariants SQL can't (or shouldn't) express:
+prefix-filter completeness and the MinHash-LSH precision/recall contract.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines import (
+    dedup as D,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _no_tensor_casting():
+    from ray.data import DataContext
+    DataContext.get_current().enable_tensor_extension_casting = False
+
+
+def _near_dup_corpus():
+    """60 docs: 12 clusters of near-identical texts + 12 singletons."""
+    rng = np.random.RandomState(11)
+    vocab = [f"tok{i}" for i in range(400)]
+    ids, texts = [], []
+    k = 0
+    for c in range(12):
+        base = list(rng.choice(vocab, size=60, replace=False))
+        for v in range(4):
+            words = list(base)
+            for _ in range(v):           # v substitutions: J ~ (60-v)/(60+v)
+                words[rng.randint(len(words))] = str(rng.choice(vocab))
+            ids.append(k)
+            texts.append(" ".join(words))
+            k += 1
+    for _ in range(12):
+        ids.append(k)
+        texts.append(" ".join(rng.choice(vocab, size=50, replace=False)))
+        k += 1
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+
+
+def _brute_pairs(tbl: pa.Table, kind: str, num: int, den: int) -> set:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions import (
+        sketch as SK,
+    )
+    memo: dict = {}
+    sets = {}
+    for d, t in zip(tbl.column("doc_id").to_pylist(),
+                    tbl.column("text").to_pylist()):
+        toks = t.lower().split()
+        if kind == "token":
+            sets[d] = set(SK.token_hashes_unique(toks, memo).tolist())
+        else:
+            sets[d] = set(np.unique(
+                SK.shingle_hashes(toks, 3, memo).view(np.int64)).tolist())
+    out = set()
+    ds_sorted = sorted(sets)
+    for i, a in enumerate(ds_sorted):
+        for b in ds_sorted[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and den * inter >= num * union:
+                out.add((a, b))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("kind,num,den", [("token", 19, 20), ("token", 4, 5),
+                                          ("shingle", 4, 5)])
+def test_prefix_filter_join_exact(kind, num, den):
+    """prefix_candidates ∪ verify must reproduce the brute-force pair set
+    exactly — the completeness guarantee of the prefix-filter lemma."""
+    _no_tensor_casting()
+    tbl = _near_dup_corpus()
+    want = _brute_pairs(tbl, kind, num, den)
+    sets = D.hash_sets(rd.from_arrow(tbl), kind).materialize()
+    cands = D.prefix_candidates(sets, num, den)
+    got_df = D.verify_pairs(cands, sets, num, den, emit=D._jm).to_pandas()
+    got = set(zip(got_df.doc_a, got_df.doc_b))
+    assert len(want) >= 12       # corpus is actually dense at this threshold
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_precision_and_recall():
+    """MinHash+LSH pairs: precision MUST be 1 (exact verify), recall vs
+    the exhaustive shingle join ≥ 0.9 (16-band/4-row curve at j≥0.8 puts
+    the expected miss rate near 2e-4)."""
+    _no_tensor_casting()
+    tbl = _near_dup_corpus()
+    docs = rd.from_arrow(tbl)
+    exact_sets = D.hash_sets(docs, "shingle").materialize()
+    exact = D.verify_pairs(D.prefix_candidates(exact_sets, 4, 5),
+                           exact_sets, 4, 5, emit=D._jm).to_pandas()
+    mh = D.minhash_lsh_pairs(docs, jaccard_milli=800).to_pandas()
+    eset = set(zip(exact.doc_a, exact.doc_b))
+    mset = set(zip(mh.doc_a, mh.doc_b))
+    assert len(eset) >= 12
+    assert mset <= eset                       # precision == 1
+    assert len(mset & eset) / len(eset) >= 0.9
+    # verified jaccard values must agree where both report the pair
+    merged = mh.merge(exact, on=["doc_a", "doc_b"], suffixes=("_m", "_e"))
+    assert (merged.jaccard_milli_m == merged.jaccard_milli_e).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_matches_exact_on_sf0001():
+    _no_tensor_casting()
+    mh = D.q_minhash_pairs(SF)
+    sp = D.q_shingle_pairs(SF)
+    assert set(zip(mh.doc_a, mh.doc_b)) <= set(zip(sp.doc_a, sp.doc_b))
