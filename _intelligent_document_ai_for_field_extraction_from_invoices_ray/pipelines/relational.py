@@ -456,33 +456,40 @@ FROM orders ORDER BY o_orderkey
 # ------------------------------------------------------------ as-of join
 def q_asof_latest_order(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event matched to the latest prior order of the
-    customer with custkey == user_id (bucketed by key, ``pd.merge_asof``
-    per bucket — the guide's portable as-of pattern).  The right side is
-    deduped to one order per (custkey, orderdate) [max orderkey] so tie
-    semantics are deterministic and match the SQL oracle."""
-    from .grouping import bucketed_group_apply
+    customer with custkey == user_id.  BOTH large sides shuffle into the
+    same key-hash buckets (``bucketed_cogroup``) and ``pd.merge_asof``
+    runs per bucket — no side is materialized on the driver or broadcast.
+    The right side is first deduped to one order per (custkey, orderdate)
+    [max orderkey], distributed, so tie semantics are deterministic and
+    match the SQL oracle."""
+    from .grouping import bucketed_cogroup, bucketed_group_apply
 
     events = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
     orders = _pq(sf_dir, "orders",
-                 ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    orders = (orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
-              .groupby(["o_custkey", "o_orderdate"], as_index=False).last())
-    orders_ref = ray.put(orders)
+                 ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        right = ray.get(orders_ref)
-        right = right[right.o_custkey.isin(df.user_id.unique())]
-        left = df.sort_values("ts")
-        right = right.sort_values("o_orderdate")
-        out = pd.merge_asof(left, right, left_on="ts", right_on="o_orderdate",
+    def dedup_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_custkey", "o_orderdate"], as_index=False).agg(
+            o_orderkey=("o_orderkey", "max"))
+
+    o_dedup = bucketed_group_apply(orders, ["o_custkey"], dedup_orders,
+                                   num_buckets=32)
+
+    def asof_bucket(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if lf.empty or rf.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                                 "o_orderkey": pd.Series(dtype=np.int64)})
+        out = pd.merge_asof(lf.sort_values("ts"),
+                            rf.sort_values("o_orderdate"),
+                            left_on="ts", right_on="o_orderdate",
                             left_by="user_id", right_by="o_custkey",
                             direction="backward")
         out = out[out.o_orderkey.notna()]
         return pd.DataFrame({"event_id": out.event_id,
                              "o_orderkey": out.o_orderkey.astype(np.int64)})
 
-    out = bucketed_group_apply(events, ["user_id"], asof_bucket,
-                               num_buckets=32).to_pandas()
+    out = bucketed_cogroup(events, o_dedup, ["user_id"], ["o_custkey"],
+                           asof_bucket, num_buckets=32).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -499,20 +506,42 @@ ORDER BY e.event_id
 
 
 # ------------------------------------------------------------ semi / anti
+def _distinct_keys(ds: rd.Dataset, key: str,
+                   batch_filter=None) -> rd.Dataset:
+    """Per-batch key dedup (vectorized combiner) — shrinks the semi/anti
+    exchange to near-distinct keys before the co-group shuffle."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch_filter is not None:
+            batch = batch.filter(batch_filter(batch))
+        return pa.table({key: pc.unique(batch.column(key))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """Anti join via a broadcast key set (no shuffle): customers with no
-    big-ticket order (>3000 in whole currency units)."""
-    odf = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"]).to_pandas()
-    custkeys = set(odf[odf.o_totalprice > 300_000].o_custkey.unique().tolist())
-    ref = ray.put(custkeys)
+    """Anti join of two large tables: customers with no big-ticket order
+    (>3000 whole currency units).  The order keys are deduped per batch
+    (combiner), then BOTH sides co-partition by key hash — the key set is
+    built per bucket, never on the driver."""
+    import pyarrow.compute as pc
 
-    def anti(batch: pa.Table) -> pd.DataFrame:
-        keys = ray.get(ref)
-        df = batch.to_pandas()
-        return df[~df.c_custkey.isin(keys)][["c_custkey", "c_name"]]
+    from .grouping import bucketed_cogroup
 
-    out = (_pq(sf_dir, "customer", ["c_custkey", "c_name"])
-           .map_batches(anti, batch_format="pyarrow").to_pandas())
+    okeys = _distinct_keys(
+        _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"]), "o_custkey",
+        batch_filter=lambda b: pc.greater(b.column("o_totalprice"), 300_000))
+
+    def anti_bucket(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if lf.empty:
+            return pd.DataFrame({"c_custkey": pd.Series(dtype=np.int64),
+                                 "c_name": pd.Series(dtype=object)})
+        return lf[~lf.c_custkey.isin(rf.o_custkey.to_numpy())]
+
+    out = bucketed_cogroup(_pq(sf_dir, "customer", ["c_custkey", "c_name"]),
+                           okeys, ["c_custkey"], ["o_custkey"],
+                           anti_bucket, num_buckets=32).to_pandas()
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
@@ -524,20 +553,25 @@ ORDER BY c_custkey
 
 
 def q_parts_ordered_large(sf_dir: str) -> pd.DataFrame:
-    """Semi join via broadcast key set: parts of size > 25 that appear in
-    any lineitem."""
-    partkeys = set(_pq(sf_dir, "lineitem", ["l_partkey"]).to_pandas()
-                   .l_partkey.unique().tolist())
-    ref = ray.put(partkeys)
+    """Semi join of two large tables: parts of size > 25 that appear in
+    any lineitem.  lineitem keys are deduped per batch (combiner) and both
+    sides co-partition by key hash — no driver-side key set."""
+    from .grouping import bucketed_cogroup
 
-    def semi(batch: pa.Table) -> pd.DataFrame:
-        keys = ray.get(ref)
-        df = batch.to_pandas()
-        return df[(df.p_size > 25) & df.p_partkey.isin(keys)][
-            ["p_partkey", "p_name", "p_size"]]
+    lkeys = _distinct_keys(_pq(sf_dir, "lineitem", ["l_partkey"]),
+                           "l_partkey")
+    parts = (_pq(sf_dir, "part", ["p_partkey", "p_name", "p_size"])
+             .filter(expr="p_size > 25"))
 
-    out = (_pq(sf_dir, "part", ["p_partkey", "p_name", "p_size"])
-           .map_batches(semi, batch_format="pyarrow").to_pandas())
+    def semi_bucket(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if lf.empty:
+            return pd.DataFrame({"p_partkey": pd.Series(dtype=np.int64),
+                                 "p_name": pd.Series(dtype=object),
+                                 "p_size": pd.Series(dtype=np.int64)})
+        return lf[lf.p_partkey.isin(rf.l_partkey.to_numpy())]
+
+    out = bucketed_cogroup(parts, lkeys, ["p_partkey"], ["l_partkey"],
+                           semi_bucket, num_buckets=32).to_pandas()
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
