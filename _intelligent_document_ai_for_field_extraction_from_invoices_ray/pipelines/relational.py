@@ -190,43 +190,21 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset,
                        left_on: str, right_on: str,
                        num_buckets: int = 32) -> rd.Dataset:
     """Explicit partitioned hash join for two large sides (guide pattern):
-    tag each side, co-partition by key-hash bucket with ONE groupby, and
-    pandas-merge inside each bucket.  Skewed keys can be salted by raising
-    ``num_buckets``; dissimilar schemas are reconciled by column union."""
+    co-partition by key-hash bucket with ONE union groupby
+    (``grouping.bucketed_cogroup``) and pandas-merge inside each bucket.
+    Skewed keys can be salted by raising ``num_buckets``.
 
-    left_cols = left.schema().names
-    right_cols = right.schema().names
-    l_arrow = left.schema().base_schema
-    r_arrow = right.schema().base_schema
+    Benchmarked against Ray's native ``Dataset.join`` on priority_revenue
+    at sf0.1/32cpu: bucketed 2.91 s vs native 2.96 s (best-of-2) — a tie;
+    this portable pattern stays the default, the native path is exercised
+    by q_segment_status_native."""
+    from .grouping import bucketed_cogroup
 
-    def tag(side: int, key: str, pad_schema: pa.Schema):
-        def fn(batch: pa.Table) -> pa.Table:
-            bucket = (batch.column(key).to_numpy(zero_copy_only=False)
-                      .astype(np.int64) % num_buckets).astype(np.int32)
-            batch = (batch.append_column("_b", pa.array(bucket))
-                          .append_column("_side", pa.array(
-                              np.full(batch.num_rows, side, dtype=np.int8))))
-            # pad the other side's columns with nulls so the union schema lines up
-            for field in pad_schema:
-                if field.name not in batch.column_names:
-                    batch = batch.append_column(
-                        field.name, pa.nulls(batch.num_rows, type=field.type))
-            order = left_cols + [c for c in right_cols if c not in left_cols] + ["_b", "_side"]
-            return batch.select(order)
-        return fn
-
-    left_t = left.map_batches(tag(0, left_on, r_arrow), batch_format="pyarrow")
-    right_t = right.map_batches(tag(1, right_on, l_arrow), batch_format="pyarrow")
-    both = left_t.union(right_t)
-
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lf = group.loc[group._side == 0, left_cols]
-        rf = group.loc[group._side == 1, right_cols]
-        if lf.empty or rf.empty:
-            return pd.DataFrame()
+    def join_bucket(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
         return lf.merge(rf, left_on=left_on, right_on=right_on, how="inner")
 
-    return both.groupby("_b").map_groups(join_bucket, batch_format="pandas")
+    return bucketed_cogroup(left, right, [left_on], [right_on],
+                            join_bucket, num_buckets=num_buckets)
 
 
 def q_priority_revenue(sf_dir: str) -> pd.DataFrame:
