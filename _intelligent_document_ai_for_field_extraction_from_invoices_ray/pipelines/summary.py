@@ -16,12 +16,24 @@ import ray.data as rd
 
 def summarize_results(results: rd.Dataset) -> dict:
     def partial(batch: pa.Table) -> pd.DataFrame:
-        df = batch.select([
-            "status", "overall_confidence", "dealer_name", "model_name",
-            "horse_power", "asset_cost", "signature_present", "stamp_present",
-        ]).to_pandas()
+        cols = ["status", "overall_confidence", "dealer_name", "model_name",
+                "horse_power", "asset_cost", "signature_present",
+                "stamp_present"]
+        has_timing = "processing_time_ms" in batch.column_names
+        if has_timing:
+            cols += ["processing_time_ms", "cost_estimate_usd"]
+        df = batch.select(cols).to_pandas()
         ok = df[df.status == "success"]
+        timing = {
+            "time_sum": float(ok.processing_time_ms.sum()) if has_timing else 0.0,
+            "time_min": float(ok.processing_time_ms.min())
+                        if has_timing and len(ok) else float("inf"),
+            "time_max": float(ok.processing_time_ms.max())
+                        if has_timing and len(ok) else float("-inf"),
+            "cost_sum": float(ok.cost_estimate_usd.sum()) if has_timing else 0.0,
+        }
         return pd.DataFrame([{
+            **timing,
             "total": len(df),
             "successful": len(ok),
             "failed": len(df) - len(ok),
@@ -72,6 +84,17 @@ def summarize_results(results: rd.Dataset) -> dict:
                                 "rate": float(parts.sig.sum() / succ) if succ else 0.0},
         "stamp_detection": {"detected": int(parts.stamp.sum()),
                             "rate": float(parts.stamp.sum() / succ) if succ else 0.0},
+        # reference time/cost rollups (executable.py:646-667)
+        "processing_time_stats": {
+            "mean_ms": float(parts.time_sum.sum() / succ) if succ else 0.0,
+            "min_ms": float(parts.time_min.min()) if succ else 0.0,
+            "max_ms": float(parts.time_max.max()) if succ else 0.0,
+            "total_sec": float(parts.time_sum.sum() / 1000.0),
+        },
+        "cost_stats": {
+            "mean_usd": float(parts.cost_sum.sum() / succ) if succ else 0.0,
+            "total_usd": float(parts.cost_sum.sum()),
+        },
     }
     return summary
 

@@ -32,8 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--classify-concurrency", type=int, default=4)
     ap.add_argument("--classify-num-gpus", type=float, default=0.0)
     ap.add_argument("--no-resume", action="store_true")
-    ap.add_argument("--compact", action="store_true",
-                    help="use the compact nested-row exchange")
+    ap.add_argument("--exchange", choices=["compact", "exploded"],
+                    default="compact",
+                    help="reassembly exchange: compact nested-row (default,"
+                         " fewer shuffle bytes) or exploded span-row"
+                         " (required for span-level custom stages)")
     ap.add_argument("--limit", type=int, default=None,
                     help="process only the first N input rows (O4 analog)")
     ap.add_argument("--num-cpus", type=int, default=None,
@@ -59,7 +62,7 @@ def main(argv: list[str] | None = None) -> int:
                         salt_buckets=args.salt_buckets,
                         classify_concurrency=args.classify_concurrency,
                         classify_num_gpus=args.classify_num_gpus,
-                        compact_shuffle=args.compact)
+                        compact_shuffle=args.exchange == "compact")
     # --limit truncates the INPUT (before any side-effectful stage) so
     # shards/manifest records are only written for the limited document set
     from .pipelines.extract import build_extraction

@@ -24,16 +24,18 @@ DOC_SCHEMA = pa.schema([
     ("spans", pa.list_(SPAN_TYPE)),
 ])
 
-# exploded span-row layout produced by the recover stage
+# exploded span-row layout produced by the recover (+normalize) stages.
+# Deliberately minimal: per-span confidence is a pure function of
+# (doc_id, offset) recomputed post-shuffle, and block language is dead
+# metadata in the reference extractor — neither ships through the
+# reassembly exchange.
 SPAN_ROW_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("kind", pa.string()),
     ("text", pa.string()),
     ("media_ref", pa.string()),
     ("offset", pa.int32()),
-    ("confidence", pa.float64()),
     ("norm_text", pa.string()),
-    ("language", pa.string()),
 ])
 
 BBOX = pa.list_(pa.float64())
@@ -60,6 +62,14 @@ RESULT_SCHEMA = pa.schema([
     ("overall_confidence", pa.float64()),
     ("status", pa.string()),
     ("error_message", pa.string()),
+    # per-doc timing breakdown + cost estimate (executable.py:118-127,
+    # 473-488) — wall-clock, excluded from oracle equality
+    ("processing_time_ms", pa.float64()),
+    ("ocr_time_ms", pa.float64()),
+    ("extraction_time_ms", pa.float64()),
+    ("detection_time_ms", pa.float64()),
+    ("validation_time_ms", pa.float64()),
+    ("cost_estimate_usd", pa.float64()),
     ("n_spans", pa.int32()),
     ("norm_spans", pa.list_(SPAN_TYPE)),   # THE invariant columns
 ])

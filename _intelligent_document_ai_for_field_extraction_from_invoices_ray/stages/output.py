@@ -38,6 +38,7 @@ def row_to_json_output(row: dict) -> dict:
         "signature": binary("signature"),
         "stamp": binary("stamp"),
         "overall_confidence": round(row.get("overall_confidence", 0.0), 4),
+        "processing_time_ms": round(row.get("processing_time_ms", 0.0), 2),
         "status": row.get("status"),
     }
 

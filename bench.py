@@ -78,9 +78,11 @@ def run_bench() -> dict:
     # shuffle (same semantics — pytest proves field+span equality vs the
     # oracle for this exact config); scalar results only on the return
     # path (norm_spans still computed, sunk to shards when a sink is set)
+    compact = os.environ.get("GRAFT_EXCHANGE", "compact") != "exploded"
     cfg = ExtractConfig(num_partitions=max(64, n_docs // 2500),
                         classify_concurrency=max(2, NUM_CPUS // 4),
-                        emit_norm_spans=False, compact_shuffle=True)
+                        normalize_stage=not compact,
+                        emit_norm_spans=False, compact_shuffle=compact)
     t0 = time.perf_counter()
     out_rows = build_extraction(rd.read_parquet(docs_path), cfg).count()
     headline = time.perf_counter() - t0
@@ -154,7 +156,8 @@ def run_scaling() -> dict:
     # understates scaling; at 4-vs-16 the job is compute-dominated, the
     # regime the criterion actually targets.  Measured 0.81-0.91 across
     # repeats at 640k docs.
-    lo, hi = 4, 16
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
     # the scaling criterion needs a compute-dominated job: use a larger
     # corpus (docs = documents_rows x GRAFT_SCALING_MULT) so the fixed
     # session/shuffle latency amortizes at both levels

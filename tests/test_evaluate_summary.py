@@ -110,3 +110,85 @@ def test_json_output_format():
     assert d["signature"]["present"] is True
     assert d["signature"]["iou"] is None      # falsy-0.0 quirk preserved
     assert d["signature"]["bbox"] == [1.0, 2.0, 3.0, 4.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_timing_and_cost_columns():
+    """Per-doc cost model parity (executable.py:473-488): cost ==
+    total_sec x $0.01/hr/3600 on CPU; components sum to the total;
+    failed docs pin cost to 0.0 (executable.py:403-404)."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.oracle import (
+        run_oracle,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.sources.corpus import (
+        corpus_tables,
+    )
+
+    docs, _ = corpus_tables(160)          # doc 149 is the no-text 'failed' doc
+    df = run_oracle(docs).to_pandas()
+    ok = df[df.status == "success"]
+    assert (ok.processing_time_ms > 0).all()
+    comp = (ok.ocr_time_ms + ok.extraction_time_ms
+            + ok.detection_time_ms + ok.validation_time_ms)
+    assert ((ok.processing_time_ms - comp).abs() < 1e-9).all()
+    want_cost = (ok.processing_time_ms / 1000.0) * (0.01 / 3600.0)
+    assert ((ok.cost_estimate_usd - want_cost).abs() < 1e-15).all()
+    failed = df[df.status == "failed"]
+    assert len(failed) >= 1
+    assert (failed.cost_estimate_usd == 0.0).all()
+    assert (failed.processing_time_ms > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_summary_and_analyses_rollups():
+    """Summary time/cost rollups (executable.py:646-667) and the three
+    secondary analyses (evaluate.py:349-485) agree with a driver-side
+    recomputation from the same result table."""
+    import numpy as np
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.evaluate import (
+        analyze_confidence,
+        analyze_cost,
+        analyze_performance,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.oracle import (
+        run_oracle,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.sources.corpus import (
+        corpus_tables,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_tensor_extension_casting = False
+    docs, _ = corpus_tables(120)
+    tbl = run_oracle(docs)
+    df = tbl.to_pandas()
+    ok = df[df.status == "success"]
+    ds = rd.from_arrow(tbl)
+
+    s = summarize_results(ds)
+    assert abs(s["processing_time_stats"]["mean_ms"]
+               - ok.processing_time_ms.mean()) < 1e-9
+    assert abs(s["processing_time_stats"]["total_sec"]
+               - ok.processing_time_ms.sum() / 1000) < 1e-9
+    assert abs(s["cost_stats"]["total_usd"] - ok.cost_estimate_usd.sum()) < 1e-15
+
+    c = analyze_confidence(ds)
+    assert c["total_documents"] == len(ok)
+    assert c["mean_confidence"] == round(ok.overall_confidence.mean(), 3)
+    assert abs(c["median_confidence"]
+               - np.median(ok.overall_confidence)) <= 0.001
+    hi = int((ok.overall_confidence >= 0.9).sum())
+    assert c["confidence_distribution"]["high"]["count"] == hi
+
+    p = analyze_performance(ds)
+    t = ok.processing_time_ms / 1000
+    assert p["processing_time"]["mean"] == round(t.mean(), 3)
+    assert p["processing_time"]["target_30s"] == int((t <= 30).sum())
+    # log-histogram median: within 0.6% relative of the exact median
+    assert abs(p["processing_time"]["median"] - np.median(t)) <= max(
+        0.006 * np.median(t), 2e-3)
+
+    co = analyze_cost(ds)
+    assert co["cost_metrics"]["total"] == round(ok.cost_estimate_usd.sum(), 6)
+    assert co["target_analysis"]["below_target"] == len(ok)
