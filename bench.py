@@ -164,11 +164,17 @@ def run_scaling() -> dict:
     os.environ.setdefault("GRAFT_SCALING_MULT", "96")
     os.environ["GRAFT_CORPUS_MULT"] = os.environ["GRAFT_SCALING_MULT"]
     os.environ["GRAFT_HEADLINE_ONLY"] = "1"
-    # best-of-2 per level: single-node runs have ±15% wall-clock noise
-    # (page cache, object-store placement); min-of-trials is the standard
-    # way to measure the deterministic cost
-    r_lo = min((run(lo) for _ in range(2)), key=lambda r: r["value"])
-    r_hi = min((run(hi) for _ in range(2)), key=lambda r: r["value"])
+    # best-of-N per level, INTERLEAVED lo/hi: single-node runs show up to
+    # ±30% wall-clock noise on this box (page cache, object-store
+    # placement, noisy neighbors); min-of-trials measures the
+    # deterministic cost and interleaving decorrelates slow drift
+    reps = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        lo_runs.append(run(lo))
+        hi_runs.append(run(hi))
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "scaling efficiency (same job, fresh ray sessions, N vs 4N cpus)",

@@ -192,3 +192,40 @@ def test_summary_and_analyses_rollups():
     co = analyze_cost(ds)
     assert co["cost_metrics"]["total"] == round(ok.cost_estimate_usd.sum(), 6)
     assert co["target_analysis"]["below_target"] == len(ok)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_visualization_sink(tmp_path):
+    """S8: annotated-page SVG sink — span boxes colored by the 0.7
+    confidence threshold (ocr.py:598), detection boxes with class:conf
+    labels (detector.py:733-763)."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.oracle import (
+        run_oracle,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.sources.corpus import (
+        corpus_tables,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.stages.viz import (
+        render_doc_svg,
+        write_visualizations,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_tensor_extension_casting = False
+    docs, _ = corpus_tables(40)
+    tbl = run_oracle(docs)
+    rows = tbl.to_pylist()
+
+    svg = render_doc_svg(rows[0])
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert "<rect" in svg
+    sig = next((r for r in rows if r["signature_present"]), None)
+    if sig is not None:
+        s = render_doc_svg(sig)
+        assert "signature:" in s and "#00c000" in s
+
+    out = tmp_path / "viz"
+    n = write_visualizations(rd.from_arrow(tbl), str(out), limit=10)
+    files = list(out.glob("*.svg"))
+    assert n == 10 and len(files) == 10
+    assert files[0].read_text().startswith("<svg")
