@@ -149,7 +149,8 @@ def build_extraction(docs: rd.Dataset,
                                 gt_ref=gt_ref, dealer_master_ref=dealer_ref,
                                 model_master_ref=model_ref, rulebook=rulebook,
                                 input_lineage=input_lineage,
-                                emit_norm_spans=cfg.emit_norm_spans)
+                                emit_norm_spans=cfg.emit_norm_spans,
+                                use_gpu=cfg.classify_num_gpus > 0)
     return spans.groupby("_part").map_groups(assemble, batch_format="pyarrow")
 
 
@@ -209,7 +210,8 @@ def _build_compact(docs, cfg, ground_truth, dealer_master, model_master,
                                        model_master_ref=model_ref,
                                        rulebook=rulebook,
                                        input_lineage=input_lineage,
-                                       emit_norm_spans=cfg.emit_norm_spans)
+                                       emit_norm_spans=cfg.emit_norm_spans,
+                                       use_gpu=cfg.classify_num_gpus > 0)
     return rows.groupby("_part").map_groups(assemble, batch_format="pyarrow")
 
 

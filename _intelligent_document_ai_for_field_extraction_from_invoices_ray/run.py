@@ -39,6 +39,19 @@ def main(argv: list[str] | None = None) -> int:
                          " (required for span-level custom stages)")
     ap.add_argument("--limit", type=int, default=None,
                     help="process only the first N input rows (O4 analog)")
+    ap.add_argument("--master-data", default=None,
+                    help="master data JSON {'dealers': [...], 'models': "
+                         "[...]} (reference --master-data, extractor.py:132)")
+    ap.add_argument("--ground-truth", default=None,
+                    help="ground-truth JSON {doc_id: {...}} or parquet; "
+                         "adds evaluation metrics to the summary "
+                         "(reference --ground-truth)")
+    ap.add_argument("--gpu", action="store_true",
+                    help="GPU cost-model rate ($0.10/hr) + detector GPU "
+                         "slots (reference --gpu)")
+    ap.add_argument("--viz-dir", default=None,
+                    help="also write annotated-page SVGs here (S8 sink)")
+    ap.add_argument("--viz-limit", type=int, default=100)
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only for standalone runs; ignored under ray job submit")
     args = ap.parse_args(argv)
@@ -61,8 +74,27 @@ def main(argv: list[str] | None = None) -> int:
     cfg = ExtractConfig(num_partitions=args.num_partitions,
                         salt_buckets=args.salt_buckets,
                         classify_concurrency=args.classify_concurrency,
-                        classify_num_gpus=args.classify_num_gpus,
+                        classify_num_gpus=args.classify_num_gpus
+                        or (1.0 if args.gpu else 0.0),
                         compact_shuffle=args.exchange == "compact")
+
+    dealer_master = model_master = None
+    if args.master_data:
+        with open(args.master_data) as f:
+            md = json.load(f)
+        dealer_master = md.get("dealers") or None
+        model_master = set(md.get("models") or []) or None
+
+    ground_truth = None
+    if args.ground_truth:
+        if args.ground_truth.endswith(".json"):
+            with open(args.ground_truth) as f:
+                ground_truth = json.load(f)
+        else:
+            import pyarrow.parquet as pq
+            ground_truth = {r["doc_id"]: r for r in
+                            pq.read_table(args.ground_truth).to_pylist()}
+
     # --limit truncates the INPUT (before any side-effectful stage) so
     # shards/manifest records are only written for the limited document set
     from .pipelines.extract import build_extraction
@@ -74,14 +106,25 @@ def main(argv: list[str] | None = None) -> int:
     results = build_extraction(docs, cfg=cfg, output_dir=args.output,
                                manifest_dir=args.manifest,
                                resume=not args.no_resume,
+                               ground_truth=ground_truth,
+                               dealer_master=dealer_master,
+                               model_master=model_master,
                                input_lineage=[args.input])
     n_new = results.count()        # drives the pipeline (shards + manifest)
 
     # summarize everything completed (this run + prior resumed runs)
     from .pipelines.extract import load_results
 
-    summary = summarize_results(load_results(args.output))
+    completed = load_results(args.output)
+    summary = summarize_results(completed)
     summary["new_documents_this_run"] = n_new
+    if ground_truth:
+        from .pipelines.evaluate import evaluate_results
+        summary["evaluation"] = evaluate_results(completed, ground_truth)
+    if args.viz_dir:
+        from .stages.viz import write_visualizations
+        summary["visualizations_written"] = write_visualizations(
+            completed, args.viz_dir, limit=args.viz_limit)
     print(json.dumps(summary))
     if owns_session:
         ray.shutdown()

@@ -55,7 +55,8 @@ def make_assemble_nested_fn(output_dir: str | None = None,
                             model_master_ref=None,
                             rulebook: RuleBook | None = None,
                             input_lineage: list[str] | None = None,
-                            emit_norm_spans: bool = True):
+                            emit_norm_spans: bool = True,
+                            use_gpu: bool = False):
     """Assemble for the COMPACT shuffle: groups of nested doc rows
     (doc_id, spans, det_* list columns) instead of exploded span rows.
     Identical semantics — the same ``process_document`` consumes the
@@ -89,7 +90,8 @@ def make_assemble_nested_fn(output_dir: str | None = None,
             results.append(docproc.process_document(
                 doc_id, by_doc[doc_id], ground_truth=gt_map.get(doc_id),
                 dealer_master=dealer_master, model_master=model_master,
-                rulebook=rulebook, media_model=media_model, norm_memo=memo))
+                rulebook=rulebook, media_model=media_model, norm_memo=memo,
+                use_gpu=use_gpu))
         t_extract = time.perf_counter()
         return _finalize(results, by_doc, part_id, output_dir, manifest_dir,
                          input_lineage, emit_norm_spans, t0, t_group, t_extract)
@@ -144,7 +146,8 @@ def make_assemble_fn(output_dir: str | None = None,
                      gt_ref=None, dealer_master_ref=None, model_master_ref=None,
                      rulebook: RuleBook | None = None,
                      input_lineage: list[str] | None = None,
-                     emit_norm_spans: bool = True):
+                     emit_norm_spans: bool = True,
+                     use_gpu: bool = False):
     def assemble(group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         part_id = int(group.column("_part")[0].as_py())
@@ -165,7 +168,8 @@ def make_assemble_fn(output_dir: str | None = None,
             results.append(docproc.process_document(
                 doc_id, by_doc[doc_id], ground_truth=gt_map.get(doc_id),
                 dealer_master=dealer_master, model_master=model_master,
-                rulebook=rulebook, media_model=media_model, norm_memo=memo))
+                rulebook=rulebook, media_model=media_model, norm_memo=memo,
+                use_gpu=use_gpu))
         t_extract = time.perf_counter()
         # norm_spans is always COMPUTED (it is the normalization work
         # itself); emit=False only stops shipping it back through the
