@@ -46,6 +46,23 @@ def _docs(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+def _pa_type(series: pd.Series) -> pa.DataType:
+    """Arrow type for a pandas column, treating object as string (doc
+    ids).  Used to build SCHEMA-STABLE empty group outputs: a pandas
+    empty object column infers as Arrow `null`, and blocks whose schema
+    disagrees with their siblings make Ray's union/groupby silently
+    degrade the dataset schema (the 'new schema: .' warning) and drop
+    rows downstream."""
+    if series.dtype == object:
+        return pa.string()
+    return pa.from_numpy_dtype(series.dtype)
+
+
+def _empty_table(cols: list[tuple[str, pa.DataType]]) -> pa.Table:
+    return pa.Table.from_pylist([], schema=pa.schema(
+        [pa.field(n, t) for n, t in cols]))
+
+
 # ------------------------------------------------------------ exact dedup
 def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     """Canonical doc per exact content hash: md5 → min(doc_id), count."""
@@ -77,10 +94,41 @@ FROM documents GROUP BY md5(text) ORDER BY fp
 
 
 # ------------------------------------------------------------ hash sets
-def hash_sets(docs: rd.Dataset, kind: str = "token") -> rd.Dataset:
-    """(doc_id, th) where th is the sorted-unique int64 hash set of the
-    doc's tokens (kind='token') or 3-shingles (kind='shingle').  The int64
-    sort order doubles as the prefix-filter's global total order."""
+COMMON_SAMPLE = 2048       # docs sampled for the stop-token list
+COMMON_DF = 0.02           # tokens in ≥2% of sampled docs are "common"
+
+
+def common_hashes(docs: rd.Dataset, kind: str = "token") -> frozenset:
+    """Deterministic stop-token list: hash values of tokens/shingles that
+    appear in ≥COMMON_DF of a fixed-size document sample.  Demoting these
+    to the END of the canonical order (frequency-ordered prefixes, the
+    AllPairs/PPJoin trick) keeps template boilerplate out of the prefix —
+    on the sf0.1 corpus this cuts candidates from 10.2M to near the 191k
+    true pairs.  Sample is O(1) regardless of corpus size; the broadcast
+    set is bounded by the sample vocabulary."""
+    sample = docs.limit(COMMON_SAMPLE).to_pandas()
+    memo: dict = {}
+    df_counts: dict[int, int] = {}
+    for t in sample["text"]:
+        toks = t.lower().split()
+        if kind == "token":
+            hs = SK.token_hashes_unique(toks, memo)
+        else:
+            hs = np.unique(SK.shingle_hashes(toks, 3, memo).view(np.int64))
+        for h in hs.tolist():
+            df_counts[h] = df_counts.get(h, 0) + 1
+    cut = max(2, int(len(sample) * COMMON_DF))
+    return frozenset(h for h, c in df_counts.items() if c >= cut)
+
+
+def hash_sets(docs: rd.Dataset, kind: str = "token",
+              demote: frozenset | None = None) -> rd.Dataset:
+    """(doc_id, th) where th is the unique int64 hash set of the doc's
+    tokens (kind='token') or 3-shingles (kind='shingle'), stored in the
+    prefix-filter's canonical total order: (is_common, hash) — rare
+    hashes sorted first, demoted common hashes sorted after them.  Any
+    total order satisfies the prefix lemma; this one makes prefixes
+    rare-token-heavy so candidate generation stays near the true pairs."""
 
     def fn(batch: pa.Table) -> pd.DataFrame:
         memo: dict = {}
@@ -92,39 +140,78 @@ def hash_sets(docs: rd.Dataset, kind: str = "token") -> rd.Dataset:
             else:
                 hs = np.unique(
                     SK.shingle_hashes(toks, 3, memo).view(np.int64))
+            if demote:
+                mask = np.isin(hs, _demote_arr)
+                hs = np.concatenate([hs[~mask], hs[mask]])
             out.append(hs)
         return pd.DataFrame({"doc_id": batch.column("doc_id").to_pylist(),
                              "th": [h.tolist() for h in out]})
 
+    _demote_arr = (np.fromiter(demote, dtype=np.int64, count=len(demote))
+                   if demote else np.empty(0, dtype=np.int64))
+    _demote_arr.sort()
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ candidates
-def _pairs_from_keys(keyed: rd.Dataset, key_col: str) -> rd.Dataset:
-    """(key, doc_id) rows → distinct (doc_a < doc_b) pairs sharing a key.
-    One shuffle for the key groupby, one for the pair dedup."""
+def _pairs_from_keys(keyed: rd.Dataset, key_col: str,
+                     num: int | None = None,
+                     den: int | None = None,
+                     dedup: bool = True) -> rd.Dataset:
+    """(key, doc_id[, n]) rows → (doc_a < doc_b) candidate pairs sharing a
+    key.  One shuffle for the key groupby (+ one for the global pair dedup
+    unless ``dedup=False`` — the verify join dedups for free inside its
+    doc_a bucket, since every copy of a pair hashes there).  When the rows
+    carry set sizes ``n`` and a threshold num/den is given, the LENGTH
+    FILTER prunes pairs that cannot reach J ≥ t: sizes na ≤ nb allow at
+    most J = na/nb, so require den·na ≥ num·nb."""
     from .grouping import bucketed_group_apply
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        size_filter = num is not None and "n" in df.columns
+        pos_filter = size_filter and "p" in df.columns
         outs = []
         for _, g in df.groupby(key_col):
-            ids = np.unique(g["doc_id"].to_numpy())
+            if size_filter:
+                g = g.drop_duplicates("doc_id")
+                ids = g["doc_id"].to_numpy()
+                order = np.argsort(ids)
+                ids = ids[order]
+                ns = g["n"].to_numpy()[order]
+                ps = g["p"].to_numpy()[order] if pos_filter else None
+            else:
+                ids = np.unique(g["doc_id"].to_numpy())
             if len(ids) < 2:
                 continue
             i, j = np.triu_indices(len(ids), k=1)
+            if size_filter:
+                lo = np.minimum(ns[i], ns[j])
+                hi = np.maximum(ns[i], ns[j])
+                # length filter: sizes na ≤ nb cap J at na/nb
+                keep = den * lo >= num * hi
+                if pos_filter:
+                    # positional filter (PPJoin): at the earliest shared
+                    # prefix token the overlap is ≤ min(na-pa, nb-pb);
+                    # J ≥ t needs overlap ≥ ceil(num(na+nb)/(num+den)).
+                    # Safe per-occurrence: the earliest occurrence gives
+                    # the loosest bound and the pair survives via it.
+                    amax = np.minimum(ns[i] - ps[i], ns[j] - ps[j])
+                    need = -(-(num * (ns[i] + ns[j])) // (num + den))
+                    keep &= amax >= need
+                i, j = i[keep], j[keep]
             outs.append(pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]}))
         if not outs:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=object),
-                                 "doc_b": pd.Series(dtype=object)})
+            t = _pa_type(df["doc_id"])
+            return _empty_table([("doc_a", t), ("doc_b", t)])
         return pd.concat(outs, ignore_index=True)
-
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["doc_a", "doc_b"])
 
     pairs = bucketed_group_apply(keyed, [key_col], pairs_in_bucket,
                                  num_buckets=128)
-    return bucketed_group_apply(pairs, ["doc_a", "doc_b"], dedup,
-                                num_buckets=32)
+    if not dedup:
+        return pairs
+    return bucketed_group_apply(
+        pairs, ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]), num_buckets=32)
 
 
 def prefix_candidates(sets: rd.Dataset, num: int, den: int) -> rd.Dataset:
@@ -144,10 +231,13 @@ def prefix_candidates(sets: rd.Dataset, num: int, den: int) -> rd.Dataset:
         toks = values[starts + within]
         ids = np.repeat(
             batch.column("doc_id").to_numpy(zero_copy_only=False), plen)
-        return pd.DataFrame({"tok": toks.astype(np.int64), "doc_id": ids})
+        sizes = np.repeat(n, plen)
+        return pd.DataFrame({"tok": toks.astype(np.int64), "doc_id": ids,
+                             "n": sizes.astype(np.int64),
+                             "p": within.astype(np.int64)})
 
     return _pairs_from_keys(sets.map_batches(emit, batch_format="pyarrow"),
-                            "tok")
+                            "tok", num=num, den=den, dedup=False)
 
 
 # ------------------------------------------------------------ verify join
@@ -162,13 +252,26 @@ def verify_pairs(pairs: rd.Dataset, sets: rd.Dataset, num: int, den: int,
     columns for one qualifying pair."""
     from .grouping import bucketed_cogroup
 
+    # Checkpoint the candidate list (ids only — the smallest intermediate
+    # in the plan).  Chaining the candidate groupby lazily into the two
+    # co-group joins (3 all-to-alls + 2 unions in one streaming plan)
+    # nondeterministically dropped rows in this Ray version (observed
+    # 114/1887 pairs on repeat runs); the materialized boundary makes the
+    # plan deterministic and costs only the pair-id exchange.
+    pairs = pairs.materialize()
+
     def attach(side: str, out_col: str):
-        def fn(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        def fn(lf: pd.DataFrame, rf: pd.DataFrame):
+            if side == "doc_a":
+                # every copy of (a, b) hash-buckets here → dedup for free
+                lf = lf.drop_duplicates(["doc_a", "doc_b"])
             want = list(lf.columns) + [out_col]
             if lf.empty or rf.empty:
-                out = lf.head(0).copy()          # keep the left dtypes
-                out[out_col] = pd.Series(dtype=object)
-                return out
+                # schema-stable empty: th_* columns are list<int64>
+                return _empty_table(
+                    [(c, pa.list_(pa.int64()) if c.startswith("th_")
+                      else _pa_type(lf[c])) for c in lf.columns]
+                    + [(out_col, pa.list_(pa.int64()))])
             rf = rf.rename(columns={"doc_id": side, "th": out_col})
             return lf.merge(rf, on=side, how="inner")[want]
         return fn
@@ -190,10 +293,9 @@ def verify_pairs(pairs: rd.Dataset, sets: rd.Dataset, num: int, den: int,
                 rows.append({"doc_a": r.doc_a, "doc_b": r.doc_b,
                              **emit(inter, union)})
         if not rows:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=object),
-                                 "doc_b": pd.Series(dtype=object),
-                                 **{k: pd.Series(dtype=np.int64)
-                                    for k in emit(1, 1)}})
+            t = _pa_type(df["doc_a"]) if len(df.columns) else pa.string()
+            return _empty_table([("doc_a", t), ("doc_b", t)]
+                                + [(k, pa.int64()) for k in emit(1, 1)])
         return pd.DataFrame(rows)
 
     return j2.map_batches(check, batch_format="pyarrow")
@@ -202,8 +304,10 @@ def verify_pairs(pairs: rd.Dataset, sets: rd.Dataset, num: int, den: int,
 # ------------------------------------------------------------ exact jaccard
 def q_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     """All near-dup pairs with token-set jaccard ≥ 0.95 (exact, integer
-    threshold ``20·|∩| ≥ 19·|∪|``) via the prefix-filter join."""
-    sets = hash_sets(_docs(sf_dir), "token").materialize()
+    threshold ``20·|∩| ≥ 19·|∪|``) via the frequency-ordered
+    prefix-filter join."""
+    common = common_hashes(_docs(sf_dir), "token")
+    sets = hash_sets(_docs(sf_dir), "token", demote=common).materialize()
     cands = prefix_candidates(sets, num=19, den=20)
     out = verify_pairs(
         cands, sets, num=19, den=20,
@@ -241,7 +345,8 @@ def q_shingle_pairs(sf_dir: str) -> pd.DataFrame:
     """All pairs with 3-shingle jaccard ≥ 0.8 — exact (prefix-filter join
     over shingle-hash sets); the exhaustive ground truth the MinHash+LSH
     path below approximates."""
-    sets = hash_sets(_docs(sf_dir), "shingle").materialize()
+    common = common_hashes(_docs(sf_dir), "shingle")
+    sets = hash_sets(_docs(sf_dir), "shingle", demote=common).materialize()
     cands = prefix_candidates(sets, num=4, den=5)
     out = verify_pairs(cands, sets, num=4, den=5, emit=_jm).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
@@ -304,7 +409,7 @@ def minhash_lsh_pairs(docs: rd.Dataset, jaccard_milli: int = 800) -> rd.Dataset:
             "doc_id": ids})
 
     cands = _pairs_from_keys(sets.map_batches(band_keys, batch_format="pyarrow"),
-                             "band")
+                             "band", dedup=False)
     num = jaccard_milli // 200   # 800/1000 = 4/5
     den = 5
     return verify_pairs(cands, sets, num=num, den=den, emit=_jm)

@@ -32,6 +32,22 @@ def _bucket_ids(batch: pa.Table, keys: list[str], num_buckets: int) -> np.ndarra
     return (acc % np.uint64(num_buckets)).astype(np.int32)
 
 
+def _to_arrow(out) -> pa.Table:
+    """Normalize a group-fn output to a METADATA-FREE Arrow table.
+
+    Block-schema hygiene is load-bearing: pandas-built blocks carry a
+    pandas-metadata dict in their Arrow schema, and Ray's shuffle fails to
+    hash such schemas ("Failed to hash the schemas (for deduplication)"),
+    after which the sort/union schema tracking degrades ("new schema: .")
+    and grouped rows are silently lost (observed: a co-group join
+    nondeterministically dropping 94% of its rows).  Every exchange helper
+    here therefore emits uniform Arrow blocks with schema metadata
+    stripped."""
+    if isinstance(out, pd.DataFrame):
+        out = pa.Table.from_pandas(out, preserve_index=False)
+    return out.replace_schema_metadata(None)
+
+
 def bucketed_group_apply(ds: rd.Dataset, keys: list[str],
                          fn: Callable[[pd.DataFrame], pd.DataFrame],
                          num_buckets: int = 64) -> rd.Dataset:
@@ -40,13 +56,15 @@ def bucketed_group_apply(ds: rd.Dataset, keys: list[str],
     key-hash bucket.  One shuffle, ``num_buckets`` Python calls total."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column("_kb", pa.array(_bucket_ids(batch, keys, num_buckets)))
+        out = batch.append_column(
+            "_kb", pa.array(_bucket_ids(batch, keys, num_buckets)))
+        return out.replace_schema_metadata(None)
 
-    def apply(group: pd.DataFrame) -> pd.DataFrame:
-        return fn(group.drop(columns=["_kb"]))
+    def apply(group: pa.Table) -> pa.Table:
+        return _to_arrow(fn(group.drop_columns(["_kb"]).to_pandas()))
 
     return (ds.map_batches(tag, batch_format="pyarrow")
-            .groupby("_kb").map_groups(apply, batch_format="pandas"))
+            .groupby("_kb").map_groups(apply, batch_format="pyarrow"))
 
 
 def bucketed_cogroup(left: rd.Dataset, right: rd.Dataset,
@@ -85,7 +103,7 @@ def bucketed_cogroup(left: rd.Dataset, right: rd.Dataset,
                 if field.name not in batch.column_names:
                     batch = batch.append_column(
                         field.name, pa.nulls(batch.num_rows, type=field.type))
-            return batch.select(order + ["_kb", "_side"])
+            return batch.select(order + ["_kb", "_side"]).replace_schema_metadata(None)
         return f
 
     left_t = left.map_batches(tag(0, left_keys, r_schema),
@@ -93,11 +111,11 @@ def bucketed_cogroup(left: rd.Dataset, right: rd.Dataset,
     right_t = right.map_batches(tag(1, right_keys, l_schema),
                                 batch_format="pyarrow")
 
-    def apply(group: pa.Table) -> pd.DataFrame:
+    def apply(group: pa.Table) -> pa.Table:
         side = group.column("_side").to_numpy(zero_copy_only=False)
         lf = group.filter(pa.array(side == 0)).select(left_cols).to_pandas()
         rf = group.filter(pa.array(side == 1)).select(right_cols).to_pandas()
-        return fn(lf, rf)
+        return _to_arrow(fn(lf, rf))
 
     return (left_t.union(right_t)
             .groupby("_kb").map_groups(apply, batch_format="pyarrow"))
@@ -136,19 +154,21 @@ def pair_grid_apply(ds: rd.Dataset, block_col_src: str,
             own.append(blk)
         out = batch.take(pa.array(np.concatenate(idx)))
         out = out.append_column("_pair", pa.array(np.concatenate(keys)))
-        return out.append_column("_blk", pa.array(np.concatenate(own)))
+        out = out.append_column("_blk", pa.array(np.concatenate(own)))
+        return out.replace_schema_metadata(None)
 
-    def apply(group: pd.DataFrame) -> pd.DataFrame:
+    def apply(tbl: pa.Table) -> pa.Table:
+        group = tbl.to_pandas()
         key = int(group["_pair"].iloc[0])
         lo, hi = key // B, key % B
         g = group.drop(columns=["_pair"])
         if lo == hi:
-            return kernel(g.drop(columns=["_blk"]), None)
+            return _to_arrow(kernel(g.drop(columns=["_blk"]), None))
         a = g.loc[g._blk == lo].drop(columns=["_blk"])
         b = g.loc[g._blk == hi].drop(columns=["_blk"])
         if a.empty or b.empty:
-            return kernel(a.iloc[0:0], b.iloc[0:0])
-        return kernel(a, b)
+            return _to_arrow(kernel(a.iloc[0:0], b.iloc[0:0]))
+        return _to_arrow(kernel(a, b))
 
     return (ds.map_batches(replicate, batch_format="pyarrow")
-            .groupby("_pair").map_groups(apply, batch_format="pandas"))
+            .groupby("_pair").map_groups(apply, batch_format="pyarrow"))

@@ -120,12 +120,17 @@ def run_bench() -> dict:
     timed("doc_quality", textstats.q_doc_quality)
     timed("lang_id", textstats.q_lang_id)
     timed("fingerprint", textstats.q_fingerprint)
+    timed("asof_latest_order", relational.q_asof_latest_order)
+    timed("parts_ordered_large", relational.q_parts_ordered_large)
     timed("exact_dedup", dedup.q_exact_dedup)
+    timed("jaccard_pairs", dedup.q_jaccard_pairs)
+    timed("shingle_pairs", dedup.q_shingle_pairs)
     timed("minhash_pairs", dedup.q_minhash_pairs)
     timed("simhash_pairs", dedup.q_simhash_pairs)
     timed("embed_topk", similarity.q_embed_topk)
     timed("embed_neardup", similarity.q_embed_neardup)
     timed("embed_ann_lsh", similarity.q_embed_ann_lsh)
+    timed("embed_ann_ivf", similarity.q_embed_ann_ivf)
 
     result = {
         "metric": "end-to-end extraction sec (flagship interleaved-doc pipeline) + per-query sec",
