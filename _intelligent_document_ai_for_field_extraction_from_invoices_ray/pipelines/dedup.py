@@ -103,9 +103,10 @@ def common_hashes(docs: rd.Dataset, kind: str = "token") -> frozenset:
     appear in ≥COMMON_DF of a fixed-size document sample.  Demoting these
     to the END of the canonical order (frequency-ordered prefixes, the
     AllPairs/PPJoin trick) keeps template boilerplate out of the prefix —
-    on the sf0.1 corpus this cuts candidates from 10.2M to near the 191k
-    true pairs.  Sample is O(1) regardless of corpus size; the broadcast
-    set is bounded by the sample vocabulary."""
+    on the sf0.1 corpus this cuts candidates 10.2M → 1.9M for 191k true
+    pairs (and total query time 55.7s → 13.7s, vs 180s for the DuckDB
+    oracle).  Sample is O(1) regardless of corpus size; the broadcast set
+    is bounded by the sample vocabulary."""
     sample = docs.limit(COMMON_SAMPLE).to_pandas()
     memo: dict = {}
     df_counts: dict[int, int] = {}

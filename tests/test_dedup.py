@@ -113,3 +113,51 @@ def test_minhash_matches_exact_on_sf0001():
     mh = D.q_minhash_pairs(SF)
     sp = D.q_shingle_pairs(SF)
     assert set(zip(mh.doc_a, mh.doc_b)) <= set(zip(sp.doc_a, sp.doc_b))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lazy_cogroup_chain_keeps_all_rows():
+    """Regression: a LAZY chain of two bucketed_cogroup joins (union +
+    groupby twice in one streaming plan, with some empty buckets) used to
+    silently drop most rows when block schemas carried pandas metadata —
+    Ray's shuffle failed to hash them and degraded the union schema."""
+    import ray.data as rd
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.grouping import (
+        bucketed_cogroup,
+        bucketed_group_apply,
+    )
+
+    n = 500
+    left = rd.from_arrow(pa.table({
+        "k1": pa.array(np.arange(n) % 97, type=pa.int64()),
+        "k2": pa.array(np.arange(n) % 89, type=pa.int64()),
+        "v": pa.array(np.arange(n), type=pa.int64())}))
+    dim1 = rd.from_arrow(pa.table({
+        "d1": pa.array(np.arange(97), type=pa.int64()),
+        "a": pa.array(np.arange(97) * 10, type=pa.int64())}))
+    dim2 = rd.from_arrow(pa.table({
+        "d2": pa.array(np.arange(89), type=pa.int64()),
+        "b": pa.array(np.arange(89) * 100, type=pa.int64())}))
+
+    # pass left through a pandas-building group stage first (the shape
+    # that produced pandas-metadata blocks), then chain two lazy cogroups
+    left2 = bucketed_group_apply(left, ["k1"],
+                                 lambda df: df.drop_duplicates(), 16)
+
+    def join_on(key_l, key_r):
+        def fn(lf, rf):
+            if lf.empty or rf.empty:
+                return lf.head(0).merge(rf.head(0), left_on=key_l,
+                                        right_on=key_r)
+            return lf.merge(rf, left_on=key_l, right_on=key_r)
+        return fn
+
+    j1 = bucketed_cogroup(left2, dim1, ["k1"], ["d1"],
+                          join_on("k1", "d1"), num_buckets=64)  # LAZY
+    j2 = bucketed_cogroup(j1, dim2, ["k2"], ["d2"],
+                          join_on("k2", "d2"), num_buckets=64)
+    out = j2.to_pandas()
+    assert len(out) == n
+    assert (out.a == out.k1 * 10).all()
+    assert (out.b == out.k2 * 100).all()
