@@ -42,6 +42,17 @@ def needs_fallback_row(row: dict,
     return low >= min_fields_threshold
 
 
+def _scalar_bank_extract(text: str) -> dict:
+    """Default second opinion: the normalizer scalar bank (a genuinely
+    different extractor family than the per-block candidate machinery)."""
+    numbers = T.extract_numbers(text)
+    return {"dealer_name": None,          # the scalar bank has no dealer op
+            "model_name": T.extract_model_name(text),
+            "horse_power": T.extract_horse_power(text),
+            "asset_cost": next((int(round(n)) for n in numbers
+                                if 50_000 <= n <= 5_000_000), None)}
+
+
 class FallbackExtractor:
     """Actor-pool second-opinion extractor over the reassembled doc text.
 
@@ -49,20 +60,20 @@ class FallbackExtractor:
     normalizer scalar bank is the 'model').  Consumes flat result rows
     that still carry ``norm_spans`` and emits the merged rows."""
 
-    def __init__(self, vlm_confidence: float = FALLBACK_CONFIDENCE):
+    def __init__(self, vlm_confidence: float = FALLBACK_CONFIDENCE,
+                 extract_fn=None):
+        """``extract_fn(text) -> {dealer_name, model_name, horse_power,
+        asset_cost}`` is the pluggable second-opinion extractor — the
+        ``create_llm_extraction_prompt`` extension surface of the
+        reference (extractor.py:653-714): a user plugs a prompt-driven
+        LLM/VLM callable here and the branch/merge plumbing is reused
+        unchanged.  Default: the normalizer scalar bank."""
         self.vlm_confidence = vlm_confidence
+        self.extract_fn = extract_fn or _scalar_bank_extract
 
     def _second_opinion(self, norm_spans: list[dict]) -> dict:
         text = " ".join(s["text"] for s in norm_spans if s["kind"] == "text")
-        hp = T.extract_horse_power(text)
-        model = T.extract_model_name(text)
-        numbers = T.extract_numbers(text)
-        cost = next((int(round(n)) for n in numbers
-                     if 50_000 <= n <= 5_000_000), None)
-        return {"dealer_name": None,      # the scalar bank has no dealer op
-                "model_name": model,
-                "horse_power": hp,
-                "asset_cost": cost}
+        return self.extract_fn(text)
 
     def _merge_field(self, row: dict, field: str, alt_value) -> None:
         """merge_results policies for one field (vlm_fallback.py:459-490)."""
@@ -101,7 +112,8 @@ class FallbackExtractor:
 
 def with_fallback(results: rd.Dataset,
                   confidence_threshold: float = 0.7,
-                  concurrency: int = 2, batch_size: int = 256) -> rd.Dataset:
+                  concurrency: int = 2, batch_size: int = 256,
+                  extract_fn=None) -> rd.Dataset:
     """Split → fallback-extract the low slice on an actor pool → union.
 
     ``results`` must carry ``norm_spans`` (emit_norm_spans=True)."""
@@ -142,5 +154,6 @@ def with_fallback(results: rd.Dataset,
     high = high.map_batches(finalize_high, batch_format="pyarrow")
     low = (tagged.map_batches(keep(True), batch_format="pyarrow")
            .map_batches(FallbackExtractor, batch_format="pyarrow",
-                        batch_size=batch_size, concurrency=concurrency))
+                        batch_size=batch_size, concurrency=concurrency,
+                        fn_constructor_kwargs={"extract_fn": extract_fn}))
     return high.union(low)

@@ -121,3 +121,35 @@ def test_fallback_branch_end_to_end():
     # high-confidence docs keep source 'rule'
     assert (merged[merged.overall_confidence >= 0.9].model_name_source
             .isin(["rule", "rule+fallback_confirmed"])).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fallback_pluggable_extractor():
+    """§2.10: the second-opinion extractor is pluggable (the reference's
+    create_llm_extraction_prompt surface) — a custom callable replaces
+    the scalar bank and its values flow through the merge policies."""
+    import ray.data as rd
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.oracle import (
+        run_oracle,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.fallback import (
+        with_fallback,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.sources.corpus import (
+        corpus_tables,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_tensor_extension_casting = False
+    docs, _ = corpus_tables(160)   # includes the no-text 'failed' doc
+    res = rd.from_arrow(run_oracle(docs))
+
+    def my_llm(text: str) -> dict:
+        return {"dealer_name": "PLUGGED DEALER", "model_name": None,
+                "horse_power": None, "asset_cost": None}
+
+    out = with_fallback(res, concurrency=2, extract_fn=my_llm).to_pandas()
+    plugged = out[out.dealer_name == "PLUGGED DEALER"]
+    assert len(plugged) > 0
+    assert (plugged.dealer_name_source == "fallback_fill").all()
