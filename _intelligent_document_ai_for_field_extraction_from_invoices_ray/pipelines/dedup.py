@@ -297,7 +297,8 @@ def verify_pairs(pairs: rd.Dataset, sets: rd.Dataset, num: int, den: int,
             t = _pa_type(df["doc_a"]) if len(df.columns) else pa.string()
             return _empty_table([("doc_a", t), ("doc_b", t)]
                                 + [(k, pa.int64()) for k in emit(1, 1)])
-        return pd.DataFrame(rows)
+        from .grouping import _to_arrow
+        return _to_arrow(pd.DataFrame(rows))
 
     return j2.map_batches(check, batch_format="pyarrow")
 
