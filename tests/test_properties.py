@@ -106,3 +106,70 @@ def test_nms_invariants(boxes):
     for i in range(len(kept)):
         for j in range(i + 1, len(kept)):
             assert D.iou(kept[i]["bbox"], kept[j]["bbox"]) <= 0.5 + 1e-12
+
+
+# ---------------------------------------------------------------- prefix join
+@given(st.lists(st.lists(st.integers(0, 60), min_size=0, max_size=40),
+                min_size=2, max_size=25),
+       st.sampled_from([(19, 20), (4, 5), (1, 2)]))
+@settings(max_examples=30, deadline=None)
+def test_prefix_filter_pure_candidates_complete(token_sets, thr):
+    """Pure (no-Ray) statement of the prefix-filter lemma over the SAME
+    arithmetic the distributed join uses: every pair with J ≥ num/den
+    shares an element within the first n - ceil(t·n) + 1 positions of the
+    canonical order, and survives the length + positional filters."""
+    num, den = thr
+    sets = [np.unique(np.array(s, dtype=np.int64)) for s in token_sets]
+
+    def plen(n):
+        return n - ((num * n + den - 1) // den) + 1 if n else 0
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            if not union or den * inter < num * union:
+                continue
+            # candidate generation must find a shared prefix token ...
+            pa_, pb_ = set(a[:plen(len(a))].tolist()), set(b[:plen(len(b))].tolist())
+            shared = pa_ & pb_
+            assert shared, (a.tolist(), b.tolist(), num, den)
+            # ... whose occurrence passes the length + positional filters
+            lo, hi = sorted((len(a), len(b)))
+            assert den * lo >= num * hi
+            tok = min(shared)            # the earliest shared prefix token
+            ia = int(np.searchsorted(a, tok))
+            ib = int(np.searchsorted(b, tok))
+            need = -(-(num * (len(a) + len(b))) // (num + den))
+            assert min(len(a) - ia, len(b) - ib) >= need
+
+
+def test_results_identical_across_hash_seeds(tmp_path):
+    """Workers must agree regardless of PYTHONHASHSEED (the verify-skill
+    probe): run the oracle in two subprocesses with different seeds and
+    compare full result CSVs byte-for-byte (timing columns excluded)."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.sources.corpus import corpus_tables
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.oracle import run_oracle
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions.docproc import TIMING_COLS
+docs, gt = corpus_tables(80)
+df = run_oracle(docs).to_pandas()
+df = df.drop(columns=TIMING_COLS)
+df["norm_spans"] = df["norm_spans"].map(
+    lambda ss: "|".join(f"{s['kind']},{s['text']},{s['media_ref']},{s['offset']}" for s in ss))
+df.to_csv(sys.argv[1], index=False)
+"""
+    outs = []
+    for seed in ("0", "424242"):
+        out = tmp_path / f"seed{seed}.csv"
+        subprocess.run([sys.executable, "-c", script, str(out)],
+                       env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin",
+                            "HOME": "/root"},
+                       cwd="/root/repo", check=True, timeout=240)
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1]
