@@ -307,7 +307,14 @@ def verify_pairs(pairs: rd.Dataset, sets: rd.Dataset, num: int, den: int,
 def q_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     """All near-dup pairs with token-set jaccard ≥ 0.95 (exact, integer
     threshold ``20·|∩| ≥ 19·|∪|``) via the frequency-ordered
-    prefix-filter join."""
+    prefix-filter join.
+
+    The hash-set table is ``materialize()``d because three stages consume
+    it (candidate gen + both verify joins) and Ray re-executes lazy
+    lineage per consumer; the object store spills it block-by-block at
+    scale.  The alternative — re-reading and re-hashing the corpus per
+    consumer — trades 2 extra corpus scans for zero store residency;
+    flip if store pressure ever beats scan cost."""
     common = common_hashes(_docs(sf_dir), "token")
     sets = hash_sets(_docs(sf_dir), "token", demote=common).materialize()
     cands = prefix_candidates(sets, num=19, den=20)
