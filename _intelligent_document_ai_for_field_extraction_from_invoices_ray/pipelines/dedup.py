@@ -483,10 +483,134 @@ def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     return pairs.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+
+
+
+# ------------------------------------------------------------ components
+def connected_components(edges: rd.Dataset, nodes: rd.Dataset,
+                         max_rounds: int = 30) -> rd.Dataset:
+    """Connected components over a near-dup pair graph → per-doc cluster
+    canonical (min reachable doc_id) — the step that turns pair detection
+    into actual deduplication at corpus scale.
+
+    Hash-to-min label propagation: every round each node's label becomes
+    the min of its own and its neighbors' labels, executed as ONE
+    bucketed co-group join (labels onto edge sources) plus one bucketed
+    min-reduce; converges in O(log diameter) rounds.  Labels only ever
+    decrease, so the global label SUM is a monotone convergence witness —
+    one tiny aggregate per round, no per-node change join.  Each round's
+    label table is checkpointed (materialize ≙ the parquet checkpoint a
+    multi-day 10^12-row run would write).
+
+    ``edges``: (doc_a, doc_b) int64 pairs; ``nodes``: (doc_id) int64.
+    """
+    from .grouping import bucketed_cogroup, bucketed_group_apply
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a")
+        b = batch.column("doc_b")
+        return pa.table({"src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                         "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])})
+
+    e = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        return pa.table({"doc_id": ids, "label": ids})
+
+    labels = nodes.map_batches(init_labels, batch_format="pyarrow").materialize()
+
+    def send(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        # lf: edges bucketed by src; rf: labels bucketed by doc_id
+        if lf.empty or rf.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "label": pd.Series(dtype=np.int64)})
+        m = lf.merge(rf.rename(columns={"doc_id": "src"}), on="src")
+        return pd.DataFrame({"doc_id": m.dst, "label": m.label})
+
+    def min_label(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False).agg(label=("label", "min"))
+
+    def label_sum(ds: rd.Dataset) -> int:
+        from ray.data.aggregate import Sum
+        return int(ds.aggregate(Sum("label"))["sum(label)"])
+
+    prev = label_sum(labels)
+    for _ in range(max_rounds):
+        msgs = bucketed_cogroup(e, labels, ["src"], ["doc_id"], send,
+                                num_buckets=32)
+        labels = bucketed_group_apply(labels.union(msgs), ["doc_id"],
+                                      min_label, num_buckets=32).materialize()
+        cur = label_sum(labels)
+        if cur == prev:        # labels are monotone non-increasing
+            break
+        prev = cur
+    return labels
+
+
+def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Cluster id (min reachable doc_id) per document over the exact
+    shingle-jaccard ≥0.8 near-dup graph; singletons are their own
+    cluster.  Completes the dedup family: pairs → clusters → canonical
+    keeper per cluster."""
+    common = common_hashes(_docs(sf_dir), "shingle")
+    sets = hash_sets(_docs(sf_dir), "shingle", demote=common).materialize()
+    edges = verify_pairs(prefix_candidates(sets, 4, 5), sets, 4, 5,
+                         emit=_jm).map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    nodes = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    out = connected_components(edges, nodes).to_pandas()
+    out = out.rename(columns={"label": "cluster_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# cluster id = min doc_id reachable through the near-dup graph; DuckDB
+# computes it with a recursive transitive closure over the same edge set
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END AS w
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              END AS sh
+  FROM t
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) + len(b.sh) > 0
+    AND 2000 * len(list_intersect(a.sh, b.sh))
+        >= 1600 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+), e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+), reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+)
+SELECT d.doc_id,
+       CAST(LEAST(d.doc_id,
+                  COALESCE((SELECT MIN(r.dst) FROM reach r
+                            WHERE r.src = d.doc_id), d.doc_id))
+            AS BIGINT) AS cluster_id
+FROM documents d ORDER BY doc_id
+"""
+
+
 DEDUP_QUERIES = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "shingle_pairs": (q_shingle_pairs, SQL_SHINGLE_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # LSH recall < 1 ⇒ rows-only driver check; precision/recall pinned
     # against shingle_pairs by tests/test_properties.py
     "minhash_pairs": (q_minhash_pairs, None),

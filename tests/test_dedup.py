@@ -161,3 +161,35 @@ def test_lazy_cogroup_chain_keeps_all_rows():
     assert len(out) == n
     assert (out.a == out.k1 * 10).all()
     assert (out.b == out.k2 * 100).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_vs_union_find():
+    """Distributed hash-to-min label propagation must equal a driver-side
+    union-find over the same edge set (dense clustered corpus)."""
+    _no_tensor_casting()
+    tbl = _near_dup_corpus()
+    docs = rd.from_arrow(tbl)
+    sets = D.hash_sets(docs, "shingle").materialize()
+    edges_df = D.verify_pairs(D.prefix_candidates(sets, 4, 5), sets, 4, 5,
+                              emit=D._jm).to_pandas()
+    nodes = rd.from_arrow(tbl.select(["doc_id"]))
+    edges = rd.from_pandas(edges_df[["doc_a", "doc_b"]])
+    got = (D.connected_components(edges, nodes).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    # union-find ground truth
+    parent = {int(d): int(d) for d in tbl.column("doc_id").to_pylist()}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in zip(edges_df.doc_a, edges_df.doc_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in parent}
+
+    assert len(edges_df) >= 12            # graph actually has clusters
+    assert {int(r.doc_id): int(r.label) for r in got.itertuples()} == want
