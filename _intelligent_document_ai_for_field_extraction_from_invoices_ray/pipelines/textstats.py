@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -186,10 +187,89 @@ FROM documents ORDER BY doc_id
 """
 
 
+
+
+
+# ------------------------------------------------------------ sampling
+SAMPLE_MOD = 10      # keep 1-in-10
+
+
+def q_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash sampling — the scale-safe train/val splitter:
+    keep a doc iff md5(doc_id) mod K == 0.  No RNG state, no coordination,
+    identical on every worker/rerun, and any table keyed by doc_id can be
+    co-sampled with the same predicate.  (ds.random_sample would be
+    nondeterministic across runs and unjoinable across tables.)"""
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_pylist()
+        keep, kept_ids = [], []
+        for d in ids:
+            h = int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+            if h % SAMPLE_MOD == 0:
+                kept_ids.append(d)
+        return pd.DataFrame({"doc_id": pd.Series(kept_ids, dtype=np.int64)})
+
+    out = (rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+           .map_batches(fn, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SAMPLE_DOCS = f"""
+SELECT doc_id FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % {SAMPLE_MOD} = 0
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------ histogram
+def q_token_histogram(sf_dir: str) -> pd.DataFrame:
+    """Corpus doc-length distribution: log2-bucketed token counts with
+    per-bucket doc and token totals — per-batch partial histograms merged
+    by ONE tiny groupby (the corpus-stats pass every training-data run
+    starts with)."""
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        n = np.array([len(t.split()) for t in
+                      batch.column("text").to_pylist()], dtype=np.int64)
+        bucket = np.where(n > 0, np.floor(np.log2(np.maximum(n, 1))), -1).astype(np.int64)
+        df = pd.DataFrame({"log2_bucket": bucket, "n": n})
+        return df.groupby("log2_bucket", as_index=False).agg(
+            n_docs=("n", "size"), total_tokens=("n", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    out = (_docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+           .groupby("log2_bucket")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("total_tokens", alias_name="total_tokens"))
+           .to_pandas())
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_tokens"] = out["total_tokens"].astype(np.int64)
+    return out.sort_values("log2_bucket").reset_index(drop=True)
+
+
+SQL_TOKEN_HISTOGRAM = r"""
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+         END AS n
+  FROM documents
+)
+SELECT CASE WHEN n > 0 THEN CAST(floor(log2(n)) AS BIGINT) ELSE -1 END AS log2_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1 ORDER BY log2_bucket
+"""
+
+
 TEXT_QUERIES = {
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "pii_mask": (q_pii_mask, SQL_PII_MASK),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
+    "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
 }
