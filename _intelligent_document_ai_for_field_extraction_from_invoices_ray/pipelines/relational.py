@@ -702,6 +702,56 @@ GROUP BY c_mktsegment, o_orderstatus ORDER BY c_mktsegment, o_orderstatus
 """
 
 
+# ------------------------------------------------------------ range join
+def q_event_followers(sf_dir: str) -> pd.DataFrame:
+    """RANGE (interval) self-join over a large table: for each event, how
+    many events by the same user land in the following hour.  Both sides
+    are the events table co-partitioned by user key (one union shuffle via
+    ``bucketed_cogroup``); inside each bucket the interval predicate is
+    evaluated with two vectorized ``searchsorted`` calls over the
+    per-user time-sorted array — the portable range-join pattern (the
+    as-of join above is its `nearest-only` special case)."""
+    from .grouping import bucketed_cogroup
+
+    left = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+    right = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def range_bucket(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if lf.empty or rf.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                                 "n_followers": pd.Series(dtype=np.int64)})
+        out_ids, out_counts = [], []
+        rf_sorted = rf.sort_values(["user_id", "ts"])
+        for uid, g in lf.groupby("user_id", sort=False):
+            r = rf_sorted[rf_sorted.user_id == uid]
+            rts = r.ts.to_numpy()
+            ts = g.ts.to_numpy()
+            lo = np.searchsorted(rts, ts, side="right")          # strictly after
+            hi = np.searchsorted(rts, ts + np.timedelta64(1, "h"),
+                                 side="right")                   # ≤ ts + 1h
+            n = hi - lo
+            keep = n > 0
+            out_ids.extend(g.event_id.to_numpy()[keep].tolist())
+            out_counts.extend(n[keep].tolist())
+        return pd.DataFrame({"event_id": pd.Series(out_ids, dtype=np.int64),
+                             "n_followers": pd.Series(out_counts, dtype=np.int64)})
+
+    out = bucketed_cogroup(left, right, ["user_id"], ["user_id"],
+                           range_bucket, num_buckets=32).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENT_FOLLOWERS = """
+SELECT a.event_id, COUNT(*) AS n_followers
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.event_id ORDER BY a.event_id
+"""
+
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE_FILTER),
@@ -715,6 +765,7 @@ QUERIES = {
     "events_json": (q_events_json, SQL_EVENTS_JSON),
     "running_spend": (q_running_spend, SQL_RUNNING_SPEND),
     "asof_latest_order": (q_asof_latest_order, SQL_ASOF_LATEST_ORDER),
+    "event_followers": (q_event_followers, SQL_EVENT_FOLLOWERS),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "parts_ordered_large": (q_parts_ordered_large, SQL_PARTS_ORDERED_LARGE),
     "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
