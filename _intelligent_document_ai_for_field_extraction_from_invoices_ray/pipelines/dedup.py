@@ -106,20 +106,34 @@ def common_hashes(docs: rd.Dataset, kind: str = "token") -> frozenset:
     on the sf0.1 corpus this cuts candidates 10.2M → 1.9M for 191k true
     pairs (and total query time 55.7s → 13.7s, vs 180s for the DuckDB
     oracle).  Sample is O(1) regardless of corpus size; the broadcast set
-    is bounded by the sample vocabulary."""
-    sample = docs.limit(COMMON_SAMPLE).to_pandas()
-    memo: dict = {}
-    df_counts: dict[int, int] = {}
-    for t in sample["text"]:
-        toks = t.lower().split()
-        if kind == "token":
-            hs = SK.token_hashes_unique(toks, memo)
-        else:
-            hs = np.unique(SK.shingle_hashes(toks, 3, memo).view(np.int64))
-        for h in hs.tolist():
-            df_counts[h] = df_counts.get(h, 0) + 1
-    cut = max(2, int(len(sample) * COMMON_DF))
-    return frozenset(h for h, c in df_counts.items() if c >= cut)
+    is bounded by the sample vocabulary.  Document-frequency counting runs
+    distributed (per-batch ``np.unique`` partials, tiny driver merge) —
+    only the (hash, df) partials ever reach the driver."""
+    sample = docs.limit(COMMON_SAMPLE)
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        memo: dict = {}
+        per_doc = []
+        for t in batch.column("text").to_pylist():
+            toks = t.lower().split()
+            if kind == "token":
+                per_doc.append(SK.token_hashes_unique(toks, memo))
+            else:
+                per_doc.append(np.unique(
+                    SK.shingle_hashes(toks, 3, memo).view(np.int64)))
+        allh = (np.concatenate(per_doc) if per_doc
+                else np.empty(0, dtype=np.int64))
+        uniq, cnt = np.unique(allh, return_counts=True)
+        return pa.table({"h": pa.array(uniq, type=pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = sample.map_batches(partial_df, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return frozenset()
+    n_docs = min(COMMON_SAMPLE, int(sample.count()))
+    df_counts = parts.groupby("h")["c"].sum()
+    cut = max(2, int(n_docs * COMMON_DF))
+    return frozenset(df_counts.index[df_counts >= cut].tolist())
 
 
 def hash_sets(docs: rd.Dataset, kind: str = "token",
@@ -131,7 +145,7 @@ def hash_sets(docs: rd.Dataset, kind: str = "token",
     total order satisfies the prefix lemma; this one makes prefixes
     rare-token-heavy so candidate generation stays near the true pairs."""
 
-    def fn(batch: pa.Table) -> pd.DataFrame:
+    def fn(batch: pa.Table) -> pa.Table:
         memo: dict = {}
         out = []
         for t in batch.column("text").to_pylist():
@@ -145,8 +159,18 @@ def hash_sets(docs: rd.Dataset, kind: str = "token",
                 mask = np.isin(hs, _demote_arr)
                 hs = np.concatenate([hs[~mask], hs[mask]])
             out.append(hs)
-        return pd.DataFrame({"doc_id": batch.column("doc_id").to_pylist(),
-                             "th": [h.tolist() for h in out]})
+        # build the list column straight from values+offsets (no per-doc
+        # Python lists, no pandas object round-trip)
+        lens = np.fromiter((len(h) for h in out), dtype=np.int64,
+                           count=len(out))
+        offsets = np.zeros(len(out) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        values = (np.concatenate(out) if out
+                  else np.empty(0, dtype=np.int64))
+        th = pa.ListArray.from_arrays(pa.array(offsets),
+                                      pa.array(values, type=pa.int64()))
+        return pa.table({"doc_id": batch.column("doc_id"), "th": th}
+                        ).replace_schema_metadata(None)
 
     _demote_arr = (np.fromiter(demote, dtype=np.int64, count=len(demote))
                    if demote else np.empty(0, dtype=np.int64))
@@ -168,43 +192,73 @@ def _pairs_from_keys(keyed: rd.Dataset, key_col: str,
     most J = na/nb, so require den·na ≥ num·nb."""
     from .grouping import bucketed_group_apply
 
-    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_bucket(df: pd.DataFrame) -> pa.Table:
+        """All intra-group (doc_a < doc_b) pairs for every key group in
+        the bucket, fully vectorized across groups (no per-group Python
+        loop — buckets hold ~thousands of mostly-tiny groups):
+
+        sort by (key, doc_id), find group runs, then enumerate each
+        element as the RIGHT of a pair with every earlier element of its
+        run via repeat/cumsum index arithmetic."""
         size_filter = num is not None and "n" in df.columns
         pos_filter = size_filter and "p" in df.columns
-        outs = []
-        for _, g in df.groupby(key_col):
-            if size_filter:
-                g = g.drop_duplicates("doc_id")
-                ids = g["doc_id"].to_numpy()
-                order = np.argsort(ids)
-                ids = ids[order]
-                ns = g["n"].to_numpy()[order]
-                ps = g["p"].to_numpy()[order] if pos_filter else None
-            else:
-                ids = np.unique(g["doc_id"].to_numpy())
-            if len(ids) < 2:
-                continue
-            i, j = np.triu_indices(len(ids), k=1)
-            if size_filter:
-                lo = np.minimum(ns[i], ns[j])
-                hi = np.maximum(ns[i], ns[j])
-                # length filter: sizes na ≤ nb cap J at na/nb
-                keep = den * lo >= num * hi
-                if pos_filter:
-                    # positional filter (PPJoin): at the earliest shared
-                    # prefix token the overlap is ≤ min(na-pa, nb-pb);
-                    # J ≥ t needs overlap ≥ ceil(num(na+nb)/(num+den)).
-                    # Safe per-occurrence: the earliest occurrence gives
-                    # the loosest bound and the pair survives via it.
-                    amax = np.minimum(ns[i] - ps[i], ns[j] - ps[j])
-                    need = -(-(num * (ns[i] + ns[j])) // (num + den))
-                    keep &= amax >= need
-                i, j = i[keep], j[keep]
-            outs.append(pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]}))
-        if not outs:
-            t = _pa_type(df["doc_id"])
-            return _empty_table([("doc_a", t), ("doc_b", t)])
-        return pd.concat(outs, ignore_index=True)
+        t = _pa_type(df["doc_id"])
+        empty = _empty_table([("doc_a", t), ("doc_b", t)])
+        if df.empty:
+            return empty
+        key = df[key_col].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        if pos_filter:
+            # min-p occurrence kept on (key, doc) dup: loosest positional
+            # bound, so the candidate set is a superset of any other pick
+            order = np.lexsort((df["p"].to_numpy(), ids, key))
+        else:
+            order = np.lexsort((ids, key))
+        key, ids = key[order], ids[order]
+        if size_filter:
+            ns = df["n"].to_numpy()[order]
+            ps = df["p"].to_numpy()[order] if pos_filter else None
+        # drop duplicate (key, doc_id) rows, keeping the first of each run
+        first = np.ones(len(key), dtype=bool)
+        first[1:] = (key[1:] != key[:-1]) | (ids[1:] != ids[:-1])
+        key, ids = key[first], ids[first]
+        if size_filter:
+            ns = ns[first]
+            ps = ps[first] if pos_filter else None
+        m = len(key)
+        if m < 2:
+            return empty
+        new_grp = np.ones(m, dtype=bool)
+        new_grp[1:] = key[1:] != key[:-1]
+        grp_start = np.flatnonzero(new_grp)
+        sizes = np.diff(np.append(grp_start, m))
+        within = np.arange(m) - np.repeat(grp_start, sizes)
+        total = int(within.sum())        # sum of s*(s-1)/2 over groups
+        if total == 0:
+            return empty
+        r_idx = np.repeat(np.arange(m), within)
+        run_start = np.cumsum(within) - within
+        l_local = np.arange(total) - np.repeat(run_start, within)
+        l_idx = np.repeat(np.repeat(grp_start, sizes), within) + l_local
+        if size_filter:
+            lo = np.minimum(ns[l_idx], ns[r_idx])
+            hi = np.maximum(ns[l_idx], ns[r_idx])
+            # length filter: sizes na ≤ nb cap J at na/nb
+            keep = den * lo >= num * hi
+            if pos_filter:
+                # positional filter (PPJoin): at the earliest shared
+                # prefix token the overlap is ≤ min(na-pa, nb-pb);
+                # J ≥ t needs overlap ≥ ceil(num(na+nb)/(num+den)).
+                amax = np.minimum(ns[l_idx] - ps[l_idx],
+                                  ns[r_idx] - ps[r_idx])
+                need = -(-(num * (ns[l_idx] + ns[r_idx])) // (num + den))
+                keep &= amax >= need
+            l_idx, r_idx = l_idx[keep], r_idx[keep]
+            if len(l_idx) == 0:
+                return empty
+        return pa.table({"doc_a": pa.array(ids[l_idx]),
+                         "doc_b": pa.array(ids[r_idx])}
+                        ).replace_schema_metadata(None)
 
     pairs = bucketed_group_apply(keyed, [key_col], pairs_in_bucket,
                                  num_buckets=128)
@@ -242,65 +296,137 @@ def prefix_candidates(sets: rd.Dataset, num: int, den: int) -> rd.Dataset:
 
 
 # ------------------------------------------------------------ verify join
-def verify_pairs(pairs: rd.Dataset, sets: rd.Dataset, num: int, den: int,
-                 emit) -> rd.Dataset:
-    """Exact-verify candidate (doc_a, doc_b) pairs against the full hash
-    sets: two bucketed co-group joins attach th_a / th_b (sets ship once
-    per join — never broadcast), then a vectorized-per-pair intersect
-    applies the integer threshold ``den·|∩| ≥ num·|∪|``.
+def _doc_blocks(vals: pd.Series, num_blocks: int) -> np.ndarray:
+    """Deterministic doc-id → block assignment (pandas siphash, fixed
+    key — identical across worker processes)."""
+    h = pd.util.hash_pandas_object(vals, index=False).to_numpy()
+    return (h % np.uint64(num_blocks)).astype(np.int64)
 
-    ``emit(inter, union) -> dict`` builds the operator-specific output
-    columns for one qualifying pair."""
+
+def verify_pairs(pairs: rd.Dataset, sets: rd.Dataset, num: int, den: int,
+                 emit, num_blocks: int = 16) -> rd.Dataset:
+    """Exact-verify candidate (doc_a, doc_b) pairs against the full hash
+    sets via the BLOCK-GRID exchange: each doc's hash set is replicated
+    to its ``num_blocks`` block-pair keys (a bounded B× copy of the
+    corpus sets), each candidate pair routes ONCE to the block-pair of
+    its two doc blocks, and one co-group join co-locates them.  The
+    per-bucket kernel then counts intersections for ALL its pairs with
+    one lexsort (both set sides are unique, so |∩| = duplicate
+    (pair, hash) entries after concatenating the gathered sides).
+
+    Exchange cost: sets·B + pairs — NOT pairs·set_size.  The earlier
+    per-pair attach join shipped both full hash lists per candidate
+    (≈2·|set| ints × pairs); on near-dup-dense corpora (1.9M candidates
+    at sf0.1) that was ~50× more bytes than the grid.  Raise
+    ``num_blocks`` to shrink per-bucket state at scale.
+
+    ``emit(inter: ndarray, union: ndarray) -> dict[str, ndarray]`` builds
+    the operator-specific output columns (vectorized contract)."""
     from .grouping import bucketed_cogroup
 
+    B = num_blocks
     # Checkpoint the candidate list (ids only — the smallest intermediate
-    # in the plan).  Chaining the candidate groupby lazily into the two
-    # co-group joins (3 all-to-alls + 2 unions in one streaming plan)
+    # in the plan).  Chaining the candidate groupby lazily into the
+    # co-group join (all-to-alls + unions in one streaming plan)
     # nondeterministically dropped rows in this Ray version (observed
     # 114/1887 pairs on repeat runs); the materialized boundary makes the
     # plan deterministic and costs only the pair-id exchange.
     pairs = pairs.materialize()
 
-    def attach(side: str, out_col: str):
-        def fn(lf: pd.DataFrame, rf: pd.DataFrame):
-            if side == "doc_a":
-                # every copy of (a, b) hash-buckets here → dedup for free
-                lf = lf.drop_duplicates(["doc_a", "doc_b"])
-            want = list(lf.columns) + [out_col]
-            if lf.empty or rf.empty:
-                # schema-stable empty: th_* columns are list<int64>
-                return _empty_table(
-                    [(c, pa.list_(pa.int64()) if c.startswith("th_")
-                      else _pa_type(lf[c])) for c in lf.columns]
-                    + [(out_col, pa.list_(pa.int64()))])
-            rf = rf.rename(columns={"doc_id": side, "th": out_col})
-            return lf.merge(rf, on=side, how="inner")[want]
-        return fn
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        a = _doc_blocks(batch.column("doc_a").to_pandas(), B)
+        b = _doc_blocks(batch.column("doc_b").to_pandas(), B)
+        pk = np.minimum(a, b) * B + np.maximum(a, b)
+        return (batch.append_column("_pk", pa.array(pk))
+                .replace_schema_metadata(None))
 
-    j1 = bucketed_cogroup(pairs, sets, ["doc_a"], ["doc_id"],
-                          attach("doc_a", "th_a"))
-    j2 = bucketed_cogroup(j1, sets, ["doc_b"], ["doc_id"],
-                          attach("doc_b", "th_b"))
+    def tag_sets(batch: pa.Table) -> pa.Table:
+        blk = _doc_blocks(batch.column("doc_id").to_pandas(), B)
+        n = batch.num_rows
+        idxs, pks = [], []
+        for q in range(B):
+            idxs.append(np.arange(n))
+            pks.append(np.minimum(blk, q) * B + np.maximum(blk, q))
+        out = batch.take(pa.array(np.concatenate(idxs)))
+        return (out.append_column("_pk", pa.array(np.concatenate(pks)))
+                .replace_schema_metadata(None))
 
-    def check(batch: pa.Table) -> pd.DataFrame:
-        rows = []
-        df = batch.to_pandas()
-        for r in df.itertuples(index=False):
-            a = np.asarray(r.th_a, dtype=np.int64)
-            b = np.asarray(r.th_b, dtype=np.int64)
-            inter = len(np.intersect1d(a, b, assume_unique=True))
-            union = len(a) + len(b) - inter
-            if union and den * inter >= num * union:
-                rows.append({"doc_a": r.doc_a, "doc_b": r.doc_b,
-                             **emit(inter, union)})
-        if not rows:
-            t = _pa_type(df["doc_a"]) if len(df.columns) else pa.string()
+    cands_t = pairs.map_batches(tag_pairs, batch_format="pyarrow")
+    sets_t = sets.map_batches(tag_sets, batch_format="pyarrow")
+
+    probe = emit(np.array([1], dtype=np.int64),
+                 np.array([1], dtype=np.int64))
+    CHUNK_VALUES = 4_000_000   # bound per-kernel gather memory
+
+    def kernel(lf: pd.DataFrame, rf: pd.DataFrame) -> pa.Table:
+        # lf: candidates (doc_a, doc_b, _pk); rf: set replicas
+        # (doc_id, th, _pk).  Bucket collisions may merge several _pk
+        # groups — harmless: co-location is preserved, duplicate set
+        # replicas are dropped by doc_id.
+        if lf.empty or rf.empty:
+            t = _pa_type(lf["doc_a"]) if not lf.empty else pa.int64()
             return _empty_table([("doc_a", t), ("doc_b", t)]
-                                + [(k, pa.int64()) for k in emit(1, 1)])
-        from .grouping import _to_arrow
-        return _to_arrow(pd.DataFrame(rows))
+                                + [(k, pa.int64()) for k in probe])
+        lf = lf.drop_duplicates(["doc_a", "doc_b"])
+        rf = rf.drop_duplicates("doc_id")
+        ths = rf["th"].to_numpy()
+        lens = np.fromiter((len(x) for x in ths), dtype=np.int64,
+                           count=len(ths))
+        offs = np.zeros(len(ths) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        raw = (np.concatenate(ths) if len(ths)
+               else np.empty(0, dtype=np.int64)).astype(np.int64)
+        # remap hashes to bucket-local dense vocabulary ids so the
+        # per-chunk duplicate count can use ONE single-key np.sort
+        # (row<<vbits | vid) instead of a two-key lexsort — ~3x faster
+        uvals, vals = np.unique(raw, return_inverse=True)
+        vals = vals.astype(np.int64)
+        vbits = max(1, int(len(uvals)).bit_length())
+        idx = pd.Index(rf["doc_id"])
+        ia_all = idx.get_indexer(lf["doc_a"])
+        ib_all = idx.get_indexer(lf["doc_b"])
+        ok = (ia_all >= 0) & (ib_all >= 0)   # replication invariant guard
+        lf = lf.loc[ok]
+        ia_all, ib_all = ia_all[ok], ib_all[ok]
 
-    return j2.map_batches(check, batch_format="pyarrow")
+        def gather(i_arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            n = lens[i_arr]
+            total = int(n.sum())
+            pos = np.arange(total) - np.repeat(np.cumsum(n) - n, n)
+            return vals[np.repeat(offs[i_arr], n) + pos], n
+
+        out_a, out_b, out_i, out_u = [], [], [], []
+        npairs = len(ia_all)
+        avg = max(1, int(lens.mean()) if len(lens) else 1)
+        step = max(1024, CHUNK_VALUES // (2 * avg))
+        for s in range(0, npairs, step):
+            ia, ib = ia_all[s:s + step], ib_all[s:s + step]
+            va, na = gather(ia)
+            vb, nb = gather(ib)
+            m = len(ia)
+            row = np.concatenate([np.repeat(np.arange(m), na),
+                                  np.repeat(np.arange(m), nb)])
+            key = np.concatenate([va, vb]) | (row << vbits)
+            key.sort()
+            dup = key[1:] == key[:-1]
+            inter = np.bincount(key[1:][dup] >> vbits, minlength=m)
+            union = na + nb - inter
+            keep = (union > 0) & (den * inter >= num * union)
+            out_a.append(lf["doc_a"].to_numpy()[s:s + step][keep])
+            out_b.append(lf["doc_b"].to_numpy()[s:s + step][keep])
+            out_i.append(inter[keep].astype(np.int64))
+            out_u.append(union[keep].astype(np.int64))
+        doc_a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        doc_b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        inter = np.concatenate(out_i) if out_i else np.empty(0, np.int64)
+        union = np.concatenate(out_u) if out_u else np.empty(0, np.int64)
+        cols = {"doc_a": pa.array(doc_a), "doc_b": pa.array(doc_b)}
+        for k, v in emit(inter, union).items():
+            cols[k] = pa.array(np.asarray(v, dtype=np.int64))
+        return pa.table(cols).replace_schema_metadata(None)
+
+    return bucketed_cogroup(cands_t, sets_t, ["_pk"], ["_pk"], kernel,
+                            num_buckets=max(32, B * (B + 1) // 2))
 
 
 # ------------------------------------------------------------ exact jaccard
@@ -320,8 +446,7 @@ def q_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     cands = prefix_candidates(sets, num=19, den=20)
     out = verify_pairs(
         cands, sets, num=19, den=20,
-        emit=lambda i, u: {"inter_tokens": np.int64(i),
-                           "union_tokens": np.int64(u)}).to_pandas()
+        emit=lambda i, u: {"inter_tokens": i, "union_tokens": u}).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -346,8 +471,10 @@ ORDER BY doc_a, doc_b
 
 
 # ------------------------------------------------------------ shingle pairs
-def _jm(inter: int, union: int) -> dict:
-    return {"jaccard_milli": np.int64((2000 * inter + union) // (2 * union))}
+def _jm(inter, union) -> dict:
+    """Integer-milli jaccard (half-up rounding), elementwise over numpy
+    arrays (the vectorized ``verify_pairs`` emit contract)."""
+    return {"jaccard_milli": (2000 * inter + union) // (2 * union)}
 
 
 def q_shingle_pairs(sf_dir: str) -> pd.DataFrame:
