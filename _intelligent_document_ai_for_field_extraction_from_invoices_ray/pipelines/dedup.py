@@ -639,13 +639,20 @@ def connected_components(edges: rd.Dataset, nodes: rd.Dataset,
         return pa.table({"src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
                          "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])})
 
-    e = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    # coalesce block counts at every round boundary: map_groups emits one
+    # tiny block per input slice and union CONCATENATES block lists, so
+    # without repartition the label table snowballed 64 -> 256 -> 640
+    # blocks and per-round task overhead tripled each round (observed
+    # 2.9 s -> 8.2 s -> ... on a 512-edge graph)
+    e = (edges.map_batches(both_dirs, batch_format="pyarrow")
+         .repartition(32).materialize())
 
     def init_labels(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id")
         return pa.table({"doc_id": ids, "label": ids})
 
-    labels = nodes.map_batches(init_labels, batch_format="pyarrow").materialize()
+    labels = (nodes.map_batches(init_labels, batch_format="pyarrow")
+              .repartition(32).materialize())
 
     def send(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
         # lf: edges bucketed by src; rf: labels bucketed by doc_id
@@ -664,10 +671,15 @@ def connected_components(edges: rd.Dataset, nodes: rd.Dataset,
 
     prev = label_sum(labels)
     for _ in range(max_rounds):
+        # materialize the message stage: lazily chaining the co-group into
+        # the min-reduce (2 groupbys + 2 unions in one plan) ran 3-10x
+        # slower in this Ray version (22 s observed for a 512-edge round);
+        # the boundary costs only the (dst, label) message exchange
         msgs = bucketed_cogroup(e, labels, ["src"], ["doc_id"], send,
-                                num_buckets=32)
-        labels = bucketed_group_apply(labels.union(msgs), ["doc_id"],
-                                      min_label, num_buckets=32).materialize()
+                                num_buckets=32).materialize()
+        labels = (bucketed_group_apply(labels.union(msgs), ["doc_id"],
+                                       min_label, num_buckets=32)
+                  .repartition(32).materialize())
         cur = label_sum(labels)
         if cur == prev:        # labels are monotone non-increasing
             break
