@@ -97,6 +97,18 @@ FROM documents GROUP BY md5(text) ORDER BY fp
 COMMON_SAMPLE = 2048       # docs sampled for the stop-token list
 COMMON_DF = 0.02           # tokens in ≥2% of sampled docs are "common"
 
+# per-(sf_dir, kind) memo: the stop-token sample is deterministic for a
+# given input directory, and three queries (jaccard/shingle/clusters)
+# recompute it otherwise
+_COMMON_CACHE: dict[tuple[str, str], frozenset] = {}
+
+
+def common_hashes_cached(sf_dir: str, kind: str) -> frozenset:
+    key = (sf_dir, kind)
+    if key not in _COMMON_CACHE:
+        _COMMON_CACHE[key] = common_hashes(_docs(sf_dir), kind)
+    return _COMMON_CACHE[key]
+
 
 def common_hashes(docs: rd.Dataset, kind: str = "token") -> frozenset:
     """Deterministic stop-token list: hash values of tokens/shingles that
@@ -124,16 +136,23 @@ def common_hashes(docs: rd.Dataset, kind: str = "token") -> frozenset:
         allh = (np.concatenate(per_doc) if per_doc
                 else np.empty(0, dtype=np.int64))
         uniq, cnt = np.unique(allh, return_counts=True)
-        return pa.table({"h": pa.array(uniq, type=pa.int64()),
-                         "c": pa.array(cnt.astype(np.int64))})
+        # one marker row (kind=1) carries the batch's doc count, so the
+        # sample size comes back with the partials (no second execution);
+        # a null key would float64-ize the 64-bit hashes in pandas
+        return pa.table({
+            "h": pa.array(np.append(uniq, 0), type=pa.int64()),
+            "c": pa.array(np.append(cnt.astype(np.int64), batch.num_rows)),
+            "kind": pa.array(np.append(np.zeros(len(uniq), np.int8),
+                                       np.int8(1)))})
 
     parts = sample.map_batches(partial_df, batch_format="pyarrow").to_pandas()
     if parts.empty:
         return frozenset()
-    n_docs = min(COMMON_SAMPLE, int(sample.count()))
-    df_counts = parts.groupby("h")["c"].sum()
+    n_docs = int(parts.loc[parts["kind"] == 1, "c"].sum())
+    data = parts[parts["kind"] == 0]
+    df_counts = data.groupby("h")["c"].sum()
     cut = max(2, int(n_docs * COMMON_DF))
-    return frozenset(df_counts.index[df_counts >= cut].tolist())
+    return frozenset(int(h) for h in df_counts.index[df_counts >= cut])
 
 
 def hash_sets(docs: rd.Dataset, kind: str = "token",
@@ -208,23 +227,63 @@ def _pairs_from_keys(keyed: rd.Dataset, key_col: str,
             return empty
         key = df[key_col].to_numpy()
         ids = df["doc_id"].to_numpy()
-        if pos_filter:
-            # min-p occurrence kept on (key, doc) dup: loosest positional
-            # bound, so the candidate set is a superset of any other pick
-            order = np.lexsort((df["p"].to_numpy(), ids, key))
-        else:
-            order = np.lexsort((ids, key))
-        key, ids = key[order], ids[order]
         if size_filter:
-            ns = df["n"].to_numpy()[order]
+            # sort by (key, n, id): the LENGTH filter (sizes na ≤ nb cap
+            # J at na/nb, so require den·na ≥ num·nb) then makes each
+            # element's valid partners a CONTIGUOUS size window ending
+            # just before it — generate only window pairs (one
+            # searchsorted over a (group-rank << 32 | n) composite key)
+            # instead of all s²/2 group pairs then filtering.  On the
+            # sf0.1 token corpus this skips 76% of raw pair volume.
+            ns_in = df["n"].to_numpy()
+            order = np.lexsort((df["p"].to_numpy(), ids, ns_in, key)
+                               if pos_filter
+                               else (ids, ns_in, key))
+            key, ids, ns = key[order], ids[order], ns_in[order]
             ps = df["p"].to_numpy()[order] if pos_filter else None
-        # drop duplicate (key, doc_id) rows, keeping the first of each run
+            m = len(key)
+            if m < 2:
+                return empty
+            new_grp = np.ones(m, dtype=bool)
+            new_grp[1:] = key[1:] != key[:-1]
+            grp_rank = np.cumsum(new_grp) - 1
+            # (key, doc) appears at most once in the prefix exchange
+            # (hash sets are unique within a doc); a residual duplicate
+            # would only produce doc_a == doc_b rows, masked below
+            comp = (grp_rank << np.int64(32)) | ns
+            target = (grp_rank << np.int64(32)) | ((num * ns + den - 1) // den)
+            start = np.searchsorted(comp, target, side="left")
+            counts = np.arange(m) - start
+            total = int(counts.sum())
+            if total == 0:
+                return empty
+            r_idx = np.repeat(np.arange(m), counts)
+            run_start = np.cumsum(counts) - counts
+            l_idx = np.repeat(start, counts) + (
+                np.arange(total) - np.repeat(run_start, counts))
+            keep = ids[l_idx] != ids[r_idx]
+            if pos_filter:
+                # positional filter (PPJoin): at the earliest shared
+                # prefix token the overlap is ≤ min(na-pa, nb-pb);
+                # J ≥ t needs overlap ≥ ceil(num(na+nb)/(num+den)).
+                amax = np.minimum(ns[l_idx] - ps[l_idx],
+                                  ns[r_idx] - ps[r_idx])
+                need = -(-(num * (ns[l_idx] + ns[r_idx])) // (num + den))
+                keep &= amax >= need
+            l_idx, r_idx = l_idx[keep], r_idx[keep]
+            if len(l_idx) == 0:
+                return empty
+            doc_a = np.minimum(ids[l_idx], ids[r_idx])
+            doc_b = np.maximum(ids[l_idx], ids[r_idx])
+            return pa.table({"doc_a": pa.array(doc_a),
+                             "doc_b": pa.array(doc_b)}
+                            ).replace_schema_metadata(None)
+        # unfiltered path (LSH band keys): all intra-group id pairs
+        order = np.lexsort((ids, key))
+        key, ids = key[order], ids[order]
         first = np.ones(len(key), dtype=bool)
         first[1:] = (key[1:] != key[:-1]) | (ids[1:] != ids[:-1])
         key, ids = key[first], ids[first]
-        if size_filter:
-            ns = ns[first]
-            ps = ps[first] if pos_filter else None
         m = len(key)
         if m < 2:
             return empty
@@ -240,22 +299,6 @@ def _pairs_from_keys(keyed: rd.Dataset, key_col: str,
         run_start = np.cumsum(within) - within
         l_local = np.arange(total) - np.repeat(run_start, within)
         l_idx = np.repeat(np.repeat(grp_start, sizes), within) + l_local
-        if size_filter:
-            lo = np.minimum(ns[l_idx], ns[r_idx])
-            hi = np.maximum(ns[l_idx], ns[r_idx])
-            # length filter: sizes na ≤ nb cap J at na/nb
-            keep = den * lo >= num * hi
-            if pos_filter:
-                # positional filter (PPJoin): at the earliest shared
-                # prefix token the overlap is ≤ min(na-pa, nb-pb);
-                # J ≥ t needs overlap ≥ ceil(num(na+nb)/(num+den)).
-                amax = np.minimum(ns[l_idx] - ps[l_idx],
-                                  ns[r_idx] - ps[r_idx])
-                need = -(-(num * (ns[l_idx] + ns[r_idx])) // (num + den))
-                keep &= amax >= need
-            l_idx, r_idx = l_idx[keep], r_idx[keep]
-            if len(l_idx) == 0:
-                return empty
         return pa.table({"doc_a": pa.array(ids[l_idx]),
                          "doc_b": pa.array(ids[r_idx])}
                         ).replace_schema_metadata(None)
@@ -441,7 +484,7 @@ def q_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     scale.  The alternative — re-reading and re-hashing the corpus per
     consumer — trades 2 extra corpus scans for zero store residency;
     flip if store pressure ever beats scan cost."""
-    common = common_hashes(_docs(sf_dir), "token")
+    common = common_hashes_cached(sf_dir, "token")
     sets = hash_sets(_docs(sf_dir), "token", demote=common).materialize()
     cands = prefix_candidates(sets, num=19, den=20)
     out = verify_pairs(
@@ -481,7 +524,7 @@ def q_shingle_pairs(sf_dir: str) -> pd.DataFrame:
     """All pairs with 3-shingle jaccard ≥ 0.8 — exact (prefix-filter join
     over shingle-hash sets); the exhaustive ground truth the MinHash+LSH
     path below approximates."""
-    common = common_hashes(_docs(sf_dir), "shingle")
+    common = common_hashes_cached(sf_dir, "shingle")
     sets = hash_sets(_docs(sf_dir), "shingle", demote=common).materialize()
     cands = prefix_candidates(sets, num=4, den=5)
     out = verify_pairs(cands, sets, num=4, den=5, emit=_jm).to_pandas()
@@ -692,7 +735,7 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     shingle-jaccard ≥0.8 near-dup graph; singletons are their own
     cluster.  Completes the dedup family: pairs → clusters → canonical
     keeper per cluster."""
-    common = common_hashes(_docs(sf_dir), "shingle")
+    common = common_hashes_cached(sf_dir, "shingle")
     sets = hash_sets(_docs(sf_dir), "shingle", demote=common).materialize()
     edges = verify_pairs(prefix_candidates(sets, 4, 5), sets, 4, 5,
                          emit=_jm).map_batches(
