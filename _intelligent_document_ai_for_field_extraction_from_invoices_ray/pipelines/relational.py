@@ -208,27 +208,43 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset,
 
 
 def q_priority_revenue(sf_dir: str) -> pd.DataFrame:
-    """lineitem ⋈ orders (both large → bucketed hash join) → revenue by
-    order priority."""
+    """lineitem ⋈ orders → revenue by order priority, with the
+    aggregation pushed BELOW the join: lineitem pre-aggregates to
+    per-orderkey partials inside ``map_batches`` (the combiner), the
+    partials co-group with orders on the key buckets, and each bucket
+    reduces straight to its 5 priority rows — ONE union shuffle carrying
+    ~1 row per (batch, orderkey) instead of raw lineitem, and the final
+    reduce is a driver-side merge of buckets × 5 rows."""
+    from .grouping import bucketed_cogroup
+
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = bucketed_hash_join(li, orders, "l_orderkey", "o_orderkey")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(columns=["o_orderpriority", "n_items", "revenue_scaled"])
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
         rev = _cents(df.l_extendedprice) * (100 - _cents(df.l_discount))
-        df = df.assign(revenue=rev)
-        return df.groupby("o_orderpriority", as_index=False).agg(
-            n_items=("revenue", "size"), revenue_scaled=("revenue", "sum"))
+        return (df.assign(revenue=rev)
+                .groupby("l_orderkey", as_index=False)
+                .agg(n_items=("revenue", "size"),
+                     revenue_scaled=("revenue", "sum")))
 
-    from ray.data.aggregate import Sum
+    lp = li.map_batches(li_partial, batch_format="pandas")
 
-    out = (joined.map_batches(partial, batch_format="pandas")
-           .groupby("o_orderpriority")
-           .aggregate(Sum("n_items", alias_name="n_items"),
-                      Sum("revenue_scaled", alias_name="revenue_scaled"))
-           .to_pandas())
+    def per_bucket(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if lf.empty or rf.empty:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series(dtype=object),
+                "n_items": pd.Series(dtype=np.int64),
+                "revenue_scaled": pd.Series(dtype=np.int64)})
+        m = lf.merge(rf.rename(columns={"o_orderkey": "l_orderkey"}),
+                     on="l_orderkey")
+        return m.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("n_items", "sum"),
+            revenue_scaled=("revenue_scaled", "sum"))
+
+    out = bucketed_cogroup(lp, orders, ["l_orderkey"], ["o_orderkey"],
+                           per_bucket).to_pandas()
+    out = out.groupby("o_orderpriority", as_index=False).agg(
+        n_items=("n_items", "sum"), revenue_scaled=("revenue_scaled", "sum"))
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
