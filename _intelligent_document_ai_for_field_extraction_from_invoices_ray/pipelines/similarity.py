@@ -153,6 +153,9 @@ def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
 
     out = pair_grid_apply(_emb(sf_dir), "vec_id", kernel,
                           num_blocks=NEARDUP_BLOCKS).to_pandas()
+    if out.empty:
+        # an empty Dataset to_pandas()es to a COLUMN-LESS frame
+        return _pairs_frame()
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
@@ -333,9 +336,79 @@ def q_embed_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+# ------------------------------------------------------------ k-means
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def kmeans_assign(ds: rd.Dataset, k: int = KMEANS_K,
+                  iters: int = KMEANS_ITERS) -> rd.Dataset:
+    """Distributed spherical k-means (Lloyd): centroids broadcast per
+    round (k·dim floats — the only driver-resident state), each round is
+    ONE streaming pass emitting per-batch (cluster, vector-sum, count)
+    partials, and the driver reduces the tiny partial table into new
+    centroids.  No shuffle at all — the reduction key space is k.
+
+    Determinism: partials are reduced in (cluster, min-vec-id) sorted
+    order so float summation order is fixed given the block layout;
+    assignment ties break to the lowest cluster id (argmax-first)."""
+    init_df = ds.limit(k).to_pandas()
+    cent = _normalize(np.stack(init_df.embedding.to_numpy())
+                      .astype(np.float64))
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            ids, mat = _to_matrix(batch)
+            mat = _normalize(mat)
+            a = (mat @ ray.get(ref).T).argmax(axis=1)
+            rows = {"cluster": [], "vsum": [], "cnt": [], "mn": []}
+            for ci in np.unique(a):
+                sel = a == ci
+                rows["cluster"].append(int(ci))
+                rows["vsum"].append(mat[sel].sum(axis=0).tolist())
+                rows["cnt"].append(int(sel.sum()))
+                rows["mn"].append(int(ids[sel].min()))
+            return pd.DataFrame(rows)
+
+        parts = (ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=4096)
+                 .to_pandas().sort_values(["cluster", "mn"]))
+        new = cent.copy()
+        for ci, g in parts.groupby("cluster"):
+            s = np.sum(np.stack(g.vsum.to_numpy()), axis=0)
+            v = s / int(g.cnt.sum())
+            nv = np.linalg.norm(v)
+            if nv > 0:
+                new[int(ci)] = v / nv
+        cent = new
+
+    final_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        ids, mat = _to_matrix(batch)
+        a = (_normalize(mat) @ ray.get(final_ref).T).argmax(axis=1)
+        return pd.DataFrame({"vec_id": ids.astype(np.int64),
+                             "cluster_id": a.astype(np.int64)})
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+
+def q_embed_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Per-vector cluster assignment after KMEANS_ITERS Lloyd rounds over
+    the embeddings table (k=KMEANS_K, deterministic first-k init).
+    Iterative model fitting is not SQL-expressible → rows-only driver
+    check; invariants (determinism, separable-corpus recovery, partition
+    structure) are pinned by pytest."""
+    out = kmeans_assign(_emb(sf_dir)).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 SIM_QUERIES = {
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     "embed_ann_lsh": (q_embed_ann_lsh, None),
     "embed_ann_ivf": (q_embed_ann_ivf, None),
+    "embed_kmeans": (q_embed_kmeans, None),
 }

@@ -264,6 +264,253 @@ FROM t GROUP BY 1 ORDER BY log2_bucket
 """
 
 
+# ------------------------------------------------------------ quantiles
+def q_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus doc-length quantiles from a distributed value
+    histogram: token counts have a bounded value domain, so per-batch
+    (n, count) partials reduce to a tiny histogram and the driver takes a
+    cumulative scan — exact order statistics with ONE small shuffle and
+    no global sort.  Quantile q = smallest n with cum_count ≥ ceil(q·N)
+    (the inverted-CDF definition, stated explicitly so the SQL oracle
+    computes the identical statistic)."""
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        n = np.array([len(t.split()) for t in
+                      batch.column("text").to_pylist()], dtype=np.int64)
+        uniq, cnt = np.unique(n, return_counts=True)
+        return pd.DataFrame({"n": uniq, "c": cnt.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    hist = (_docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+            .groupby("n").aggregate(Sum("c", alias_name="c"))
+            .to_pandas().sort_values("n"))
+    total = int(hist["c"].sum())
+    cum = hist["c"].cumsum().to_numpy()
+    ns = hist["n"].to_numpy()
+
+    def q_at(p: float) -> int:
+        need = int(np.ceil(p * total))
+        return int(ns[np.searchsorted(cum, need, side="left")])
+
+    return pd.DataFrame({"n_docs": pd.Series([total], dtype=np.int64),
+                         "p50": pd.Series([q_at(0.5)], dtype=np.int64),
+                         "p90": pd.Series([q_at(0.9)], dtype=np.int64),
+                         "p99": pd.Series([q_at(0.99)], dtype=np.int64),
+                         "max_tokens": pd.Series([int(ns[-1])], dtype=np.int64)})
+
+
+SQL_LENGTH_QUANTILES = r"""
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+         END AS n
+  FROM documents
+), g AS (
+  SELECT n, COUNT(*) AS c FROM t GROUP BY n
+), cum AS (
+  SELECT n, SUM(c) OVER (ORDER BY n) AS cc FROM g
+), tot AS (SELECT COUNT(*) AS nd FROM t)
+SELECT CAST(tot.nd AS BIGINT) AS n_docs,
+       CAST((SELECT MIN(n) FROM cum WHERE cc >= ceil(0.5  * tot.nd)) AS BIGINT) AS p50,
+       CAST((SELECT MIN(n) FROM cum WHERE cc >= ceil(0.9  * tot.nd)) AS BIGINT) AS p90,
+       CAST((SELECT MIN(n) FROM cum WHERE cc >= ceil(0.99 * tot.nd)) AS BIGINT) AS p99,
+       CAST((SELECT MAX(n) FROM t) AS BIGINT) AS max_tokens
+FROM tot
+"""
+
+
+# ------------------------------------------------------------ stratified
+STRAT_DENOM = 10     # keep ceil(|stratum| / 10) docs per stratum
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Stratified deterministic sample: within every ``lang`` stratum keep
+    the ceil(|stratum|/10) docs with the smallest md5(doc_id) hash — an
+    order-statistic per group, computed with one lang-bucketed shuffle
+    (each stratum is wholly inside its bucket, so the group count and the
+    bottom-k are local).  Deterministic, coordination-free, and the kept
+    set is reproducible from the doc_id alone given the stratum sizes."""
+    from .grouping import bucketed_group_apply
+
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_pylist()
+        hv = [int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+              for d in ids]
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                             "lang": batch.column("lang").to_pylist(),
+                             "hv": pd.Series(hv, dtype=np.int64)})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("lang"):
+            k = -(-len(g) // STRAT_DENOM)
+            outs.append(g.sort_values(["hv", "doc_id"]).head(k))
+        out = pd.concat(outs) if outs else df
+        return out[["doc_id", "lang"]]
+
+    ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "lang"])
+          .map_batches(keyed, batch_format="pyarrow"))
+    out = bucketed_group_apply(ds, ["lang"], per_bucket,
+                               num_buckets=16).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM h
+)
+SELECT doc_id, lang FROM r
+WHERE rn <= CAST(ceil(cnt / {STRAT_DENOM}.0) AS BIGINT)
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------ tf-idf
+def q_tfidf_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-3 distinguishing terms per doc by integer-ratio TF-IDF
+    (score = 1000·tf·N // df — a pure-integer idf surrogate, exactly
+    reproducible in SQL; ln-based idf would hinge on libm equality).
+
+    Fully distributed, no vocabulary broadcast: (doc, token, tf) rows
+    bucket by TOKEN, so each bucket sees every occurrence of its tokens
+    and computes df as the group size and the score in place; a second
+    bucketed shuffle by DOC picks each doc's top-3 (score desc, token
+    asc).  Two shuffles ∝ distinct (doc, token) pairs."""
+    from collections import Counter
+
+    from .grouping import bucketed_group_apply
+
+    docs = _docs(sf_dir)
+    n_docs = int(docs.count())
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ids, toks, tfs = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for tok, tf in Counter(t.lower().split()).items():
+                ids.append(d)
+                toks.append(tok)
+                tfs.append(tf)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                             "token": toks,
+                             "tf": pd.Series(tfs, dtype=np.int64)})
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # every row of a token is in this bucket → df = group size
+        dfreq = df.groupby("token")["doc_id"].transform("size")
+        score = (1000 * df["tf"].to_numpy() * n_docs) // dfreq.to_numpy()
+        return df.assign(score_scaled=score)[["doc_id", "token",
+                                              "score_scaled"]]
+
+    def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "score_scaled", "token"],
+                            ascending=[True, False, True])
+        df["rnk"] = df.groupby("doc_id").cumcount() + 1
+        return df[df["rnk"] <= 3]
+
+    scored = bucketed_group_apply(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["token"], score_bucket, num_buckets=64)
+    out = bucketed_group_apply(scored, ["doc_id"], topk_bucket,
+                               num_buckets=64).to_pandas()
+    out["rnk"] = out["rnk"].astype(np.int64)
+    return out.sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+
+
+SQL_TFIDF_TOPK = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END AS toks
+  FROM documents
+), u AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM u GROUP BY doc_id, token
+), dfq AS (
+  SELECT token, COUNT(*) AS dfd FROM tf GROUP BY token
+), s AS (
+  SELECT tf.doc_id, tf.token,
+         CAST((1000 * tf.tf * (SELECT COUNT(*) FROM documents)) // dfq.dfd
+              AS BIGINT) AS score_scaled
+  FROM tf JOIN dfq USING (token)
+), r AS (
+  SELECT doc_id, token, score_scaled,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_scaled DESC, token) AS rnk
+  FROM s
+)
+SELECT doc_id, token, score_scaled, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
+# ------------------------------------------------------------ hotspots
+def q_ngram_hotspots(sf_dir: str) -> pd.DataFrame:
+    """Top-20 most-repeated 5-token spans across the corpus (multiset
+    occurrence counts — the contamination / boilerplate detector).
+    Per-batch Counter partials → token-bucketed sum → per-bucket top-20 →
+    tiny driver merge; only (ngram, count) partials ever move."""
+    from collections import Counter
+
+    from .grouping import bucketed_group_apply
+
+    K = 5
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.lower().split()
+            for i in range(len(toks) - K + 1):
+                c[" ".join(toks[i:i + K])] += 1
+        if not c:
+            return pd.DataFrame({"ngram": pd.Series(dtype=object),
+                                 "n_occurrences": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"ngram": list(c.keys()),
+                             "n_occurrences": pd.Series(list(c.values()),
+                                                        dtype=np.int64)})
+
+    def sum_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ngram", as_index=False)["n_occurrences"].sum()
+        return g.sort_values(["n_occurrences", "ngram"],
+                             ascending=[False, True]).head(20)
+
+    parts = bucketed_group_apply(
+        _docs(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["ngram"], sum_top, num_buckets=32).to_pandas()
+    out = parts.sort_values(["n_occurrences", "ngram"],
+                            ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+SQL_NGRAM_HOTSPOTS = r"""
+WITH t AS (
+  SELECT CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END AS w
+  FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(1, array_length(w) - 3),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                     || w[i+3] || ' ' || w[i+4])) AS ngram
+  FROM t WHERE array_length(w) >= 5
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram LIMIT 20
+"""
+
+
 TEXT_QUERIES = {
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
@@ -272,4 +519,8 @@ TEXT_QUERIES = {
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
+    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "ngram_hotspots": (q_ngram_hotspots, SQL_NGRAM_HOTSPOTS),
 }

@@ -107,3 +107,49 @@ def test_neardup_pair_grid_exact_vs_brute_force():
             .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
     assert len(want) > 50          # the scenario is actually dense
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_recovers_separable_clusters():
+    """Lloyd rounds on a well-separated synthetic corpus must (a) be
+    deterministic across runs and (b) put every planted cluster in one
+    k-means cell, exactly matching a local numpy reference of the same
+    algorithm."""
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.RandomState(11)
+    centers = S._normalize(rng.normal(size=(4, 16)))
+    vecs, ids, planted = [], [], []
+    for c in range(4):
+        for i in range(30):
+            vecs.append(centers[c] + 0.03 * rng.normal(size=16))
+            ids.append(c * 1000 + i)
+            planted.append(c)
+    mat = S._normalize(np.array(vecs))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in mat])}))
+
+    a = (S.kmeans_assign(ds, k=4, iters=5).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (S.kmeans_assign(ds, k=4, iters=5).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)          # deterministic
+
+    got = a.set_index("vec_id")["cluster_id"]
+    df = pd.DataFrame({"vec_id": ids, "planted": planted})
+    df["cell"] = got.loc[df.vec_id].to_numpy()
+    # each planted cluster maps to exactly one k-means cell, all distinct
+    cells = df.groupby("planted")["cell"].nunique()
+    assert (cells == 1).all(), df.groupby(["planted", "cell"]).size()
+    assert df.groupby("planted")["cell"].first().nunique() == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_on_sf_corpus_structure():
+    out = S.q_embed_kmeans(SF)
+    emb = S._emb(SF).to_pandas()
+    assert len(out) == len(emb)
+    assert set(out.vec_id) == set(emb.vec_id)
+    assert out.cluster_id.between(0, S.KMEANS_K - 1).all()
