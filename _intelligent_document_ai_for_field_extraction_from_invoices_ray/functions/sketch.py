@@ -96,20 +96,25 @@ def lsh_band_keys(sig: np.ndarray) -> list[int]:
     return keys
 
 
-def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over the token multiset."""
+def simhash64(tokens: list[str], memo: dict | None = None) -> int:
+    """64-bit SimHash over the token multiset, vectorized: one (n, 64)
+    bit-unpack + column sum instead of a per-token Python loop."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        h = token_hash64(tok)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    if memo is None:
+        memo = {}
+    h = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        v = memo.get(t)
+        if v is None:
+            v = token_hash64(t)
+            memo[t] = v
+        h[i] = v
+    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = 2 * bits.astype(np.int64).sum(axis=0) - len(tokens)
+    return int(np.bitwise_or.reduce(
+        np.where(acc > 0, np.uint64(1) << np.arange(64, dtype=np.uint64),
+                 np.uint64(0))))
 
 
 def hamming64(a: int, b: int) -> int:

@@ -608,9 +608,10 @@ def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
     def sigs(batch: pa.Table) -> pd.DataFrame:
         out = {"seg_key": [], "doc_id": [], "sig": []}
+        memo: dict = {}
         for d, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
-            sig = SK.simhash64(t.lower().split())
+            sig = SK.simhash64(t.lower().split(), memo)
             for seg in range(4):
                 val = (sig >> (16 * seg)) & 0xFFFF
                 out["seg_key"].append((seg << 16) | val)
