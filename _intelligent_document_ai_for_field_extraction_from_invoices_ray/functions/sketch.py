@@ -121,6 +121,58 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+# ------------------------------------------------------------ HyperLogLog
+HLL_P = 12                      # 2^12 = 4096 registers; σ ≈ 1.04/64 ≈ 1.6%
+HLL_M = 1 << HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)     # Flajolet et al. 2007
+
+
+def _hll_hash64(vals: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix of int64 keys (splitmix64 finalizer)."""
+    x = vals.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def hll_registers(vals: np.ndarray) -> np.ndarray:
+    """(HLL_M,) uint8 register array for a batch of int64 keys —
+    vectorized: bucket = top P bits, rho = leading-zero count of the
+    rest + 1, register = max per bucket."""
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    if vals.size == 0:
+        return regs
+    h = _hll_hash64(np.asarray(vals, dtype=np.int64))
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)  # low bits set
+    # rho = leading zeros of w + 1; log2 of a uint64 via float is exact
+    # for the leading-bit position
+    lz = 63 - np.floor(np.log2(w.astype(np.float64))).astype(np.int64)
+    # float64 can round w up across a power of two (~2^-54 of keys):
+    # clip keeps rho in its valid range instead of emitting 0
+    rho = np.clip(lz + 1, 1, 64 - HLL_P + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Cardinality estimate with the standard small-range (linear
+    counting) correction."""
+    est = _HLL_ALPHA * HLL_M * HLL_M / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * HLL_M and zeros:
+        est = HLL_M * np.log(HLL_M / zeros)
+    return int(round(est))
+
+
 def rolling_fingerprint(text: str, base: int = 257, mod: int = (1 << 61) - 1) -> int:
     """Polynomial rolling hash of the canonical text (document fingerprint)."""
     h = 0

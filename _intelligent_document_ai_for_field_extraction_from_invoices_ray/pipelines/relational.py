@@ -768,6 +768,105 @@ GROUP BY a.event_id ORDER BY a.event_id
 
 
 
+# ------------------------------------------------------- grouped quantiles
+def q_events_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group percentiles (p50/p95 of event value per type) from
+    a distributed (type, cents) histogram — no per-group sort, no
+    materialized groups: per-batch partial histograms shuffle once keyed
+    by type, each type folds its histogram with one cumulative scan.
+    Quantile q = smallest value with cum_count ≥ ceil(q·N) (inverted
+    CDF, stated so the SQL oracle computes the identical statistic)."""
+    from .grouping import bucketed_group_apply
+
+    ev = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pd.DataFrame:
+        cents = _cents(batch.column("value").to_numpy())
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pylist(),
+                           "cents": cents})
+        return (df.groupby(["event_type", "cents"]).size()
+                .reset_index(name="c"))
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in df.groupby("event_type"):
+            g = (g.groupby("cents", as_index=False)["c"].sum()
+                 .sort_values("cents"))
+            total = int(g["c"].sum())
+            cum = g["c"].cumsum().to_numpy()
+            cs = g["cents"].to_numpy()
+            p50 = int(cs[np.searchsorted(cum, int(np.ceil(0.5 * total)))])
+            p95 = int(cs[np.searchsorted(cum, int(np.ceil(0.95 * total)))])
+            rows.append((t, total, p50, p95))
+        return pd.DataFrame(rows, columns=["event_type", "n_events",
+                                           "p50_cents", "p95_cents"])
+
+    out = bucketed_group_apply(
+        ev.map_batches(hist, batch_format="pyarrow"),
+        ["event_type"], quantiles, num_buckets=8).to_pandas()
+    for c in ("n_events", "p50_cents", "p95_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_VALUE_QUANTILES = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), g AS (
+  SELECT event_type, cents, COUNT(*) AS c FROM v GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, cents,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cc,
+         SUM(c) OVER (PARTITION BY event_type) AS tot
+  FROM g
+)
+SELECT event_type,
+       CAST(MAX(tot) AS BIGINT) AS n_events,
+       CAST(MIN(CASE WHEN cc >= ceil(0.50 * tot) THEN cents END) AS BIGINT) AS p50_cents,
+       CAST(MIN(CASE WHEN cc >= ceil(0.95 * tot) THEN cents END) AS BIGINT) AS p95_cents
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------------ HLL distinct
+def q_events_hll_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event type via HyperLogLog
+    (p=12, ~1.6% σ): per-batch 4096-byte register partials, one tiny
+    shuffle keyed by type, elementwise-max merge — the constant-memory
+    answer to COUNT(DISTINCT) at 10^12 rows, where the exact groupby
+    would shuffle every (type, user) pair.  Approximate ⇒ rows-only
+    driver check; the error bound vs exact is pinned by pytest."""
+    from ..functions import sketch as SK
+    from .grouping import bucketed_group_apply
+
+    ev = _pq(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pylist(),
+                           "user_id": batch.column("user_id").to_numpy()})
+        rows = {"event_type": [], "regs": []}
+        for t, g in df.groupby("event_type"):
+            rows["event_type"].append(t)
+            rows["regs"].append(
+                SK.hll_registers(g["user_id"].to_numpy()).tolist())
+        return pd.DataFrame(rows)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in df.groupby("event_type"):
+            regs = np.zeros(SK.HLL_M, dtype=np.uint8)
+            for r in g["regs"]:
+                regs = SK.hll_merge(regs, np.asarray(r, dtype=np.uint8))
+            rows.append((t, SK.hll_estimate(regs)))
+        return pd.DataFrame(rows, columns=["event_type", "approx_users"])
+
+    out = bucketed_group_apply(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], merge, num_buckets=8).to_pandas()
+    out["approx_users"] = out["approx_users"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE_FILTER),
@@ -782,6 +881,8 @@ QUERIES = {
     "running_spend": (q_running_spend, SQL_RUNNING_SPEND),
     "asof_latest_order": (q_asof_latest_order, SQL_ASOF_LATEST_ORDER),
     "event_followers": (q_event_followers, SQL_EVENT_FOLLOWERS),
+    "events_value_quantiles": (q_events_value_quantiles, SQL_EVENTS_VALUE_QUANTILES),
+    "events_hll_users": (q_events_hll_users, None),   # approximate: rows-only
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "parts_ordered_large": (q_parts_ordered_large, SQL_PARTS_ORDERED_LARGE),
     "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),

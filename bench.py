@@ -121,16 +121,23 @@ def run_bench() -> dict:
     timed("lang_id", textstats.q_lang_id)
     timed("fingerprint", textstats.q_fingerprint)
     timed("asof_latest_order", relational.q_asof_latest_order)
+    timed("event_followers", relational.q_event_followers)
     timed("parts_ordered_large", relational.q_parts_ordered_large)
+    timed("length_quantiles", textstats.q_length_quantiles)
+    timed("stratified_sample", textstats.q_stratified_sample)
+    timed("tfidf_topk", textstats.q_tfidf_topk)
+    timed("ngram_hotspots", textstats.q_ngram_hotspots)
     timed("exact_dedup", dedup.q_exact_dedup)
     timed("jaccard_pairs", dedup.q_jaccard_pairs)
     timed("shingle_pairs", dedup.q_shingle_pairs)
     timed("minhash_pairs", dedup.q_minhash_pairs)
     timed("simhash_pairs", dedup.q_simhash_pairs)
+    timed("dedup_clusters", dedup.q_dedup_clusters)
     timed("embed_topk", similarity.q_embed_topk)
     timed("embed_neardup", similarity.q_embed_neardup)
     timed("embed_ann_lsh", similarity.q_embed_ann_lsh)
     timed("embed_ann_ivf", similarity.q_embed_ann_ivf)
+    timed("embed_kmeans", similarity.q_embed_kmeans)
 
     result = {
         "metric": "end-to-end extraction sec (flagship interleaved-doc pipeline) + per-query sec",
