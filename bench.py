@@ -79,7 +79,11 @@ def run_bench() -> dict:
     # oracle for this exact config); scalar results only on the return
     # path (norm_spans still computed, sunk to shards when a sink is set)
     compact = os.environ.get("GRAFT_EXCHANGE", "compact") != "exploded"
-    cfg = ExtractConfig(num_partitions=max(64, n_docs // 2500),
+    # ~5000 docs/partition: fewer-but-bigger partitions amortize shuffle
+    # setup (measured 21.9-25.7s at 96 parts vs 24.3-25.7s at 192 on the
+    # 480k corpus — within noise but never worse, and a partition's spans
+    # still fit a worker heap comfortably)
+    cfg = ExtractConfig(num_partitions=max(64, n_docs // 5000),
                         classify_concurrency=max(2, NUM_CPUS // 4),
                         normalize_stage=not compact,
                         emit_norm_spans=False, compact_shuffle=compact)
