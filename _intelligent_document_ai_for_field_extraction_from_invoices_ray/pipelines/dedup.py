@@ -198,27 +198,136 @@ def hash_sets(docs: rd.Dataset, kind: str = "token",
 
 
 # ------------------------------------------------------------ candidates
+def _zeros(t: pa.DataType, n: int) -> pa.Array:
+    if pa.types.is_string(t):
+        return pa.array([""] * n, type=t)
+    return pa.array(np.zeros(n, dtype=np.int64), type=t)
+
+
+GRID_MAX_GROUP = 4096        # key groups above this split across the grid
+GRID_BLOCKS = 8
+
+
+def _windowed_pairs_grouped(key, ids, ns, ps, num, den):
+    """(doc_a, doc_b) length+positional-filtered window pairs for arrays
+    SORTED by (key, n, id): each element pairs with the contiguous run of
+    same-group predecessors whose size clears the length filter
+    (den*na >= num*nb), located with ONE searchsorted over a
+    (group-rank << 32 | n) composite.  Returns None when no pairs."""
+    m = len(key)
+    if m < 2:
+        return None
+    new_grp = np.ones(m, dtype=bool)
+    new_grp[1:] = key[1:] != key[:-1]
+    grp_rank = np.cumsum(new_grp) - 1
+    comp = (grp_rank << np.int64(32)) | ns
+    target = (grp_rank << np.int64(32)) | ((num * ns + den - 1) // den)
+    start = np.searchsorted(comp, target, side="left")
+    counts = np.arange(m) - start
+    total = int(counts.sum())
+    if total == 0:
+        return None
+    r_idx = np.repeat(np.arange(m), counts)
+    run_start = np.cumsum(counts) - counts
+    l_idx = np.repeat(start, counts) + (
+        np.arange(total) - np.repeat(run_start, counts))
+    keep = ids[l_idx] != ids[r_idx]
+    if ps is not None:
+        # positional filter (PPJoin): at the earliest shared prefix token
+        # the overlap is <= min(na-pa, nb-pb); J >= t needs overlap >=
+        # ceil(num(na+nb)/(num+den))
+        amax = np.minimum(ns[l_idx] - ps[l_idx], ns[r_idx] - ps[r_idx])
+        need = -(-(num * (ns[l_idx] + ns[r_idx])) // (num + den))
+        keep &= amax >= need
+    l_idx, r_idx = l_idx[keep], r_idx[keep]
+    if len(l_idx) == 0:
+        return None
+    return (np.minimum(ids[l_idx], ids[r_idx]),
+            np.maximum(ids[l_idx], ids[r_idx]))
+
+
+def _windowed_pairs_cross(ids1, ns1, ps1, ids2, ns2, ps2, num, den):
+    """Window pairs ACROSS two disjoint sides of one key group (side 1
+    sorted by n).  The length filter is two-sided here: partner sizes for
+    n_y lie in [ceil(num*n_y/den), floor(den*n_y/num)].  With num/den
+    None (unfiltered band path) every cross pair is generated."""
+    if num is None:
+        lo = np.zeros(len(ids2), dtype=np.int64)
+        hi = np.full(len(ids2), len(ids1), dtype=np.int64)
+    else:
+        lo = np.searchsorted(ns1, (num * ns2 + den - 1) // den, side="left")
+        hi = np.searchsorted(ns1, (den * ns2) // num, side="right")
+    counts = np.maximum(hi - lo, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return None
+    y_idx = np.repeat(np.arange(len(ids2)), counts)
+    run_start = np.cumsum(counts) - counts
+    x_idx = np.repeat(lo, counts) + (
+        np.arange(total) - np.repeat(run_start, counts))
+    if num is not None and ps1 is not None:
+        amax = np.minimum(ns1[x_idx] - ps1[x_idx], ns2[y_idx] - ps2[y_idx])
+        need = -(-(num * (ns1[x_idx] + ns2[y_idx])) // (num + den))
+        keep = amax >= need
+        x_idx, y_idx = x_idx[keep], y_idx[keep]
+    if len(x_idx) == 0:
+        return None
+    return (np.minimum(ids1[x_idx], ids2[y_idx]),
+            np.maximum(ids1[x_idx], ids2[y_idx]))
+
+
+def _allpairs_grouped(key, ids):
+    """All intra-group (doc_a < doc_b) pairs, arrays sorted by (key, id)
+    with (key, id) duplicates removed.  Returns None when no pairs."""
+    m = len(key)
+    if m < 2:
+        return None
+    new_grp = np.ones(m, dtype=bool)
+    new_grp[1:] = key[1:] != key[:-1]
+    grp_start = np.flatnonzero(new_grp)
+    sizes = np.diff(np.append(grp_start, m))
+    within = np.arange(m) - np.repeat(grp_start, sizes)
+    total = int(within.sum())
+    if total == 0:
+        return None
+    r_idx = np.repeat(np.arange(m), within)
+    run_start = np.cumsum(within) - within
+    l_local = np.arange(total) - np.repeat(run_start, within)
+    l_idx = np.repeat(np.repeat(grp_start, sizes), within) + l_local
+    return ids[l_idx], ids[r_idx]
+
+
 def _pairs_from_keys(keyed: rd.Dataset, key_col: str,
                      num: int | None = None,
                      den: int | None = None,
-                     dedup: bool = True) -> rd.Dataset:
-    """(key, doc_id[, n]) rows → (doc_a < doc_b) candidate pairs sharing a
-    key.  One shuffle for the key groupby (+ one for the global pair dedup
-    unless ``dedup=False`` — the verify join dedups for free inside its
-    doc_a bucket, since every copy of a pair hashes there).  When the rows
-    carry set sizes ``n`` and a threshold num/den is given, the LENGTH
-    FILTER prunes pairs that cannot reach J ≥ t: sizes na ≤ nb allow at
-    most J = na/nb, so require den·na ≥ num·nb."""
+                     dedup: bool = True,
+                     max_group: int = GRID_MAX_GROUP,
+                     grid_blocks: int = GRID_BLOCKS) -> rd.Dataset:
+    """(key, doc_id[, n, p]) rows -> (doc_a < doc_b) candidate pairs
+    sharing a key.
+
+    HOT-KEY HANDLING: a key shared by k docs implies O(k^2) pair work,
+    so a single 10^5-member group (one boilerplate template at corpus
+    scale) would stall or OOM the one worker its bucket lands on.  A
+    tiny key-histogram pass (per-batch np.unique partials, driver merge
+    — the histogram is bounded by rows/1 distinct keys but only keys
+    with count > max_group matter, of which there are < rows/max_group)
+    finds the hot keys first.  The common case (no hot keys) runs the
+    original single-shuffle plan at zero extra cost; hot keys split
+    across ``grid_blocks`` block-pair cells — stage 2 buckets by
+    (key, cell), every unordered pair lands in exactly one cell, and
+    per-task work is bounded by (k/B)^2 at a replication cost of B
+    rows per hot-group member.
+
+    With a num/den threshold the LENGTH filter restricts partners to a
+    contiguous size window (see _windowed_pairs_grouped/_cross);
+    without it (LSH band path) all intra-group pairs are generated —
+    the grid split equally protects degenerate band buckets."""
     from .grouping import bucketed_group_apply
 
-    def pairs_in_bucket(df: pd.DataFrame) -> pa.Table:
-        """All intra-group (doc_a < doc_b) pairs for every key group in
-        the bucket, fully vectorized across groups (no per-group Python
-        loop — buckets hold ~thousands of mostly-tiny groups):
+    B = grid_blocks
 
-        sort by (key, doc_id), find group runs, then enumerate each
-        element as the RIGHT of a pair with every earlier element of its
-        run via repeat/cumsum index arithmetic."""
+    def pairs_in_bucket(df: pd.DataFrame) -> pa.Table:
         size_filter = num is not None and "n" in df.columns
         pos_filter = size_filter and "p" in df.columns
         t = _pa_type(df["doc_id"])
@@ -228,83 +337,130 @@ def _pairs_from_keys(keyed: rd.Dataset, key_col: str,
         key = df[key_col].to_numpy()
         ids = df["doc_id"].to_numpy()
         if size_filter:
-            # sort by (key, n, id): the LENGTH filter (sizes na ≤ nb cap
-            # J at na/nb, so require den·na ≥ num·nb) then makes each
-            # element's valid partners a CONTIGUOUS size window ending
-            # just before it — generate only window pairs (one
-            # searchsorted over a (group-rank << 32 | n) composite key)
-            # instead of all s²/2 group pairs then filtering.  On the
-            # sf0.1 token corpus this skips 76% of raw pair volume.
             ns_in = df["n"].to_numpy()
             order = np.lexsort((df["p"].to_numpy(), ids, ns_in, key)
-                               if pos_filter
-                               else (ids, ns_in, key))
-            key, ids, ns = key[order], ids[order], ns_in[order]
-            ps = df["p"].to_numpy()[order] if pos_filter else None
-            m = len(key)
-            if m < 2:
-                return empty
-            new_grp = np.ones(m, dtype=bool)
-            new_grp[1:] = key[1:] != key[:-1]
-            grp_rank = np.cumsum(new_grp) - 1
-            # (key, doc) appears at most once in the prefix exchange
-            # (hash sets are unique within a doc); a residual duplicate
-            # would only produce doc_a == doc_b rows, masked below
-            comp = (grp_rank << np.int64(32)) | ns
-            target = (grp_rank << np.int64(32)) | ((num * ns + den - 1) // den)
-            start = np.searchsorted(comp, target, side="left")
-            counts = np.arange(m) - start
-            total = int(counts.sum())
-            if total == 0:
-                return empty
-            r_idx = np.repeat(np.arange(m), counts)
-            run_start = np.cumsum(counts) - counts
-            l_idx = np.repeat(start, counts) + (
-                np.arange(total) - np.repeat(run_start, counts))
-            keep = ids[l_idx] != ids[r_idx]
-            if pos_filter:
-                # positional filter (PPJoin): at the earliest shared
-                # prefix token the overlap is ≤ min(na-pa, nb-pb);
-                # J ≥ t needs overlap ≥ ceil(num(na+nb)/(num+den)).
-                amax = np.minimum(ns[l_idx] - ps[l_idx],
-                                  ns[r_idx] - ps[r_idx])
-                need = -(-(num * (ns[l_idx] + ns[r_idx])) // (num + den))
-                keep &= amax >= need
-            l_idx, r_idx = l_idx[keep], r_idx[keep]
-            if len(l_idx) == 0:
-                return empty
-            doc_a = np.minimum(ids[l_idx], ids[r_idx])
-            doc_b = np.maximum(ids[l_idx], ids[r_idx])
-            return pa.table({"doc_a": pa.array(doc_a),
-                             "doc_b": pa.array(doc_b)}
-                            ).replace_schema_metadata(None)
-        # unfiltered path (LSH band keys): all intra-group id pairs
-        order = np.lexsort((ids, key))
-        key, ids = key[order], ids[order]
-        first = np.ones(len(key), dtype=bool)
-        first[1:] = (key[1:] != key[:-1]) | (ids[1:] != ids[:-1])
-        key, ids = key[first], ids[first]
-        m = len(key)
-        if m < 2:
+                               if pos_filter else (ids, ns_in, key))
+            res = _windowed_pairs_grouped(
+                key[order], ids[order], ns_in[order],
+                df["p"].to_numpy()[order] if pos_filter else None, num, den)
+        else:
+            order = np.lexsort((ids, key))
+            key, ids = key[order], ids[order]
+            first = np.ones(len(key), dtype=bool)
+            first[1:] = (key[1:] != key[:-1]) | (ids[1:] != ids[:-1])
+            res = _allpairs_grouped(key[first], ids[first])
+        if res is None:
             return empty
-        new_grp = np.ones(m, dtype=bool)
-        new_grp[1:] = key[1:] != key[:-1]
-        grp_start = np.flatnonzero(new_grp)
-        sizes = np.diff(np.append(grp_start, m))
-        within = np.arange(m) - np.repeat(grp_start, sizes)
-        total = int(within.sum())        # sum of s*(s-1)/2 over groups
-        if total == 0:
-            return empty
-        r_idx = np.repeat(np.arange(m), within)
-        run_start = np.cumsum(within) - within
-        l_local = np.arange(total) - np.repeat(run_start, within)
-        l_idx = np.repeat(np.repeat(grp_start, sizes), within) + l_local
-        return pa.table({"doc_a": pa.array(ids[l_idx]),
-                         "doc_b": pa.array(ids[r_idx])}
+        return pa.table({"doc_a": pa.array(res[0], type=t),
+                         "doc_b": pa.array(res[1], type=t)}
                         ).replace_schema_metadata(None)
 
-    pairs = bucketed_group_apply(keyed, [key_col], pairs_in_bucket,
-                                 num_buckets=128)
+    # ---- hot-key detection: one cheap histogram pass over the keyed rows
+    keyed = keyed.materialize()
+
+    def kcount(batch: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(
+            batch.column(key_col).to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"k": pa.array(uniq.astype(np.int64)),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    kparts = keyed.map_batches(kcount, batch_format="pyarrow").to_pandas()
+    kc = kparts.groupby("k")["c"].sum() if len(kparts) else kparts
+    hot = (frozenset(int(k) for k in kc.index[kc > max_group])
+           if len(kparts) else frozenset())
+
+    if not hot:
+        pairs = bucketed_group_apply(keyed, [key_col], pairs_in_bucket,
+                                     num_buckets=128)
+    else:
+        hot_arr = np.fromiter(hot, dtype=np.int64, count=len(hot))
+        hot_arr.sort()
+
+        def split(want_hot: bool):
+            def f(batch: pa.Table) -> pa.Table:
+                mask = np.isin(batch.column(key_col)
+                               .to_numpy(zero_copy_only=False), hot_arr)
+                out = batch.filter(pa.array(mask if want_hot else ~mask))
+                return out.replace_schema_metadata(None)
+            return f
+
+        cold = keyed.map_batches(split(False), batch_format="pyarrow")
+        pairs_cold = bucketed_group_apply(cold, [key_col], pairs_in_bucket,
+                                          num_buckets=128)
+
+        def replicate(batch: pa.Table) -> pa.Table:
+            blk = _doc_blocks(batch.column("doc_id").to_pandas(), B)
+            nrows = batch.num_rows
+            idxs, cells, blks = [], [], []
+            for q in range(B):
+                idxs.append(np.arange(nrows))
+                cells.append((np.minimum(blk, q) * B
+                              + np.maximum(blk, q)).astype(np.int32))
+                blks.append(blk.astype(np.int8))
+            out = batch.take(pa.array(np.concatenate(idxs)))
+            out = out.append_column("_cell", pa.array(np.concatenate(cells)))
+            out = out.append_column("_blk", pa.array(np.concatenate(blks)))
+            return out.replace_schema_metadata(None)
+
+        members = (keyed.map_batches(split(True), batch_format="pyarrow")
+                   .map_batches(replicate, batch_format="pyarrow"))
+
+        def stage2(df: pd.DataFrame) -> pa.Table:
+            size_filter = num is not None and "n" in df.columns
+            t = _pa_type(df["doc_id"])
+            empty = _empty_table([("doc_a", t), ("doc_b", t)])
+            if df.empty:
+                return empty
+            outs_a, outs_b = [], []
+            for (gk, cell), g in df.groupby([key_col, "_cell"]):
+                lo, hi = divmod(int(cell), B)
+                ids = g["doc_id"].to_numpy()
+                if lo == hi:
+                    if size_filter:
+                        ns = g["n"].to_numpy()
+                        ps = g["p"].to_numpy()
+                        order = np.lexsort((ps, ids, ns))
+                        res = _windowed_pairs_grouped(
+                            np.zeros(len(ids), np.int64), ids[order],
+                            ns[order], ps[order], num, den)
+                    else:
+                        ids_s = np.unique(ids)
+                        res = _allpairs_grouped(
+                            np.zeros(len(ids_s), np.int64), ids_s)
+                else:
+                    m1 = g["_blk"].to_numpy() == lo
+                    g1, g2 = g[m1], g[~m1]
+                    if not len(g1) or not len(g2):
+                        continue
+                    ids1 = g1["doc_id"].to_numpy()
+                    ids2 = g2["doc_id"].to_numpy()
+                    if size_filter:
+                        ns1 = g1["n"].to_numpy()
+                        ps1 = g1["p"].to_numpy()
+                        o1 = np.lexsort((ids1, ns1))
+                        res = _windowed_pairs_cross(
+                            ids1[o1], ns1[o1], ps1[o1], ids2,
+                            g2["n"].to_numpy(), g2["p"].to_numpy(),
+                            num, den)
+                    else:
+                        res = _windowed_pairs_cross(
+                            ids1, None, None, ids2, None, None,
+                            None, None)
+                if res is not None:
+                    outs_a.append(res[0])
+                    outs_b.append(res[1])
+            if not outs_a:
+                return empty
+            return pa.table(
+                {"doc_a": pa.array(np.concatenate(outs_a), type=t),
+                 "doc_b": pa.array(np.concatenate(outs_b), type=t)}
+            ).replace_schema_metadata(None)
+
+        pairs_hot = bucketed_group_apply(members, [key_col, "_cell"],
+                                         stage2, num_buckets=128)
+        pairs = pairs_cold.union(pairs_hot)
+
     if not dedup:
         return pairs
     return bucketed_group_apply(

@@ -193,3 +193,69 @@ def test_connected_components_vs_union_find():
 
     assert len(edges_df) >= 12            # graph actually has clusters
     assert {int(r.doc_id): int(r.label) for r in got.itertuples()} == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_key_grid_split_equals_inline():
+    """A planted hot key (group far above max_group) must yield exactly
+    the same candidate pair set through the block-grid path as through
+    the inline path — every unordered pair in exactly one grid cell."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    rng = np.random.RandomState(5)
+    # one hot key with 600 members + 50 cold keys with 2-4 members
+    rows = {"tok": [], "doc_id": [], "n": [], "p": []}
+    for i in range(600):
+        rows["tok"].append(777)
+        rows["doc_id"].append(i)
+        rows["n"].append(int(rng.randint(95, 105)))   # sizes within window
+        rows["p"].append(0)
+    nid = 10_000
+    for k in range(50):
+        for j in range(int(rng.randint(2, 5))):
+            rows["tok"].append(1000 + k)
+            rows["doc_id"].append(nid)
+            rows["n"].append(int(rng.randint(50, 200)))
+            rows["p"].append(0)
+            nid += 1
+    df = pd.DataFrame(rows)
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)
+                       .replace_schema_metadata(None))
+
+    grid = (D._pairs_from_keys(ds, "tok", num=19, den=20, dedup=True,
+                               max_group=64, grid_blocks=4)
+            .to_pandas().sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))
+    inline = (D._pairs_from_keys(ds, "tok", num=19, den=20, dedup=True,
+                                 max_group=10**9)
+              .to_pandas().sort_values(["doc_a", "doc_b"])
+              .reset_index(drop=True))
+    assert len(inline) > 1000           # the hot group really is dense
+    pd.testing.assert_frame_equal(grid, inline)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_key_grid_split_band_path():
+    """Unfiltered (LSH band) path through the grid: same pair set."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    rows = {"band": [7] * 90 + [8] * 3,
+            "doc_id": list(range(90)) + [500, 501, 502]}
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows),
+                                            preserve_index=False)
+                       .replace_schema_metadata(None))
+    grid = (D._pairs_from_keys(ds, "band", dedup=True, max_group=16,
+                               grid_blocks=4)
+            .to_pandas().sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))
+    inline = (D._pairs_from_keys(ds, "band", dedup=True, max_group=10**9)
+              .to_pandas().sort_values(["doc_a", "doc_b"])
+              .reset_index(drop=True))
+    assert len(inline) == 90 * 89 // 2 + 3
+    pd.testing.assert_frame_equal(grid, inline)
