@@ -259,3 +259,29 @@ def test_hot_key_grid_split_band_path():
               .reset_index(drop=True))
     assert len(inline) == 90 * 89 // 2 + 3
     pd.testing.assert_frame_equal(grid, inline)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_degenerate_identical_corpus():
+    """All-identical corpus: every LSH band bucket is one giant hot
+    group and every candidate verifies — the worst case for both the
+    band exchange and the block-grid verify.  300 clones must yield all
+    C(300,2) pairs at jaccard 1000, and exact dedup one keeper."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    text = "invoice total 1,23,456 rs dealer mahindra tractor model 575 di"
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(300)), type=pa.int64()),
+        "text": pa.array([text] * 300)}))
+
+    pairs = D.minhash_lsh_pairs(docs, jaccard_milli=800).to_pandas()
+    assert len(pairs) == 300 * 299 // 2
+    assert (pairs["jaccard_milli"] == 1000).all()
+
+    sets = D.hash_sets(docs, "shingle").materialize()
+    exact = D.verify_pairs(D.prefix_candidates(sets, 4, 5), sets, 4, 5,
+                           emit=D._jm).to_pandas()
+    assert len(exact) == 300 * 299 // 2
