@@ -1,6 +1,5 @@
 """Multimodal stub stages + low-confidence fallback branch."""
 
-import numpy as np
 import pytest
 
 import ray.data as rd

@@ -7,7 +7,6 @@ precision (both share the scalar code path — the comparison verifies the
 explode/shuffle/salting/reassembly plumbing)."""
 
 import os
-import shutil
 
 import numpy as np
 import pytest
