@@ -141,14 +141,15 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
 # ------------------------------------------------------------ broadcast join
 def broadcast_lookup(ds: rd.Dataset, small_df: pd.DataFrame, key: str,
-                     batch_size: int = 65536) -> rd.Dataset:
-    """Left join a small dimension into a big fact table with zero shuffle:
+                     batch_size: int = 65536,
+                     how: str = "left") -> rd.Dataset:
+    """Join a small dimension into a big fact table with zero shuffle:
     the small side ships once via ``ray.put`` and maps per batch."""
     ref = ray.put(small_df)
 
     def join_batch(batch: pa.Table) -> pd.DataFrame:
         small = ray.get(ref)
-        return batch.to_pandas().merge(small, on=key, how="left")
+        return batch.to_pandas().merge(small, on=key, how=how)
 
     return ds.map_batches(join_batch, batch_format="pyarrow", batch_size=batch_size)
 
@@ -205,6 +206,36 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset,
 
     return bucketed_cogroup(left, right, [left_on], [right_on],
                             join_bucket, num_buckets=num_buckets)
+
+
+# a broadcast side must fit comfortably in EVERY worker's heap alongside
+# a batch; ~200k narrow rows ≈ tens of MB.  Tune per deployment — it is
+# a memory bound, not a performance crossover (broadcast wins whenever
+# it is safe, because it removes the shuffle entirely).
+BROADCAST_ROW_LIMIT = 200_000
+
+
+def auto_join(big: rd.Dataset, small: rd.Dataset,
+              big_on: str, small_on: str,
+              num_buckets: int = 32) -> rd.Dataset:
+    """Join planner: broadcast the small side when its row count (cheap —
+    parquet metadata / block metadata, no data scan for simple reads) is
+    under ``BROADCAST_ROW_LIMIT``, else co-partition both sides with the
+    bucketed hash join.  Inner join on big_on == small_on.
+
+    This encodes the policy the query suite applies by hand
+    (``segment_sales``/``supplier_nation`` broadcast dimensions;
+    ``priority_revenue``'s order side shuffles): broadcast eliminates the
+    all-to-all entirely and is strictly better whenever the side fits in
+    worker memory — the limit is a safety bound, not a crossover."""
+    n = small.count()
+    if n <= BROADCAST_ROW_LIMIT:
+        sdf = small.to_pandas()
+        if small_on != big_on:
+            sdf = sdf.rename(columns={small_on: big_on})
+        return broadcast_lookup(big, sdf, big_on, how="inner")
+    return bucketed_hash_join(big, small, big_on, small_on,
+                              num_buckets=num_buckets)
 
 
 def q_priority_revenue(sf_dir: str) -> pd.DataFrame:
