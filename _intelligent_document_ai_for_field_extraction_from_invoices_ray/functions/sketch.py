@@ -96,6 +96,62 @@ def lsh_band_keys(sig: np.ndarray) -> list[int]:
     return keys
 
 
+def minhash_signatures_batch(values: np.ndarray,
+                             offsets: np.ndarray) -> np.ndarray:
+    """(ndocs, NUM_PERMS) uint64 signatures for a whole batch of hash
+    sets given flattened ``values`` + ``offsets`` — one (chunk, 64)
+    universal-hash matrix + ``np.minimum.reduceat`` per doc-aligned
+    chunk instead of a Python call per doc.  Empty sets get the all-max
+    signature (same as ``minhash_signature``)."""
+    ndocs = len(offsets) - 1
+    sigs = np.full((ndocs, NUM_PERMS), np.iinfo(np.uint64).max,
+                   dtype=np.uint64)
+    if len(values) == 0 or ndocs == 0:
+        return sigs
+    lens = np.diff(offsets)
+    CHUNK_VALUES = 1_000_000          # × 64 perms × 8 B ≈ 512 MB peak
+    d = 0
+    while d < ndocs:
+        e = d
+        tot = 0
+        while e < ndocs and (tot + lens[e] <= CHUNK_VALUES or e == d):
+            tot += lens[e]
+            e += 1
+        seg = values[offsets[d]:offsets[e]].astype(np.uint64)
+        if len(seg):
+            hashed = (seg[:, None] * _A[None, :] + _B[None, :]) \
+                % np.uint64(_MERSENNE)
+            nonempty = np.flatnonzero(lens[d:e]) + d
+            local = (offsets[nonempty] - offsets[d]).astype(np.int64)
+            sigs[nonempty] = np.minimum.reduceat(hashed, local, axis=0)
+        d = e
+    return sigs
+
+
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def lsh_band_keys_batch(sigs: np.ndarray) -> np.ndarray:
+    """(ndocs, LSH_BANDS) int64 bucket keys — a vectorized splitmix-style
+    mix of each band's LSH_ROWS signature lanes with the band index
+    folded in.  A different (but equally valid) band-key family than the
+    per-doc blake2b path in ``lsh_band_keys``; any deterministic
+    injective-enough mix gives the same LSH collision semantics."""
+    n, _ = sigs.shape
+    out = np.empty((n, LSH_BANDS), dtype=np.uint64)
+    for b in range(LSH_BANDS):
+        chunk = sigs[:, b * LSH_ROWS:(b + 1) * LSH_ROWS]
+        acc = np.full(n, np.uint64(1469598103934665603))
+        for r in range(LSH_ROWS):
+            acc = (acc ^ chunk[:, r]) * np.uint64(1099511628211)
+        acc ^= np.uint64(b) * _BAND_MIX
+        acc ^= acc >> np.uint64(29)
+        acc *= np.uint64(0xBF58476D1CE4E5B9)
+        acc ^= acc >> np.uint64(32)
+        out[:, b] = acc
+    return out.view(np.int64)
+
+
 def simhash64(tokens: list[str], memo: dict | None = None) -> int:
     """64-bit SimHash over the token multiset, vectorized: one (n, 64)
     bit-unpack + column sum instead of a per-token Python loop."""

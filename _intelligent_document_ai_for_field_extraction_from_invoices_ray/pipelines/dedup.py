@@ -730,18 +730,21 @@ def minhash_lsh_pairs(docs: rd.Dataset, jaccard_milli: int = 800) -> rd.Dataset:
     sets = hash_sets(docs, "shingle").materialize()
 
     def band_keys(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
         col = batch.column("th")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        keys, ids = [], []
-        for d, hs in zip(batch.column("doc_id").to_pylist(), col.to_pylist()):
-            sig = SK.minhash_signature(np.asarray(hs, dtype=np.int64)
-                                       .view(np.uint64))
-            keys.extend(SK.lsh_band_keys(sig))
-            ids.extend([d] * SK.LSH_BANDS)
+        values = pc.list_flatten(col).to_numpy()
+        lens = pc.list_value_length(col).to_numpy().astype(np.int64)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        sigs = SK.minhash_signatures_batch(values, offsets)
+        keys = SK.lsh_band_keys_batch(sigs)          # (ndocs, BANDS)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return pd.DataFrame({
-            "band": np.array(keys, dtype=np.uint64).view(np.int64),
-            "doc_id": ids})
+            "band": keys.reshape(-1),
+            "doc_id": np.repeat(ids, SK.LSH_BANDS)})
 
     cands = _pairs_from_keys(sets.map_batches(band_keys, batch_format="pyarrow"),
                              "band", dedup=False)
