@@ -511,6 +511,97 @@ ORDER BY n_occurrences DESC, ngram LIMIT 20
 """
 
 
+# ------------------------------------------------------- decontamination
+def q_decontamination(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag every doc by how many DISTINCT
+    5-token spans it shares with the eval set (the held-out docs chosen
+    by the deterministic md5 predicate — the same coordination-free
+    splitter as ``sample_docs``).
+
+    Pass 1 collects the eval set's distinct span hashes (the eval side
+    of a decontamination run is a fixed benchmark — bounded by
+    construction, so the hash set broadcasts; a corpus-sized right side
+    would use the bucketed join instead).  Pass 2 is one vectorized
+    ``np.isin`` per batch.  Span identity is a 64-bit polynomial hash of
+    the token blake2b hashes (collision odds ~2^-64 per pair)."""
+    from ..functions import sketch as SK
+
+    K = 5
+
+    def _is_eval(doc_id) -> bool:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % SAMPLE_MOD == 0
+
+    def _doc_grams(text: str, memo: dict) -> np.ndarray:
+        toks = text.lower().split()
+        return np.unique(SK.shingle_hashes(toks, K, memo).view(np.int64)) \
+            if len(toks) >= K else np.empty(0, dtype=np.int64)
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        memo: dict = {}
+        out = []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if _is_eval(d):
+                out.append(_doc_grams(t, memo))
+        allh = np.unique(np.concatenate(out)) if out \
+            else np.empty(0, dtype=np.int64)
+        return pa.table({"g": pa.array(allh, type=pa.int64())})
+
+    ev = _docs(sf_dir).map_batches(eval_grams,
+                                   batch_format="pyarrow").to_pandas()
+    eval_set = np.unique(ev["g"].to_numpy()) if len(ev) \
+        else np.empty(0, dtype=np.int64)
+
+    def count_hits(batch: pa.Table) -> pd.DataFrame:
+        memo: dict = {}
+        ids = batch.column("doc_id").to_pylist()
+        hits, evs = [], []
+        for d, t in zip(ids, batch.column("text").to_pylist()):
+            grams = _doc_grams(t, memo)
+            hits.append(int(np.isin(grams, eval_set).sum()))
+            evs.append(np.int64(1 if _is_eval(d) else 0))
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                             "eval_ngrams_hit": pd.Series(hits,
+                                                          dtype=np.int64),
+                             "is_eval": pd.Series(evs, dtype=np.int64)})
+
+    out = (_docs(sf_dir).map_batches(count_hits, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DECONTAMINATION = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+         END AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, array_length(w) - 3),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                     || w[i+3] || ' ' || w[i+4]))) AS ngram
+  FROM t WHERE array_length(w) >= 5
+), ev AS (
+  SELECT DISTINCT ngram FROM g
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        % {SAMPLE_MOD} = 0
+), hits AS (
+  SELECT g.doc_id, COUNT(*) AS n FROM g JOIN ev USING (ngram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS eval_ngrams_hit,
+       CAST(CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % {SAMPLE_MOD} = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_eval
+FROM documents d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 TEXT_QUERIES = {
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
@@ -523,4 +614,5 @@ TEXT_QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "ngram_hotspots": (q_ngram_hotspots, SQL_NGRAM_HOTSPOTS),
+    "decontamination": (q_decontamination, SQL_DECONTAMINATION),
 }
