@@ -53,3 +53,22 @@ def test_hll_query_matches_exact_within_bound():
     m = out.merge(exact, on="event_type")
     assert len(m) == len(out)
     assert ((m.approx_users - m.ex).abs() / m.ex <= 0.05).all(), m
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontamination_invariants():
+    """Eval docs with >=5 tokens must hit their own spans; hit counts are
+    bounded by each doc's distinct span count."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines import (
+        textstats as T,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = T.q_decontamination(sf)
+    docs = T._docs(sf).to_pandas().set_index("doc_id")["text"]
+    toks = docs.str.lower().str.split().str.len().reindex(out.doc_id).to_numpy()
+    ev = out.is_eval.to_numpy() == 1
+    long_enough = toks >= 5
+    assert (out.eval_ngrams_hit.to_numpy()[ev & long_enough] > 0).all()
+    assert (out.eval_ngrams_hit >= 0).all()
+    assert len(out) == len(docs)
