@@ -280,20 +280,31 @@ def _q_extract_error_buckets(sf_dir: str):
     return pd.DataFrame([error_buckets(_run_flagship(sf_dir), gt)])
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
-    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.dedup import (
-        DEDUP_QUERIES,
-    )
-    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
-        QUERIES as REL_QUERIES,
-    )
-    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.similarity import (
-        SIM_QUERIES,
-    )
-    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import (
-        TEXT_QUERIES,
-    )
+def _query_banks() -> list[dict]:
+    """Import each query bank in isolation so one broken import cannot
+    empty the whole driver correctness gate (round 2 recorded an empty
+    CORRECTNESS file; enumeration must degrade, never die)."""
+    import importlib
+    import sys as _sys
+    import traceback as _tb
 
+    banks: list[dict] = []
+    pkg = "_intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines"
+    for mod_name, attr in [("relational", "QUERIES"),
+                           ("textstats", "TEXT_QUERIES"),
+                           ("dedup", "DEDUP_QUERIES"),
+                           ("similarity", "SIM_QUERIES")]:
+        try:
+            mod = importlib.import_module(f"{pkg}.{mod_name}")
+            banks.append(getattr(mod, attr))
+        except Exception:  # noqa: BLE001 — enumeration must not die
+            print(f"[__ray_entry__] query bank {mod_name} failed to import:",
+                  file=_sys.stderr)
+            _tb.print_exc(limit=3, file=_sys.stderr)
+    return banks
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {
         "extract_fields": _q_extract_fields,
         "extract_spans": _q_extract_spans,
@@ -309,28 +320,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "span_scalars": _q_span_scalars,
     }
-    for bank in (REL_QUERIES, TEXT_QUERIES, DEDUP_QUERIES, SIM_QUERIES):
+    for bank in _query_banks():
         for name, (fn, _sql) in bank.items():
             out[name] = fn
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.dedup import (
-        DEDUP_QUERIES,
-    )
-    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
-        QUERIES as REL_QUERIES,
-    )
-    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.similarity import (
-        SIM_QUERIES,
-    )
-    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import (
-        TEXT_QUERIES,
-    )
-
     out: dict[str, str] = {}
-    for bank in (REL_QUERIES, TEXT_QUERIES, DEDUP_QUERIES, SIM_QUERIES):
+    for bank in _query_banks():
         for name, (_fn, sql) in bank.items():
             if sql is not None:
                 out[name] = sql

@@ -253,13 +253,32 @@ def generate_corpus_ray(n_docs: int, out_dir: str, seed: int = 42,
         _, gts = corpus_mod.generate_rows(batch.column("id").to_pylist(), seed)
         return pa.Table.from_pylist(gts, schema=GROUND_TRUTH_SCHEMA)
 
-    os.makedirs(out_dir, exist_ok=True)
-    (rd.range(n_docs)
-       .map_batches(gen_docs, batch_format="pyarrow", batch_size=512)
-       .write_parquet(docs_path))
-    (rd.range(n_docs)
-       .map_batches(gen_gt, batch_format="pyarrow", batch_size=512)
-       .write_parquet(gt_path))
-    with open(marker, "w") as f:
-        f.write(str(n_docs))
+    # Build in a scratch dir and publish with one atomic rename: a crashed
+    # generation can never leave a half-written corpus at out_dir, and a
+    # re-run can never append duplicate parquet files into an existing dir
+    # (write_parquet adds files; it does not truncate).
+    import shutil
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    try:
+        (rd.range(n_docs)
+           .map_batches(gen_docs, batch_format="pyarrow", batch_size=512)
+           .write_parquet(os.path.join(tmp, "docs")))
+        (rd.range(n_docs)
+           .map_batches(gen_gt, batch_format="pyarrow", batch_size=512)
+           .write_parquet(os.path.join(tmp, "gt")))
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write(str(n_docs))
+        if os.path.exists(out_dir):
+            # stale partial dir (no marker) or overwrite=True: clear it
+            shutil.rmtree(out_dir, ignore_errors=True)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            # lost a publish race; keep the winner if it is complete
+            if not os.path.exists(marker):
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return docs_path, gt_path
