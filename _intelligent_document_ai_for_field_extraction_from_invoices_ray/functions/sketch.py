@@ -177,6 +177,16 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def popcount64_batch(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array (numpy<2 lacks
+    ``np.bitwise_count``): one byte-view unpackbits + row sum."""
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return (np.unpackbits(x.view(np.uint8)).reshape(-1, 64)
+            .sum(axis=1).astype(np.int64))
+
+
 # ------------------------------------------------------------ HyperLogLog
 HLL_P = 12                      # 2^12 = 4096 registers; σ ≈ 1.04/64 ≈ 1.6%
 HLL_M = 1 << HLL_P

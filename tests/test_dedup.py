@@ -285,3 +285,73 @@ def test_degenerate_identical_corpus():
     exact = D.verify_pairs(D.prefix_candidates(sets, 4, 5), sets, 4, 5,
                            emit=D._jm).to_pandas()
     assert len(exact) == 300 * 299 // 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_pairs_match_bruteforce_reference():
+    """The distributed simhash pipeline (segment-key candidates through
+    the hot-key grid + XOR-popcount grid verify) must find EXACTLY the
+    pairs a brute-force O(n^2) scan finds: the 4x16-bit pigeonhole is
+    lossless for radius 3, and the verify join must not lose or invent
+    pairs."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions import (
+        sketch as SK,
+    )
+
+    got = D.q_simhash_pairs(SF)
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    memo: dict = {}
+    ids = np.asarray(docs.column("doc_id").to_pylist())
+    sigs = np.array([SK.simhash64(t.lower().split(), memo)
+                     for t in docs.column("text").to_pylist()],
+                    dtype=np.uint64)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    h = SK.popcount64_batch(sigs[ia] ^ sigs[ib])
+    keep = h <= 3
+    lo = np.minimum(ids[ia[keep]], ids[ib[keep]])
+    hi = np.maximum(ids[ia[keep]], ids[ib[keep]])
+    want = (pd.DataFrame({"doc_a": lo, "doc_b": hi, "hamming": h[keep]})
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert len(want) > 0          # corpus has near-dup templates
+    pd.testing.assert_frame_equal(
+        got.astype({"hamming": np.int64}), want.astype({"hamming": np.int64}))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_identical_corpus_bounded():
+    """All-identical corpus: every segment bucket is one giant hot group
+    (the adversarial case the old per-pair Python loop stalled on).  The
+    grid split must complete fast and emit all C(n,2) pairs at hamming 0."""
+    import time
+
+    import ray.data as rd
+
+    text = "invoice total 1,23,456 rs dealer mahindra tractor model 575 di"
+    n = 400
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), type=pa.int64()),
+        "text": pa.array([text] * n)}))
+
+    t0 = time.time()
+    sigs = D.simhash_signatures(docs).materialize()
+    seg = sigs.map_batches(
+        lambda b: pa.table({
+            "seg_key": pa.array(np.concatenate([
+                (np.int64(s) << np.int64(16))
+                | ((D._sig_u64(b.column("sig").to_numpy(zero_copy_only=False))
+                    >> np.uint64(16 * s)) & np.uint64(0xFFFF)).astype(np.int64)
+                for s in range(4)])),
+            "doc_id": pa.concat_arrays(
+                [b.column("doc_id").combine_chunks()] * 4),
+        }).replace_schema_metadata(None),
+        batch_format="pyarrow")
+    cands = D._pairs_from_keys(seg, "seg_key", dedup=True, max_group=64)
+    out = D.verify_hamming(cands, sigs, max_h=3).to_pandas()
+    took = time.time() - t0
+    assert len(out) == n * (n - 1) // 2
+    assert (out["hamming"] == 0).all()
+    assert took < 120, f"degenerate corpus took {took:.0f}s"
