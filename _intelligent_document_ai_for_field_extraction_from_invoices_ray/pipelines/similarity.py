@@ -177,34 +177,181 @@ def _planes(dim: int) -> np.ndarray:
     return rng.normal(size=(NUM_PLANES, dim))
 
 
+LSH_MAX_BUCKET = 2048        # hot-bucket threshold (rows per task bound)
+LSH_GRID_BLOCKS = 8
+_NN_CHUNK = 1024             # chunked-matmul row window (memory bound)
+
+
+def _df_matrix(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, L2-normalized matrix) from a pandas frame carrying the
+    Arrow list column as object-of-ndarray."""
+    ids = g["vec_id"].to_numpy().astype(np.int64)
+    mat = _normalize(np.stack([np.asarray(e, dtype=np.float64)
+                               for e in g["embedding"].to_numpy()]))
+    return ids, mat
+
+
+def _nn_within(ids: np.ndarray, mat: np.ndarray) -> pd.DataFrame:
+    """Deterministic exact NN inside one bucket: rows sorted by id, sims
+    computed in _NN_CHUNK-row windows (memory O(chunk·k), never k²),
+    ties broken toward the smallest neighbor id."""
+    if len(ids) < 2:
+        return pd.DataFrame({"vec_id": np.empty(0, np.int64),
+                             "nn_id": np.empty(0, np.int64)})
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    nn = np.empty(len(ids), dtype=np.int64)
+    for s in range(0, len(ids), _NN_CHUNK):
+        e = min(len(ids), s + _NN_CHUNK)
+        sims = mat[s:e] @ mat.T
+        sims[np.arange(e - s), np.arange(s, e)] = -2.0   # mask self
+        nn[s:e] = sims.argmax(axis=1)     # first max = smallest id (sorted)
+    return pd.DataFrame({"vec_id": ids, "nn_id": ids[nn]})
+
+
 def q_embed_ann_lsh(sf_dir: str) -> pd.DataFrame:
     """Approximate NN via random-hyperplane buckets: each vector lands in
     one of 2^NUM_PLANES buckets; nearest neighbor searched within-bucket.
-    Sub-linear at scale; recall is checked by pytest, not SQL."""
+    Sub-linear at scale; recall is checked by pytest, not SQL.
+
+    Scale shape (round 3; was one ``map_groups`` Python call per bucket
+    with an unchunked k×k matmul): cold buckets run through
+    ``bucketed_group_apply`` (64 tasks regardless of bucket count) with a
+    chunked-matmul kernel; buckets larger than LSH_MAX_BUCKET — the
+    low-entropy-embedding collapse case — are split over the
+    ``pair_grid_apply`` block grid into bounded (k/B)² cells whose
+    partial (vec_id, nn_id, sim) results reduce per vec_id (max sim,
+    ties toward the smallest neighbor id), so no single task ever holds
+    a corpus-sized bucket."""
+    from .grouping import bucketed_group_apply, pair_grid_apply
+
     ds = _emb(sf_dir)
 
-    def bucketize(batch: pa.Table) -> pd.DataFrame:
+    def bucketize(batch: pa.Table) -> pa.Table:
         ids, mat = _to_matrix(batch)
         planes = _planes(mat.shape[1])
         bits = (_normalize(mat) @ planes.T) > 0
-        bucket = (bits.astype(np.int64) * (1 << np.arange(NUM_PLANES))).sum(axis=1)
-        return pd.DataFrame({"bucket": bucket, "vec_id": ids,
-                             "emb": [r.tolist() for r in mat]})
+        bucket = (bits.astype(np.int64)
+                  * (1 << np.arange(NUM_PLANES))).sum(axis=1)
+        return (batch.append_column("bucket", pa.array(bucket))
+                .replace_schema_metadata(None))
 
-    def bucket_nn(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(columns=["vec_id", "nn_id"])
-        ids = g.vec_id.to_numpy()
-        mat = _normalize(np.stack(g.emb.to_numpy()))
-        sims = mat @ mat.T
-        np.fill_diagonal(sims, -2.0)
-        nn = sims.argmax(axis=1)
-        return pd.DataFrame({"vec_id": ids.astype(np.int64),
-                             "nn_id": ids[nn].astype(np.int64)})
+    keyed = ds.map_batches(bucketize, batch_format="pyarrow",
+                           batch_size=4096).materialize()
 
-    out = (ds.map_batches(bucketize, batch_format="pyarrow", batch_size=4096)
-           .groupby("bucket").map_groups(bucket_nn, batch_format="pandas")
-           .to_pandas())
+    # distributed hot-bucket histogram: only hot bucket ids (provably
+    # < rows/LSH_MAX_BUCKET) reach the driver
+    def bcount(batch: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(
+            batch.column("bucket").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"k": pa.array(uniq.astype(np.int64)),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    def hot_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("k", as_index=False)["c"].sum()
+        return s.loc[s["c"] > LSH_MAX_BUCKET, ["k"]]
+
+    hot_df = bucketed_group_apply(
+        keyed.map_batches(bcount, batch_format="pyarrow"),
+        ["k"], hot_in_bucket, num_buckets=32).to_pandas()
+    hot = (np.sort(hot_df["k"].to_numpy().astype(np.int64))
+           if len(hot_df) else np.empty(0, np.int64))
+
+    def cold_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("bucket"):
+            ids, mat = _df_matrix(g)
+            outs.append(_nn_within(ids, mat))
+        if not outs:
+            return pd.DataFrame({"vec_id": np.empty(0, np.int64),
+                                 "nn_id": np.empty(0, np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    def split(want_hot: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = np.isin(batch.column("bucket")
+                           .to_numpy(zero_copy_only=False), hot)
+            out = batch.filter(pa.array(mask if want_hot else ~mask))
+            return out.replace_schema_metadata(None)
+        return f
+
+    if not len(hot):
+        nn = bucketed_group_apply(keyed, ["bucket"], cold_kernel,
+                                  num_buckets=64)
+        return (nn.to_pandas().sort_values("vec_id")
+                .reset_index(drop=True))
+
+    nn_cold = bucketed_group_apply(
+        keyed.map_batches(split(False), batch_format="pyarrow"),
+        ["bucket"], cold_kernel, num_buckets=64)
+
+    # hot buckets: block-grid partial NN + per-vec reduce.  The grid key
+    # folds the bucket id in so distinct hot buckets never mix.
+    def grid_kernel(a: pd.DataFrame, b: pd.DataFrame | None) -> pd.DataFrame:
+        cols = {"vec_id": np.empty(0, np.int64),
+                "nn_id": np.empty(0, np.int64),
+                "sim": np.empty(0, np.float64)}
+        outs = []
+        if b is None:
+            for _, g in a.groupby("bucket"):
+                ids, mat = _df_matrix(g)
+                if len(ids) < 2:
+                    continue
+                order = np.argsort(ids, kind="stable")
+                ids, mat = ids[order], mat[order]
+                for s in range(0, len(ids), _NN_CHUNK):
+                    e = min(len(ids), s + _NN_CHUNK)
+                    sims = mat[s:e] @ mat.T
+                    sims[np.arange(e - s), np.arange(s, e)] = -2.0
+                    j = sims.argmax(axis=1)
+                    outs.append(pd.DataFrame({
+                        "vec_id": ids[s:e], "nn_id": ids[j],
+                        "sim": sims[np.arange(e - s), j]}))
+        else:
+            both = {k: (a.loc[a.bucket == k], b.loc[b.bucket == k])
+                    for k in np.intersect1d(a.bucket.unique(),
+                                            b.bucket.unique())}
+            for _, (ga, gb) in both.items():
+                if ga.empty or gb.empty:
+                    continue
+                ia, ma = _df_matrix(ga)
+                ib, mb = _df_matrix(gb)
+                oa = np.argsort(ia, kind="stable")
+                ob = np.argsort(ib, kind="stable")
+                ia, ma, ib, mb = ia[oa], ma[oa], ib[ob], mb[ob]
+                for s in range(0, len(ia), _NN_CHUNK):
+                    e = min(len(ia), s + _NN_CHUNK)
+                    sims = ma[s:e] @ mb.T
+                    j = sims.argmax(axis=1)
+                    outs.append(pd.DataFrame({
+                        "vec_id": ia[s:e], "nn_id": ib[j],
+                        "sim": sims[np.arange(e - s), j]}))
+                for s in range(0, len(ib), _NN_CHUNK):
+                    e = min(len(ib), s + _NN_CHUNK)
+                    sims = mb[s:e] @ ma.T
+                    j = sims.argmax(axis=1)
+                    outs.append(pd.DataFrame({
+                        "vec_id": ib[s:e], "nn_id": ia[j],
+                        "sim": sims[np.arange(e - s), j]}))
+        if not outs:
+            return pd.DataFrame(cols)
+        return pd.concat(outs, ignore_index=True)
+
+    def reduce_best(df: pd.DataFrame) -> pd.DataFrame:
+        # max sim per vec_id; float ties (duplicate vectors) break
+        # toward the smallest neighbor id for determinism
+        df = df.sort_values(["vec_id", "sim", "nn_id"],
+                            ascending=[True, False, True])
+        best = df.drop_duplicates("vec_id")
+        return best[["vec_id", "nn_id"]]
+
+    partials = pair_grid_apply(
+        keyed.map_batches(split(True), batch_format="pyarrow"),
+        "vec_id", grid_kernel, num_blocks=LSH_GRID_BLOCKS)
+    nn_hot = bucketed_group_apply(partials, ["vec_id"], reduce_best,
+                                  num_buckets=32)
+    out = nn_cold.union(nn_hot).to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
 
 

@@ -153,3 +153,30 @@ def test_kmeans_on_sf_corpus_structure():
     assert len(out) == len(emb)
     assert set(out.vec_id) == set(emb.vec_id)
     assert out.cluster_id.between(0, S.KMEANS_K - 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_ann_hot_bucket_all_equal():
+    """All-equal embeddings collapse every vector into ONE hyperplane
+    bucket — the adversarial case for within-bucket exact NN.  The hot
+    path must split it over the block grid (bounded per-task memory)
+    and still produce the deterministic answer: everyone's NN is the
+    smallest other id."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    n = 4000                      # > LSH_MAX_BUCKET -> hot path engaged
+    vec = list(np.ones(16) / 4.0)
+    tbl = pa.table({"vec_id": pa.array(list(range(n)), type=pa.int64()),
+                    "embedding": pa.array([vec] * n,
+                                          type=pa.list_(pa.float32()))})
+    import tempfile, os
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp(prefix="lsh_hot_")
+    pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+
+    out = S.q_embed_ann_lsh(d)
+    assert len(out) == n
+    want_nn = np.where(out.vec_id.to_numpy() == 0, 1, 0)
+    assert (out.nn_id.to_numpy() == want_nn).all()
