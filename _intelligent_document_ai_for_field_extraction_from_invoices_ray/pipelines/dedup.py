@@ -997,9 +997,11 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
         lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
     nodes = rd.read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id"])
-    out = connected_components(edges, nodes).to_pandas()
-    out = out.rename(columns={"label": "cluster_id"})
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return (connected_components(edges, nodes)
+            .map_batches(lambda b: (b.select(["doc_id", "label"])
+                                    .rename_columns(["doc_id", "cluster_id"])),
+                         batch_format="pyarrow")
+            .sort("doc_id"))
 
 
 # cluster id = min doc_id reachable through the near-dup graph; DuckDB

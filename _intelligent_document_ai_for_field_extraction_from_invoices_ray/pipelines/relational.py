@@ -463,8 +463,7 @@ def q_running_spend(sf_dir: str) -> pd.DataFrame:
 
     from .grouping import bucketed_group_apply
 
-    out = bucketed_group_apply(ds, ["o_custkey"], running).to_pandas()
-    return out.sort_values("o_orderkey").reset_index(drop=True)
+    return bucketed_group_apply(ds, ["o_custkey"], running).sort("o_orderkey")
 
 
 SQL_RUNNING_SPEND = """
@@ -513,9 +512,8 @@ def q_asof_latest_order(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"event_id": out.event_id,
                              "o_orderkey": out.o_orderkey.astype(np.int64)})
 
-    out = bucketed_cogroup(events, o_dedup, ["user_id"], ["o_custkey"],
-                           asof_bucket, num_buckets=32).to_pandas()
-    return out.sort_values("event_id").reset_index(drop=True)
+    return bucketed_cogroup(events, o_dedup, ["user_id"], ["o_custkey"],
+                            asof_bucket, num_buckets=32).sort("event_id")
 
 
 SQL_ASOF_LATEST_ORDER = """
@@ -764,24 +762,46 @@ def q_event_followers(sf_dir: str) -> pd.DataFrame:
     right = _pq(sf_dir, "events", ["user_id", "ts"])
 
     def range_bucket(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        # Merge-count: ONE lexsort of (right rows + both query endpoints)
+        # by (user, ts, is_query) replaces the per-user filter+searchsorted
+        # loop (round 2 scanned the whole bucket once per user).  For each
+        # query endpoint, the running count of right rows inside its user
+        # segment gives |{ts_r <= endpoint}|; followers = hi - lo.
         if lf.empty or rf.empty:
             return pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
                                  "n_followers": pd.Series(dtype=np.int64)})
-        out_ids, out_counts = [], []
-        rf_sorted = rf.sort_values(["user_id", "ts"])
-        for uid, g in lf.groupby("user_id", sort=False):
-            r = rf_sorted[rf_sorted.user_id == uid]
-            rts = r.ts.to_numpy()
-            ts = g.ts.to_numpy()
-            lo = np.searchsorted(rts, ts, side="right")          # strictly after
-            hi = np.searchsorted(rts, ts + np.timedelta64(1, "h"),
-                                 side="right")                   # ≤ ts + 1h
-            n = hi - lo
-            keep = n > 0
-            out_ids.extend(g.event_id.to_numpy()[keep].tolist())
-            out_counts.extend(n[keep].tolist())
-        return pd.DataFrame({"event_id": pd.Series(out_ids, dtype=np.int64),
-                             "n_followers": pd.Series(out_counts, dtype=np.int64)})
+        nR, nL = len(rf), len(lf)
+        codes, _ = pd.factorize(
+            pd.concat([rf.user_id, lf.user_id], ignore_index=True))
+        r_codes, l_codes = codes[:nR], codes[nR:]
+        lts = lf.ts.to_numpy()
+        u_all = np.concatenate([r_codes, l_codes, l_codes])
+        t_all = np.concatenate([rf.ts.to_numpy(), lts,
+                                lts + np.timedelta64(1, "h")])
+        f_all = np.concatenate([np.zeros(nR, np.int8),
+                                np.ones(2 * nL, np.int8)])
+        tag = np.concatenate([np.full(nR, -1, np.int64),
+                              np.arange(2 * nL, dtype=np.int64)])
+        order = np.lexsort((f_all, t_all, u_all))
+        is_r = (f_all[order] == 0).astype(np.int64)
+        cum = np.cumsum(is_r)                 # rights with key <= here
+        uo = u_all[order]
+        seg_first = np.ones(len(uo), bool)
+        seg_first[1:] = uo[1:] != uo[:-1]
+        # rights before each user segment; nondecreasing across segments,
+        # so a max-accumulate broadcasts the segment-start value forward
+        seg_offset = np.maximum.accumulate(
+            np.where(seg_first, cum - is_r, -1))
+        counts_at = cum - seg_offset
+        qtag = tag[order]
+        qmask = qtag >= 0
+        res = np.empty(2 * nL, np.int64)
+        res[qtag[qmask]] = counts_at[qmask]
+        n = res[nL:] - res[:nL]               # ts_r in (ts, ts + 1h]
+        keep = n > 0
+        return pd.DataFrame({
+            "event_id": lf.event_id.to_numpy()[keep].astype(np.int64),
+            "n_followers": n[keep]})
 
     out = bucketed_cogroup(left, right, ["user_id"], ["user_id"],
                            range_bucket, num_buckets=32).to_pandas()

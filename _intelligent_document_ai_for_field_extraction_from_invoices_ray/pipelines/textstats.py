@@ -37,7 +37,8 @@ def q_doc_tokens(sf_dir: str) -> pd.DataFrame:
             "n_chars": [len(t) for t in texts],
         })
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow").to_pandas()
+    # lazy: the driver/harness materializes; sort is distributed
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
 SQL_DOC_TOKENS = r"""
@@ -73,7 +74,8 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
                              "stop_ratio_milli": stop_milli,
                              "mean_token_len_milli": len_milli})
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow").to_pandas()
+    # lazy: the driver/harness materializes; sort is distributed
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
 SQL_DOC_QUALITY = rf"""
@@ -109,7 +111,8 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
                           for t in batch.column("text").to_pylist()],
         })
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow").to_pandas()
+    # lazy: the driver/harness materializes; sort is distributed
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
 SQL_LANG_ID = r"""
@@ -146,7 +149,8 @@ def q_pii_mask(sf_dir: str) -> pd.DataFrame:
                        for t in batch.column("text").to_pylist()],
         })
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow").to_pandas()
+    # lazy: the driver/harness materializes; sort is distributed
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
 SQL_PII_MASK = rf"""
@@ -177,7 +181,8 @@ def q_fingerprint(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": batch.column("doc_id").to_pylist(),
                              "fingerprint": fps})
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow").to_pandas()
+    # lazy: the driver/harness materializes; sort is distributed
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
 SQL_FINGERPRINT = r"""
@@ -210,9 +215,9 @@ def q_sample_docs(sf_dir: str) -> pd.DataFrame:
                 kept_ids.append(d)
         return pd.DataFrame({"doc_id": pd.Series(kept_ids, dtype=np.int64)})
 
-    out = (rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-           .map_batches(fn, batch_format="pyarrow").to_pandas())
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+            .map_batches(fn, batch_format="pyarrow").sort("doc_id"))
 
 
 SQL_SAMPLE_DOCS = f"""
