@@ -32,6 +32,7 @@ corpus-sized broadcast):
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -774,9 +775,11 @@ def minhash_lsh_pairs(docs: rd.Dataset, jaccard_milli: int = 800) -> rd.Dataset:
 
     cands = _pairs_from_keys(sets.map_batches(band_keys, batch_format="pyarrow"),
                              "band", dedup=False)
-    num = jaccard_milli // 200   # 800/1000 = 4/5
-    den = 5
-    return verify_pairs(cands, sets, num=num, den=den, emit=_jm)
+    # exact threshold fraction: jaccard_milli/1000 reduced by gcd (the
+    # round-2 `milli // 200 / 5` silently lowered e.g. 850 -> 0.8)
+    g = math.gcd(jaccard_milli, 1000)
+    return verify_pairs(cands, sets, num=jaccard_milli // g,
+                        den=1000 // g, emit=_jm)
 
 
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
@@ -918,14 +921,21 @@ def connected_components(edges: rd.Dataset, nodes: rd.Dataset,
     canonical (min reachable doc_id) — the step that turns pair detection
     into actual deduplication at corpus scale.
 
-    Hash-to-min label propagation: every round each node's label becomes
-    the min of its own and its neighbors' labels, executed as ONE
-    bucketed co-group join (labels onto edge sources) plus one bucketed
-    min-reduce; converges in O(log diameter) rounds.  Labels only ever
-    decrease, so the global label SUM is a monotone convergence witness —
-    one tiny aggregate per round, no per-node change join.  Each round's
-    label table is checkpointed (materialize ≙ the parquet checkpoint a
-    multi-day 10^12-row run would write).
+    Hash-to-min label propagation WITH pointer jumping: every round each
+    node's label becomes the min of (its own, its neighbors' labels, its
+    label's label) — the neighbor min is one bucketed co-group of labels
+    onto edge sources, the pointer jump a second co-group of the label
+    table onto itself, and both fold into one bucketed min-reduce.  The
+    jump doubles the hop distance a min travels per round, so
+    convergence is O(log diameter) rounds (plain one-hop propagation —
+    round 2's version — needs O(diameter): a 10^5-node path graph would
+    silently exhaust the round budget).  Labels only ever decrease, so
+    the global label SUM is a monotone convergence witness — one tiny
+    aggregate per round, no per-node change join; if the budget is
+    exhausted before the fixpoint the witness makes that detectable and
+    this function RAISES rather than returning wrong labels.  Each
+    round's label table is checkpointed (materialize ≙ the parquet
+    checkpoint a multi-day 10^12-row run would write).
 
     ``edges``: (doc_a, doc_b) int64 pairs; ``nodes``: (doc_id) int64.
     """
@@ -960,6 +970,16 @@ def connected_components(edges: rd.Dataset, nodes: rd.Dataset,
         m = lf.merge(rf.rename(columns={"doc_id": "src"}), on="src")
         return pd.DataFrame({"doc_id": m.dst, "label": m.label})
 
+    def jump(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        # pointer doubling: (d, l) x (l, l2) -> (d, l2); l2 <= l so the
+        # min-reduce below keeps it monotone
+        if lf.empty or rf.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "label": pd.Series(dtype=np.int64)})
+        m = lf.merge(rf.rename(columns={"doc_id": "label",
+                                        "label": "label2"}), on="label")
+        return pd.DataFrame({"doc_id": m.doc_id, "label": m.label2})
+
     def min_label(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("doc_id", as_index=False).agg(label=("label", "min"))
 
@@ -967,7 +987,7 @@ def connected_components(edges: rd.Dataset, nodes: rd.Dataset,
         from ray.data.aggregate import Sum
         return int(ds.aggregate(Sum("label"))["sum(label)"])
 
-    prev = label_sum(labels)
+    prev = cur = label_sum(labels)
     for _ in range(max_rounds):
         # materialize the message stage: lazily chaining the co-group into
         # the min-reduce (2 groupbys + 2 unions in one plan) ran 3-10x
@@ -975,13 +995,21 @@ def connected_components(edges: rd.Dataset, nodes: rd.Dataset,
         # the boundary costs only the (dst, label) message exchange
         msgs = bucketed_cogroup(e, labels, ["src"], ["doc_id"], send,
                                 num_buckets=32).materialize()
-        labels = (bucketed_group_apply(labels.union(msgs), ["doc_id"],
-                                       min_label, num_buckets=32)
+        jumps = bucketed_cogroup(labels, labels, ["label"], ["doc_id"],
+                                 jump, num_buckets=32).materialize()
+        labels = (bucketed_group_apply(labels.union(msgs).union(jumps),
+                                       ["doc_id"], min_label,
+                                       num_buckets=32)
                   .repartition(32).materialize())
         cur = label_sum(labels)
         if cur == prev:        # labels are monotone non-increasing
             break
         prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            f"rounds (label sum still decreasing: {prev} -> {cur}); "
+            "raise max_rounds — returning here would yield wrong labels")
     return labels
 
 

@@ -196,6 +196,22 @@ def test_connected_components_vs_union_find():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_connected_components_path_graph_log_rounds():
+    """A 200-node path graph (diameter 199) must converge inside a
+    ~log2(n) round budget — pins the pointer-jumping step: plain one-hop
+    min propagation needs ~199 rounds here and would now RAISE instead
+    of silently returning wrong labels."""
+    n = 200
+    nodes = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)}))
+    edges = rd.from_pandas(pd.DataFrame({
+        "doc_a": np.arange(n - 1, dtype=np.int64),
+        "doc_b": np.arange(1, n, dtype=np.int64)}))
+    got = D.connected_components(edges, nodes, max_rounds=14).to_pandas()
+    assert len(got) == n
+    assert (got.label == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hot_key_grid_split_equals_inline():
     """A planted hot key (group far above max_group) must yield exactly
     the same candidate pair set through the block-grid path as through
