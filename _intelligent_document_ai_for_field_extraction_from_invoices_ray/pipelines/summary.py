@@ -24,7 +24,11 @@ def summarize_results(results: rd.Dataset) -> dict:
             cols += ["processing_time_ms", "cost_estimate_usd"]
         df = batch.select(cols).to_pandas()
         ok = df[df.status == "success"]
+        # `timed` counts successful rows that actually carry timing
+        # columns: shards written before those columns existed (resume
+        # across versions) must not poison the rollup with +/-inf
         timing = {
+            "timed": len(ok) if has_timing else 0,
             "time_sum": float(ok.processing_time_ms.sum()) if has_timing else 0.0,
             "time_min": float(ok.processing_time_ms.min())
                         if has_timing and len(ok) else float("inf"),
@@ -61,6 +65,7 @@ def summarize_results(results: rd.Dataset) -> dict:
             ("horse_power", pa.float64()), ("asset_cost", pa.int64()),
             ("signature_present", pa.bool_()), ("stamp_present", pa.bool_())])))
     total, succ = int(parts.total.sum()), int(parts.successful.sum())
+    timed = int(parts.timed.sum()) if "timed" in parts.columns else 0
     summary = {
         "total_documents": total,
         "successful": succ,
@@ -86,13 +91,13 @@ def summarize_results(results: rd.Dataset) -> dict:
                             "rate": float(parts.stamp.sum() / succ) if succ else 0.0},
         # reference time/cost rollups (executable.py:646-667)
         "processing_time_stats": {
-            "mean_ms": float(parts.time_sum.sum() / succ) if succ else 0.0,
-            "min_ms": float(parts.time_min.min()) if succ else 0.0,
-            "max_ms": float(parts.time_max.max()) if succ else 0.0,
+            "mean_ms": float(parts.time_sum.sum() / timed) if timed else 0.0,
+            "min_ms": float(parts.time_min.min()) if timed else 0.0,
+            "max_ms": float(parts.time_max.max()) if timed else 0.0,
             "total_sec": float(parts.time_sum.sum() / 1000.0),
         },
         "cost_stats": {
-            "mean_usd": float(parts.cost_sum.sum() / succ) if succ else 0.0,
+            "mean_usd": float(parts.cost_sum.sum() / timed) if timed else 0.0,
             "total_usd": float(parts.cost_sum.sum()),
         },
     }

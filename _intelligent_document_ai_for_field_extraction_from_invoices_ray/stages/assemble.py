@@ -80,6 +80,10 @@ def make_assemble_nested_fn(output_dir: str | None = None,
         spans_col = group.column("spans")
         if isinstance(spans_col, pa.ChunkedArray):
             spans_col = spans_col.combine_chunks()
+        # the offset walk below assumes every row has a (possibly empty)
+        # spans LIST — a null list would make lens[r] None and corrupt
+        # `pos`; explode always emits a list, make that contract explicit
+        assert spans_col.null_count == 0, "null spans list reached assemble"
         flat = spans_col.flatten()
         span_names = [f.name for f in spans_col.type.value_type]
         fcols = [flat.field(nm).to_pylist() for nm in span_names]

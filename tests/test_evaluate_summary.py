@@ -87,6 +87,23 @@ def test_summary_counts():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_summary_without_timing_columns_is_strict_json():
+    """Shards written before the timing/cost columns existed (resume
+    across versions) must roll up to finite zeros, not +/-Infinity —
+    the summary JSON has to stay strict-JSON serializable."""
+    import json
+
+    rows = [_row(doc_id="a", overall_confidence=0.9),
+            _row(doc_id="b", overall_confidence=0.4)]
+    assert "processing_time_ms" not in rows[0]
+    s = summarize_results(rd.from_items(rows))
+    ts = s["processing_time_stats"]
+    assert (ts["mean_ms"], ts["min_ms"], ts["max_ms"]) == (0.0, 0.0, 0.0)
+    assert s["cost_stats"]["mean_usd"] == 0.0
+    json.dumps(s, allow_nan=False)   # raises on Infinity/NaN
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_json_output_format():
     """M19: required-format projection with round(4) and the falsy-IoU
     quirk (iou==0.0 renders null, like executable.py:126)."""
