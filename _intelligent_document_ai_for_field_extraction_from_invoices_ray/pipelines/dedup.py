@@ -362,13 +362,24 @@ def _pairs_from_keys(keyed: rd.Dataset, key_col: str,
     # distinct-key histogram (vocabulary-sized at corpus scale) stays
     # distributed.  (Round 2 merged ALL partials driver-side.)
     keyed = keyed.materialize()
+    # only repeated-in-batch keys can matter: a key with total count
+    # > max_group over NB batches keeps per-batch count >= 2 in all but
+    # < NB of its occurrences, so dropping per-batch singletons
+    # undercounts any key by < NB — a key missed for being marginally
+    # hot just runs inline, its group bounded by max_group + NB.  For
+    # shingle/token keys (mostly unique within a batch) this shrinks the
+    # histogram exchange 10-50x.  Guard: only trim when NB is small
+    # relative to max_group so the miss bound stays ~2x max_group; at
+    # extreme block counts fall back to the exact histogram.
+    min_cnt = 2 if keyed.num_blocks() <= max_group else 1
 
     def kcount(batch: pa.Table) -> pa.Table:
         uniq, cnt = np.unique(
             batch.column(key_col).to_numpy(zero_copy_only=False),
             return_counts=True)
-        return pa.table({"k": pa.array(uniq.astype(np.int64)),
-                         "c": pa.array(cnt.astype(np.int64))})
+        rep = cnt >= min_cnt
+        return pa.table({"k": pa.array(uniq[rep].astype(np.int64)),
+                         "c": pa.array(cnt[rep].astype(np.int64))})
 
     def hot_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         s = df.groupby("k", as_index=False)["c"].sum()
@@ -916,20 +927,27 @@ def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 # ------------------------------------------------------------ components
 def connected_components(edges: rd.Dataset, nodes: rd.Dataset,
-                         max_rounds: int = 30) -> rd.Dataset:
+                         max_rounds: int = 30, jump_after: int = 3) -> rd.Dataset:
     """Connected components over a near-dup pair graph → per-doc cluster
     canonical (min reachable doc_id) — the step that turns pair detection
     into actual deduplication at corpus scale.
 
-    Hash-to-min label propagation WITH pointer jumping: every round each
-    node's label becomes the min of (its own, its neighbors' labels, its
-    label's label) — the neighbor min is one bucketed co-group of labels
-    onto edge sources, the pointer jump a second co-group of the label
-    table onto itself, and both fold into one bucketed min-reduce.  The
-    jump doubles the hop distance a min travels per round, so
-    convergence is O(log diameter) rounds (plain one-hop propagation —
+    Hash-to-min label propagation WITH adaptive pointer jumping: every
+    round each node's label becomes the min of (its own, its neighbors'
+    labels, and — in jump-enabled rounds — its label's label).  The
+    neighbor min is one bucketed co-group of labels onto edge sources;
+    the pointer jump a second co-group of the label table onto itself;
+    both fold into one bucketed min-reduce.  The jump doubles the hop
+    distance a min travels per round, so convergence is
+    O(jump_after + log diameter) rounds (plain one-hop propagation —
     round 2's version — needs O(diameter): a 10^5-node path graph would
-    silently exhaust the round budget).  Labels only ever decrease, so
+    silently exhaust the round budget).  The jump stage only engages
+    after ``jump_after`` one-hop rounds fail to reach the fixpoint:
+    real near-dup graphs are star/clique-shaped with diameter ≤ 2-3, so
+    the common case pays zero extra exchanges (measured 2x on the sf0.1
+    corpus when jumping unconditionally) while a pathological deep
+    component still converges logarithmically.  Labels only ever
+    decrease, so
     the global label SUM is a monotone convergence witness — one tiny
     aggregate per round, no per-node change join; if the budget is
     exhausted before the fixpoint the witness makes that detectable and
@@ -988,17 +1006,19 @@ def connected_components(edges: rd.Dataset, nodes: rd.Dataset,
         return int(ds.aggregate(Sum("label"))["sum(label)"])
 
     prev = cur = label_sum(labels)
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # materialize the message stage: lazily chaining the co-group into
         # the min-reduce (2 groupbys + 2 unions in one plan) ran 3-10x
         # slower in this Ray version (22 s observed for a 512-edge round);
         # the boundary costs only the (dst, label) message exchange
         msgs = bucketed_cogroup(e, labels, ["src"], ["doc_id"], send,
                                 num_buckets=32).materialize()
-        jumps = bucketed_cogroup(labels, labels, ["label"], ["doc_id"],
-                                 jump, num_buckets=32).materialize()
-        labels = (bucketed_group_apply(labels.union(msgs).union(jumps),
-                                       ["doc_id"], min_label,
+        fused = labels.union(msgs)
+        if rnd >= jump_after:
+            jumps = bucketed_cogroup(labels, labels, ["label"], ["doc_id"],
+                                     jump, num_buckets=32).materialize()
+            fused = fused.union(jumps)
+        labels = (bucketed_group_apply(fused, ["doc_id"], min_label,
                                        num_buckets=32)
                   .repartition(32).materialize())
         cur = label_sum(labels)
