@@ -266,6 +266,23 @@ def _q_extract_error_samples(sf_dir: str):
     return error_samples(_run_flagship(sf_dir), k=10)
 
 
+def _q_extract_report(sf_dir: str):
+    """Comprehensive report bundle (evaluate.py:693-909 analog):
+    markdown + analysis JSON + SVG charts under /tmp, one-row metrics
+    view returned to the driver."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.report import (
+        report_frame,
+    )
+
+    (_docs_path, gt_path), _ = _corpus_for(sf_dir)
+    gt = {r["doc_id"]: r for r in pq.read_table(gt_path).to_pylist()}
+    out_dir = os.path.join("/tmp/dai_report",
+                           os.path.basename(sf_dir.rstrip("/")))
+    return report_frame(_run_flagship(sf_dir), gt, out_dir)
+
+
 def _q_extract_error_buckets(sf_dir: str):
     """Per-field missing/wrong error buckets vs ground truth."""
     import pandas as pd
@@ -313,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_with_fallback": _q_extract_with_fallback,
         "extract_error_samples": _q_extract_error_samples,
         "extract_error_buckets": _q_extract_error_buckets,
+        "extract_report": _q_extract_report,
         "extract_cost": _q_extract_cost,
         "extract_confidence_analysis": _q_extract_confidence_analysis,
         "extract_perf_analysis": _q_extract_perf_analysis,

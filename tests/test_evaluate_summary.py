@@ -87,6 +87,57 @@ def test_summary_counts():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_comprehensive_report_bundle(tmp_path):
+    """Report sink (evaluate.py:693-909 analog): writes analysis.json,
+    error_samples.json, markdown_report.md and the four SVG charts; the
+    markdown carries the key sections and the JSON is strict-parseable."""
+    import json
+    import xml.etree.ElementTree as ET
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.report import (
+        comprehensive_report,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append(_row(
+            doc_id=f"d{i}", dealer_name="A Motors Ltd", model_name="575 DI",
+            horse_power=50.0, asset_cost=650000,
+            overall_confidence=0.5 + (i % 5) * 0.1,
+            signature_present=bool(i % 2), stamp_present=False,
+            processing_time_ms=10.0 + i, ocr_time_ms=4.0,
+            extraction_time_ms=3.0, detection_time_ms=2.0,
+            validation_time_ms=1.0 + i, cost_estimate_usd=0.0005 * (i % 3)))
+    rows.append(_row(doc_id="bad", status="failed",
+                     processing_time_ms=5.0, ocr_time_ms=5.0,
+                     extraction_time_ms=0.0, detection_time_ms=0.0,
+                     validation_time_ms=0.0, cost_estimate_usd=0.0))
+    gt = {f"d{i}": {"dealer_name": "A Motors Ltd", "model_name": "575 DI",
+                    "horse_power": 50.0, "asset_cost": 650000.0,
+                    "signature_present": bool(i % 2), "stamp_present": False}
+          for i in range(40)}
+    rep = comprehensive_report(rd.from_items(rows), gt, str(tmp_path))
+
+    for f in ("analysis.json", "error_samples.json", "markdown_report.md",
+              "confidence_distribution.svg", "time_vs_confidence.svg",
+              "field_extraction_rates.svg", "time_breakdown.svg"):
+        assert (tmp_path / f).exists(), f
+        if f.endswith(".svg"):
+            ET.fromstring((tmp_path / f).read_text())   # well-formed XML
+    parsed = json.loads((tmp_path / "analysis.json").read_text())
+    assert parsed["total_documents"] == 41
+    assert 0.0 < parsed["summary"]["key_metrics"]["average_confidence"] < 1.0
+    assert len(parsed["error_samples"]) == 20
+    md = (tmp_path / "markdown_report.md").read_text()
+    for section in ("Executive Summary", "Field-Level Performance",
+                    "Cost Analysis", "Recommendations", "Overall Assessment"):
+        assert section in md, section
+    # document-level accuracy wired through: all 40 ok docs are correct
+    assert rep["document_level_accuracy"]["correct_documents"] == 40
+    assert rep["summary"]["target_achievement"]["processing_time_target"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_summary_without_timing_columns_is_strict_json():
     """Shards written before the timing/cost columns existed (resume
     across versions) must roll up to finite zeros, not +/-Infinity —
