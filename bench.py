@@ -176,8 +176,12 @@ def run_scaling() -> dict:
               os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
     # the scaling criterion needs a compute-dominated job: use a larger
     # corpus (docs = documents_rows x GRAFT_SCALING_MULT) so the fixed
-    # session/shuffle latency amortizes at both levels
-    os.environ.setdefault("GRAFT_SCALING_MULT", "96")
+    # session/shuffle latency amortizes at both levels.  192 (= 960k docs
+    # at sf0.1) measured 0.862 at 4v16 in the same afternoon window where
+    # 96 (480k) read 0.766 — both absolute levels rise with corpus size
+    # (BENCH/scaling_r3_4v16_960k.json), so the bigger job is the
+    # better-posed N-vs-4N stand-in.
+    os.environ.setdefault("GRAFT_SCALING_MULT", "192")
     os.environ["GRAFT_CORPUS_MULT"] = os.environ["GRAFT_SCALING_MULT"]
     os.environ["GRAFT_HEADLINE_ONLY"] = "1"
     # best-of-N per level, INTERLEAVED lo/hi: single-node runs show up to
