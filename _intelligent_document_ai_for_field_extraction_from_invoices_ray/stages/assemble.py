@@ -92,18 +92,28 @@ def make_assemble_nested_fn(output_dir: str | None = None,
             dcs = group.column("det_class").to_pylist()
             dfs = group.column("det_conf").to_pylist()
             dbs = group.column("det_bbox").to_pylist()
+        # the classifier stage dropped `kind` from the exchanged struct
+        # (derivable: media <=> non-empty media_ref) and aligned det_*
+        # lists to the MEDIA ordinal — reconstruct both here
+        slim = "kind" not in span_names
         pos = 0
         for r, d in enumerate(doc_ids):
             spans = [dict(zip(span_names, (c[k] for c in fcols)))
                      for k in range(pos, pos + lens[r])]
             pos += lens[r]
+            if slim:
+                for s in spans:
+                    s["kind"] = "media" if s["media_ref"] else "text"
             if has_det:
                 dc, df_, db = dcs[r], dfs[r], dbs[r]
+                mi = 0
                 for i, s in enumerate(spans):
                     if s["kind"] == "media":
-                        s["det_class"] = dc[i]
-                        s["det_conf"] = df_[i]
-                        s["det_bbox"] = db[i]
+                        j = mi if slim else i
+                        s["det_class"] = dc[j]
+                        s["det_conf"] = df_[j]
+                        s["det_bbox"] = db[j]
+                        mi += 1
             by_doc[d].extend(spans)
         t_group = time.perf_counter()
 

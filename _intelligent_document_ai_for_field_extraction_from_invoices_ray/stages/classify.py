@@ -20,34 +20,67 @@ from ..functions import vocab as V
 class MediaClassifierNested:
     """Actor-pool classifier for the COMPACT pipeline: doc rows with the
     nested ``spans`` column.  Flattens the list column zero-copy, runs the
-    same per-ref model + gates, and re-wraps the detections as list columns
-    aligned with ``spans`` (same offsets), so nothing per-span ships as a
-    separate row through the shuffle."""
+    per-ref model + gates on MEDIA spans only, and re-wraps the detections
+    as list columns, so nothing per-span ships as a separate row through
+    the shuffle.
+
+    EXCHANGE SLIMMING (this stage feeds the one reassembly shuffle):
+    - ``kind`` is dropped from the shuffled span struct — it is derivable
+      under the span contract (kind=='media' <=> non-empty media_ref,
+      validated vectorized per batch, ValueError on violation);
+    - ``det_*`` lists align to the MEDIA ordinal within each row, not the
+      span ordinal, so text spans no longer carry dead det entries
+      (an empty string + float64 zero + null bbox slot per text span).
+    ``make_assemble_nested_fn`` is the matched consumer that reconstructs
+    ``kind`` and re-attaches detections by media ordinal."""
 
     def __init__(self, conf_thresholds: dict[str, float] | None = None):
         self.inner = MediaClassifier(conf_thresholds)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
         spans = batch.column("spans")
         if isinstance(spans, pa.ChunkedArray):
             spans = spans.combine_chunks()
         flat = spans.flatten()
-        flat_tbl = pa.table({"kind": flat.field("kind"),
-                             "media_ref": flat.field("media_ref")})
-        det = self.inner(flat_tbl)
+        is_media = pc.equal(flat.field("kind"), "media")
+        has_ref = pc.not_equal(flat.field("media_ref"), "")
+        ok = pc.all(pc.equal(is_media, has_ref)).as_py()   # None on empty
+        if ok is False:
+            raise ValueError(
+                "span contract violation: kind=='media' must coincide "
+                "with a non-empty media_ref (required to drop `kind` "
+                "from the reassembly exchange)")
+        media_tbl = pa.table({"kind": flat.field("kind"),
+                              "media_ref": flat.field("media_ref")}
+                             ).filter(is_media)
+        det = self.inner(media_tbl)
+
         # rebase offsets from value lengths (spans may be a sliced array
         # whose raw offsets don't start at 0)
-        import numpy as np
-        import pyarrow.compute as pc
-
         lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
-        offsets = pa.array(np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32))
-        out = batch
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32))
+        slim = pa.StructArray.from_arrays(
+            [flat.field("text"), flat.field("media_ref"),
+             flat.field("offset")],
+            names=["text", "media_ref", "offset"])
+        out = batch.set_column(batch.schema.get_field_index("spans"),
+                               "spans", pa.ListArray.from_arrays(offsets, slim))
+
+        # media-ordinal det offsets: per-row media-span counts
+        parent = np.repeat(np.arange(batch.num_rows), lengths)
+        im = is_media.to_numpy(zero_copy_only=False)
+        media_counts = np.bincount(parent[im], minlength=batch.num_rows)
+        moff = pa.array(
+            np.concatenate([[0], np.cumsum(media_counts)]).astype(np.int32))
         for name in ("det_class", "det_conf", "det_bbox"):
             col = det.column(name)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            out = out.append_column(name, pa.ListArray.from_arrays(offsets, col))
+            out = out.append_column(name, pa.ListArray.from_arrays(moff, col))
         return out
 
 
