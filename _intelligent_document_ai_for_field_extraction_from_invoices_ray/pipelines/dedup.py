@@ -65,7 +65,7 @@ def _empty_table(cols: list[tuple[str, pa.DataType]]) -> pa.Table:
 
 
 # ------------------------------------------------------------ exact dedup
-def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
+def q_exact_dedup(sf_dir: str) -> rd.Dataset:
     """Canonical doc per exact content hash: md5 → min(doc_id), count."""
 
     def hash_batch(batch: pa.Table) -> pd.DataFrame:
@@ -81,10 +81,9 @@ def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
         return df.groupby("fp", as_index=False).agg(
             keeper_doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
 
-    out = bucketed_group_apply(
+    return bucketed_group_apply(
         _docs(sf_dir).map_batches(hash_batch, batch_format="pyarrow"),
-        ["fp"], agg).to_pandas()
-    return out.sort_values("fp").reset_index(drop=True)
+        ["fp"], agg).sort("fp")
 
 
 SQL_EXACT_DEDUP = """
@@ -649,7 +648,7 @@ def verify_pairs(pairs: rd.Dataset, sets: rd.Dataset, num: int, den: int,
 
 
 # ------------------------------------------------------------ exact jaccard
-def q_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+def q_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     """All near-dup pairs with token-set jaccard ≥ 0.95 (exact, integer
     threshold ``20·|∩| ≥ 19·|∪|``) via the frequency-ordered
     prefix-filter join.
@@ -663,10 +662,10 @@ def q_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     common = common_hashes_cached(sf_dir, "token")
     sets = hash_sets(_docs(sf_dir), "token", demote=common).materialize()
     cands = prefix_candidates(sets, num=19, den=20)
-    out = verify_pairs(
+    return verify_pairs(
         cands, sets, num=19, den=20,
-        emit=lambda i, u: {"inter_tokens": i, "union_tokens": u}).to_pandas()
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        emit=lambda i, u: {"inter_tokens": i, "union_tokens": u}
+    ).sort(["doc_a", "doc_b"])
 
 
 # inverted-index formulation (exact): candidates = doc pairs sharing at
@@ -707,15 +706,15 @@ def _jm(inter, union) -> dict:
     return {"jaccard_milli": (2000 * inter + union) // (2 * union)}
 
 
-def q_shingle_pairs(sf_dir: str) -> pd.DataFrame:
+def q_shingle_pairs(sf_dir: str) -> rd.Dataset:
     """All pairs with 3-shingle jaccard ≥ 0.8 — exact (prefix-filter join
     over shingle-hash sets); the exhaustive ground truth the MinHash+LSH
     path below approximates."""
     common = common_hashes_cached(sf_dir, "shingle")
     sets = hash_sets(_docs(sf_dir), "shingle", demote=common).materialize()
     cands = prefix_candidates(sets, num=4, den=5)
-    out = verify_pairs(cands, sets, num=4, den=5, emit=_jm).to_pandas()
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return verify_pairs(cands, sets, num=4, den=5,
+                        emit=_jm).sort(["doc_a", "doc_b"])
 
 
 # shingle-set jaccard (not token-set): SQL builds the same 3-shingles
@@ -793,9 +792,9 @@ def minhash_lsh_pairs(docs: rd.Dataset, jaccard_milli: int = 800) -> rd.Dataset:
                         den=1000 // g, emit=_jm)
 
 
-def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
-    out = minhash_lsh_pairs(_docs(sf_dir), jaccard_milli=800).to_pandas()
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+def q_minhash_pairs(sf_dir: str) -> rd.Dataset:
+    return minhash_lsh_pairs(_docs(sf_dir),
+                             jaccard_milli=800).sort(["doc_a", "doc_b"])
 
 
 # ------------------------------------------------------------ simhash
@@ -882,7 +881,7 @@ def verify_hamming(pairs: rd.Dataset, sigs: rd.Dataset, max_h: int = 3,
         ["_pk"], ["_pk"], kernel, num_buckets=B * B)
 
 
-def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+def q_simhash_pairs(sf_dir: str) -> rd.Dataset:
     """SimHash near-dup: hamming(sig_a, sig_b) ≤ 3 via pigeonhole — split
     the 64-bit signature into 4 segments; any pair within radius 3 agrees
     on ≥1 segment, so grouping by (segment index, segment value) finds all
@@ -918,8 +917,7 @@ def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     cands = _pairs_from_keys(sigs.map_batches(seg_keys,
                                               batch_format="pyarrow"),
                              "seg_key", dedup=True)
-    out = verify_hamming(cands, sigs, max_h=3).to_pandas()
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return verify_hamming(cands, sigs, max_h=3).sort(["doc_a", "doc_b"])
 
 
 

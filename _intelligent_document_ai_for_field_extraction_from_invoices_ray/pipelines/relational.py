@@ -361,7 +361,7 @@ ORDER BY l_returnflag, l_linestatus
 
 
 # ------------------------------------------------------------ events
-def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+def q_events_hourly(sf_dir: str) -> rd.Dataset:
     """Tumbling-hour window per user: count + exact-cents sum.
 
     ~10^5 output groups → the coarse-bucket pattern (grouping.py): one
@@ -380,9 +380,9 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
         return df.groupby(["user_id", "hour_bucket"], as_index=False).agg(
             n_events=("v", "size"), value_cents=("v", "sum"))
 
-    out = bucketed_group_apply(ds.map_batches(prep, batch_format="pandas"),
-                               ["user_id", "hour_bucket"], agg).to_pandas()
-    return out.sort_values(["user_id", "hour_bucket"]).reset_index(drop=True)
+    return bucketed_group_apply(ds.map_batches(prep, batch_format="pandas"),
+                                ["user_id", "hour_bucket"],
+                                agg).sort(["user_id", "hour_bucket"])
 
 
 SQL_EVENTS_HOURLY = """
@@ -543,7 +543,7 @@ def _distinct_keys(ds: rd.Dataset, key: str,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+def q_customers_without_orders(sf_dir: str) -> rd.Dataset:
     """Anti join of two large tables: customers with no big-ticket order
     (>3000 whole currency units).  The order keys are deduped per batch
     (combiner), then BOTH sides co-partition by key hash — the key set is
@@ -562,10 +562,9 @@ def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
                                  "c_name": pd.Series(dtype=object)})
         return lf[~lf.c_custkey.isin(rf.o_custkey.to_numpy())]
 
-    out = bucketed_cogroup(_pq(sf_dir, "customer", ["c_custkey", "c_name"]),
-                           okeys, ["c_custkey"], ["o_custkey"],
-                           anti_bucket, num_buckets=32).to_pandas()
-    return out.sort_values("c_custkey").reset_index(drop=True)
+    return bucketed_cogroup(_pq(sf_dir, "customer", ["c_custkey", "c_name"]),
+                            okeys, ["c_custkey"], ["o_custkey"],
+                            anti_bucket, num_buckets=32).sort("c_custkey")
 
 
 SQL_CUSTOMERS_WITHOUT_ORDERS = """
@@ -575,7 +574,7 @@ ORDER BY c_custkey
 """
 
 
-def q_parts_ordered_large(sf_dir: str) -> pd.DataFrame:
+def q_parts_ordered_large(sf_dir: str) -> rd.Dataset:
     """Semi join of two large tables: parts of size > 25 that appear in
     any lineitem.  lineitem keys are deduped per batch (combiner) and both
     sides co-partition by key hash — no driver-side key set."""
@@ -593,9 +592,8 @@ def q_parts_ordered_large(sf_dir: str) -> pd.DataFrame:
                                  "p_size": pd.Series(dtype=np.int64)})
         return lf[lf.p_partkey.isin(rf.l_partkey.to_numpy())]
 
-    out = bucketed_cogroup(parts, lkeys, ["p_partkey"], ["l_partkey"],
-                           semi_bucket, num_buckets=32).to_pandas()
-    return out.sort_values("p_partkey").reset_index(drop=True)
+    return bucketed_cogroup(parts, lkeys, ["p_partkey"], ["l_partkey"],
+                            semi_bucket, num_buckets=32).sort("p_partkey")
 
 
 SQL_PARTS_ORDERED_LARGE = """
@@ -667,7 +665,7 @@ GROUP BY n_name ORDER BY n_name
 
 
 # ------------------------------------------------------------ sessionization
-def q_user_sessions(sf_dir: str) -> pd.DataFrame:
+def q_user_sessions(sf_dir: str) -> rd.Dataset:
     """Session windows (30-min inactivity gap) per user — the guide's
     stream-shaped pattern: partition by key, sort by time inside the
     bucket, gaps-and-islands with vectorized pandas."""
@@ -690,8 +688,8 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
         out["session_start_s"] = out.session_start_s // 1_000_000_000
         return out[["user_id", "session_start_s", "n_events", "value_cents"]]
 
-    out = bucketed_group_apply(ds, ["user_id"], sessions).to_pandas()
-    return out.sort_values(["user_id", "session_start_s"]).reset_index(drop=True)
+    return bucketed_group_apply(ds, ["user_id"], sessions).sort(
+        ["user_id", "session_start_s"])
 
 
 SQL_USER_SESSIONS = """
@@ -748,7 +746,7 @@ GROUP BY c_mktsegment, o_orderstatus ORDER BY c_mktsegment, o_orderstatus
 
 
 # ------------------------------------------------------------ range join
-def q_event_followers(sf_dir: str) -> pd.DataFrame:
+def q_event_followers(sf_dir: str) -> rd.Dataset:
     """RANGE (interval) self-join over a large table: for each event, how
     many events by the same user land in the following hour.  Both sides
     are the events table co-partitioned by user key (one union shuffle via
@@ -803,9 +801,8 @@ def q_event_followers(sf_dir: str) -> pd.DataFrame:
             "event_id": lf.event_id.to_numpy()[keep].astype(np.int64),
             "n_followers": n[keep]})
 
-    out = bucketed_cogroup(left, right, ["user_id"], ["user_id"],
-                           range_bucket, num_buckets=32).to_pandas()
-    return out.sort_values("event_id").reset_index(drop=True)
+    return bucketed_cogroup(left, right, ["user_id"], ["user_id"],
+                            range_bucket, num_buckets=32).sort("event_id")
 
 
 SQL_EVENT_FOLLOWERS = """

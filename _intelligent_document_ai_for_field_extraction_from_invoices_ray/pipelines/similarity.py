@@ -209,7 +209,7 @@ def _nn_within(ids: np.ndarray, mat: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame({"vec_id": ids, "nn_id": ids[nn]})
 
 
-def q_embed_ann_lsh(sf_dir: str) -> pd.DataFrame:
+def q_embed_ann_lsh(sf_dir: str) -> rd.Dataset:
     """Approximate NN via random-hyperplane buckets: each vector lands in
     one of 2^NUM_PLANES buckets; nearest neighbor searched within-bucket.
     Sub-linear at scale; recall is checked by pytest, not SQL.
@@ -277,10 +277,8 @@ def q_embed_ann_lsh(sf_dir: str) -> pd.DataFrame:
         return f
 
     if not len(hot):
-        nn = bucketed_group_apply(keyed, ["bucket"], cold_kernel,
-                                  num_buckets=64)
-        return (nn.to_pandas().sort_values("vec_id")
-                .reset_index(drop=True))
+        return bucketed_group_apply(keyed, ["bucket"], cold_kernel,
+                                    num_buckets=64).sort("vec_id")
 
     nn_cold = bucketed_group_apply(
         keyed.map_batches(split(False), batch_format="pyarrow"),
@@ -351,8 +349,7 @@ def q_embed_ann_lsh(sf_dir: str) -> pd.DataFrame:
         "vec_id", grid_kernel, num_blocks=LSH_GRID_BLOCKS)
     nn_hot = bucketed_group_apply(partials, ["vec_id"], reduce_best,
                                   num_buckets=32)
-    out = nn_cold.union(nn_hot).to_pandas()
-    return out.sort_values("vec_id").reset_index(drop=True)
+    return nn_cold.union(nn_hot).sort("vec_id")
 
 
 
@@ -386,7 +383,7 @@ def _ivf_centroids(sample: np.ndarray) -> np.ndarray:
     return cent
 
 
-def q_embed_ann_ivf(sf_dir: str) -> pd.DataFrame:
+def q_embed_ann_ivf(sf_dir: str) -> rd.Dataset:
     """IVF approximate NN: coarse-quantize to IVF_LISTS inverted lists,
     each vector probes its IVF_PROBES nearest lists only.
 
@@ -478,9 +475,9 @@ def q_embed_ann_ivf(sf_dir: str) -> pd.DataFrame:
         out = df.groupby("vec_id", as_index=False).first()
         return out[["vec_id", "nn_id"]].astype(np.int64)
 
-    out = bucketed_group_apply(per_list.union(sent), ["vec_id"],
-                               best_across_lists, num_buckets=32).to_pandas()
-    return out.sort_values("vec_id").reset_index(drop=True)
+    return bucketed_group_apply(per_list.union(sent), ["vec_id"],
+                                best_across_lists,
+                                num_buckets=32).sort("vec_id")
 
 
 # ------------------------------------------------------------ k-means
@@ -542,14 +539,13 @@ def kmeans_assign(ds: rd.Dataset, k: int = KMEANS_K,
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
 
 
-def q_embed_kmeans(sf_dir: str) -> pd.DataFrame:
+def q_embed_kmeans(sf_dir: str) -> rd.Dataset:
     """Per-vector cluster assignment after KMEANS_ITERS Lloyd rounds over
     the embeddings table (k=KMEANS_K, deterministic first-k init).
     Iterative model fitting is not SQL-expressible → rows-only driver
     check; invariants (determinism, separable-corpus recovery, partition
     structure) are pinned by pytest."""
-    out = kmeans_assign(_emb(sf_dir)).to_pandas()
-    return out.sort_values("vec_id").reset_index(drop=True)
+    return kmeans_assign(_emb(sf_dir)).sort("vec_id")
 
 
 SIM_QUERIES = {

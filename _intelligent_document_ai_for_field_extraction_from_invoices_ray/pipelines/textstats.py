@@ -329,7 +329,7 @@ FROM tot
 STRAT_DENOM = 10     # keep ceil(|stratum| / 10) docs per stratum
 
 
-def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+def q_stratified_sample(sf_dir: str) -> rd.Dataset:
     """Stratified deterministic sample: within every ``lang`` stratum keep
     the ceil(|stratum|/10) docs with the smallest md5(doc_id) hash — an
     order-statistic per group, computed with one lang-bucketed shuffle
@@ -357,9 +357,8 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
                           columns=["doc_id", "lang"])
           .map_batches(keyed, batch_format="pyarrow"))
-    out = bucketed_group_apply(ds, ["lang"], per_bucket,
-                               num_buckets=16).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return bucketed_group_apply(ds, ["lang"], per_bucket,
+                                num_buckets=16).sort("doc_id")
 
 
 SQL_STRATIFIED_SAMPLE = f"""
@@ -380,7 +379,7 @@ ORDER BY doc_id
 
 
 # ------------------------------------------------------------ tf-idf
-def q_tfidf_topk(sf_dir: str) -> pd.DataFrame:
+def q_tfidf_topk(sf_dir: str) -> rd.Dataset:
     """Top-3 distinguishing terms per doc by integer-ratio TF-IDF
     (score = 1000·tf·N // df — a pure-integer idf surrogate, exactly
     reproducible in SQL; ln-based idf would hinge on libm equality).
@@ -422,13 +421,15 @@ def q_tfidf_topk(sf_dir: str) -> pd.DataFrame:
         df["rnk"] = df.groupby("doc_id").cumcount() + 1
         return df[df["rnk"] <= 3]
 
+    def topk_typed(df: pd.DataFrame) -> pd.DataFrame:
+        out = topk_bucket(df)
+        return out.assign(rnk=out["rnk"].astype(np.int64))
+
     scored = bucketed_group_apply(
         docs.map_batches(explode, batch_format="pyarrow"),
         ["token"], score_bucket, num_buckets=64)
-    out = bucketed_group_apply(scored, ["doc_id"], topk_bucket,
-                               num_buckets=64).to_pandas()
-    out["rnk"] = out["rnk"].astype(np.int64)
-    return out.sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+    return bucketed_group_apply(scored, ["doc_id"], topk_typed,
+                                num_buckets=64).sort(["doc_id", "rnk"])
 
 
 SQL_TFIDF_TOPK = r"""
@@ -517,7 +518,7 @@ ORDER BY n_occurrences DESC, ngram LIMIT 20
 
 
 # ------------------------------------------------------- decontamination
-def q_decontamination(sf_dir: str) -> pd.DataFrame:
+def q_decontamination(sf_dir: str) -> rd.Dataset:
     """Benchmark decontamination: flag every doc by how many DISTINCT
     5-token spans it shares with the eval set (the held-out docs chosen
     by the deterministic md5 predicate — the same coordination-free
@@ -571,9 +572,8 @@ def q_decontamination(sf_dir: str) -> pd.DataFrame:
                                                           dtype=np.int64),
                              "is_eval": pd.Series(evs, dtype=np.int64)})
 
-    out = (_docs(sf_dir).map_batches(count_hits, batch_format="pyarrow")
-           .to_pandas())
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return (_docs(sf_dir).map_batches(count_hits, batch_format="pyarrow")
+            .sort("doc_id"))
 
 
 SQL_DECONTAMINATION = f"""

@@ -110,8 +110,8 @@ def test_minhash_lsh_precision_and_recall():
 @pytest.mark.usefixtures("ray_session")
 def test_minhash_matches_exact_on_sf0001():
     _no_tensor_casting()
-    mh = D.q_minhash_pairs(SF)
-    sp = D.q_shingle_pairs(SF)
+    mh = D.q_minhash_pairs(SF).to_pandas()
+    sp = D.q_shingle_pairs(SF).to_pandas()
     assert set(zip(mh.doc_a, mh.doc_b)) <= set(zip(sp.doc_a, sp.doc_b))
 
 
@@ -316,7 +316,7 @@ def test_simhash_pairs_match_bruteforce_reference():
         sketch as SK,
     )
 
-    got = D.q_simhash_pairs(SF)
+    got = D.q_simhash_pairs(SF).to_pandas()
 
     docs = pq.read_table(f"{SF}/documents.parquet",
                          columns=["doc_id", "text"])

@@ -27,7 +27,7 @@ def _brute_nn():
 @pytest.mark.usefixtures("ray_session")
 def test_ivf_recall_vs_brute_force():
     truth = _brute_nn()
-    ivf = S.q_embed_ann_ivf(SF)
+    ivf = S.q_embed_ann_ivf(SF).to_pandas()
     hits = sum(1 for _, r in ivf.iterrows() if truth.get(r.vec_id) == r.nn_id)
     recall = hits / len(ivf)
     # 4 of 16 lists probed: recall well above the 25% floor of random lists
@@ -37,8 +37,8 @@ def test_ivf_recall_vs_brute_force():
 @pytest.mark.usefixtures("ray_session")
 def test_lsh_ann_sane():
     """Within-bucket NN is a valid vector id and deterministic."""
-    a = S.q_embed_ann_lsh(SF)
-    b = S.q_embed_ann_lsh(SF)
+    a = S.q_embed_ann_lsh(SF).to_pandas()
+    b = S.q_embed_ann_lsh(SF).to_pandas()
     assert a.equals(b)
     assert (a.vec_id != a.nn_id).all()
 
@@ -148,7 +148,7 @@ def test_kmeans_recovers_separable_clusters():
 
 @pytest.mark.usefixtures("ray_session")
 def test_kmeans_on_sf_corpus_structure():
-    out = S.q_embed_kmeans(SF)
+    out = S.q_embed_kmeans(SF).to_pandas()
     emb = S._emb(SF).to_pandas()
     assert len(out) == len(emb)
     assert set(out.vec_id) == set(emb.vec_id)
@@ -176,7 +176,7 @@ def test_lsh_ann_hot_bucket_all_equal():
     d = tempfile.mkdtemp(prefix="lsh_hot_")
     pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
 
-    out = S.q_embed_ann_lsh(d)
+    out = S.q_embed_ann_lsh(d).to_pandas()
     assert len(out) == n
     want_nn = np.where(out.vec_id.to_numpy() == 0, 1, 0)
     assert (out.nn_id.to_numpy() == want_nn).all()

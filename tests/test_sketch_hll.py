@@ -64,7 +64,7 @@ def test_decontamination_invariants():
     )
 
     sf = "/root/testdata/sf0.001"
-    out = T.q_decontamination(sf)
+    out = T.q_decontamination(sf).to_pandas()
     docs = T._docs(sf).to_pandas().set_index("doc_id")["text"]
     toks = docs.str.lower().str.split().str.len().reindex(out.doc_id).to_numpy()
     ev = out.is_eval.to_numpy() == 1
