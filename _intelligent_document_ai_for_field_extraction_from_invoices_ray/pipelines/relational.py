@@ -395,16 +395,24 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q_events_top3_per_type(sf_dir: str) -> pd.DataFrame:
-    """Grouped top-k: 3 highest-value events per type (map_groups sort)."""
+    """Grouped top-k: 3 highest-value events per type.  Coarse-bucket
+    pattern (one shuffle, vectorized rank per bucket) rather than raw
+    ``map_groups`` so a high-cardinality key costs num_buckets Python
+    calls, not one per group.  A per-batch top-3 combiner would shrink
+    the shuffle further; events-per-type dominates either way."""
+    from .grouping import bucketed_group_apply
+
     ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(value_cents=_cents(g.value))
-        return (g.sort_values(["value_cents", "event_id"],
-                              ascending=[False, True])
-                .head(3)[["event_type", "event_id", "value_cents"]])
+    def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(value_cents=_cents(df.value))
+        df = df.sort_values(["event_type", "value_cents", "event_id"],
+                            ascending=[True, False, True])
+        keep = df.groupby("event_type").cumcount() < 3
+        return df.loc[keep, ["event_type", "event_id", "value_cents"]]
 
-    out = ds.groupby("event_type").map_groups(topk, batch_format="pandas").to_pandas()
+    out = bucketed_group_apply(ds, ["event_type"], topk_bucket,
+                               num_buckets=8).to_pandas()
     return out.sort_values(["event_type", "value_cents", "event_id"],
                            ascending=[True, False, True]).reset_index(drop=True)
 
