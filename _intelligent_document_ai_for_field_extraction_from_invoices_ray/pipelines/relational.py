@@ -395,24 +395,31 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q_events_top3_per_type(sf_dir: str) -> pd.DataFrame:
-    """Grouped top-k: 3 highest-value events per type.  Coarse-bucket
-    pattern (one shuffle, vectorized rank per bucket) rather than raw
-    ``map_groups`` so a high-cardinality key costs num_buckets Python
-    calls, not one per group.  A per-batch top-3 combiner would shrink
-    the shuffle further; events-per-type dominates either way."""
+    """Grouped top-k: 3 highest-value events per type.
+
+    Top-k is a semilattice (top-3 of a union == top-3 of per-part
+    top-3s under the same total order), so a per-batch combiner keeps
+    only 3 rows per type per batch before the shuffle — the exchange is
+    O(3 · types · blocks), not O(events).  The merge runs through the
+    coarse-bucket pattern (one key-hash shuffle, vectorized rank per
+    bucket) rather than raw ``map_groups``, so a high-cardinality key
+    costs num_buckets Python calls, not one per group."""
     from .grouping import bucketed_group_apply
 
     ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
 
-    def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(value_cents=_cents(df.value))
+    def _top3(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["event_type", "value_cents", "event_id"],
                             ascending=[True, False, True])
         keep = df.groupby("event_type").cumcount() < 3
         return df.loc[keep, ["event_type", "event_id", "value_cents"]]
 
-    out = bucketed_group_apply(ds, ["event_type"], topk_bucket,
-                               num_buckets=8).to_pandas()
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return _top3(df.assign(value_cents=_cents(df.value)))
+
+    out = bucketed_group_apply(
+        ds.map_batches(combine, batch_format="pandas"),
+        ["event_type"], _top3, num_buckets=8).to_pandas()
     return out.sort_values(["event_type", "value_cents", "event_id"],
                            ascending=[True, False, True]).reset_index(drop=True)
 
