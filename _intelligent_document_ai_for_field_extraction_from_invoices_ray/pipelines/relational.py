@@ -326,17 +326,26 @@ GROUP BY r_name ORDER BY r_name
 
 # ------------------------------------------------------------ sort / limit
 def q_top_orders(sf_dir: str) -> pd.DataFrame:
-    """Global top-10 orders by price (distributed sort + limit)."""
+    """Global top-10 orders by price.  Top-k is a semilattice: each
+    batch emits its local top-10 and the driver merges the tiny
+    partials (10 rows × blocks) — no all-to-all sort of the table for
+    10 output rows (``sort().limit()`` would shuffle everything)."""
     ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def prep(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "price_cents", pa.array(_cents(batch.column("o_totalprice").to_numpy())))
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("o_totalprice").to_numpy())
+        keys = batch.column("o_orderkey").to_numpy()
+        idx = np.lexsort((keys, -cents))[:10]
+        out = batch.take(pa.array(idx))
+        return (out.append_column("price_cents", pa.array(cents[idx]))
+                .drop_columns(["o_totalprice"]).replace_schema_metadata(None))
 
-    out = (ds.map_batches(prep, batch_format="pyarrow")
-           .sort(["price_cents", "o_orderkey"], descending=[True, False])
-           .limit(10).to_pandas())
-    return out[["o_orderkey", "o_custkey", "price_cents"]]
+    parts = (ds.map_batches(partial_topk, batch_format="pyarrow")
+             .to_pandas())
+    out = parts.sort_values(["price_cents", "o_orderkey"],
+                            ascending=[False, True]).head(10)
+    return (out[["o_orderkey", "o_custkey", "price_cents"]]
+            .reset_index(drop=True))
 
 
 SQL_TOP_ORDERS = """
