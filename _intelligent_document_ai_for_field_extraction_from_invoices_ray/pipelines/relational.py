@@ -356,10 +356,17 @@ FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10
 
 
 def q_distinct_flags(sf_dir: str) -> pd.DataFrame:
-    """Distinct (returnflag, linestatus) pairs (shuffle dedup)."""
+    """Distinct (returnflag, linestatus) pairs.  Distinct is a
+    semilattice: each batch emits its local distinct pairs (≤ |flag ×
+    status| rows) and the driver unions the tiny partials — no shuffle
+    of the full table for a handful of output rows."""
     ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
-    out = (ds.groupby(["l_returnflag", "l_linestatus"]).count().to_pandas()
-           [["l_returnflag", "l_linestatus"]])
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    out = (ds.map_batches(uniq, batch_format="pandas")
+           .to_pandas().drop_duplicates())
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
