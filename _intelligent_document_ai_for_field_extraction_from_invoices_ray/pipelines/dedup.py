@@ -1031,7 +1031,7 @@ def connected_components(edges: rd.Dataset, nodes: rd.Dataset,
     return labels
 
 
-def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+def q_dedup_clusters(sf_dir: str) -> rd.Dataset:
     """Cluster id (min reachable doc_id) per document over the exact
     shingle-jaccard ≥0.8 near-dup graph; singletons are their own
     cluster.  Completes the dedup family: pairs → clusters → canonical

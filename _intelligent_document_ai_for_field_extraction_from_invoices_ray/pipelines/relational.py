@@ -480,7 +480,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-def q_running_spend(sf_dir: str) -> pd.DataFrame:
+def q_running_spend(sf_dir: str) -> rd.Dataset:
     """Per-customer running order spend (windowed cumulative sum)."""
     ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice",
                                 "o_orderdate"])
@@ -509,7 +509,7 @@ FROM orders ORDER BY o_orderkey
 
 
 # ------------------------------------------------------------ as-of join
-def q_asof_latest_order(sf_dir: str) -> pd.DataFrame:
+def q_asof_latest_order(sf_dir: str) -> rd.Dataset:
     """As-of join: each event matched to the latest prior order of the
     customer with custkey == user_id.  BOTH large sides shuffle into the
     same key-hash buckets (``bucketed_cogroup``) and ``pd.merge_asof``

@@ -28,7 +28,7 @@ def _docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
 
 
 # ------------------------------------------------------------ token counts
-def q_doc_tokens(sf_dir: str) -> pd.DataFrame:
+def q_doc_tokens(sf_dir: str) -> rd.Dataset:
     def fn(batch: pa.Table) -> pd.DataFrame:
         texts = batch.column("text").to_pylist()
         return pd.DataFrame({
@@ -52,7 +52,7 @@ FROM documents ORDER BY doc_id
 
 
 # ------------------------------------------------------------ quality
-def q_doc_quality(sf_dir: str) -> pd.DataFrame:
+def q_doc_quality(sf_dir: str) -> rd.Dataset:
     """Quality heuristics: stopword ratio + mean token length (milli-units)."""
     stop = V.STOPWORDS
 
@@ -101,7 +101,7 @@ FROM t ORDER BY doc_id
 
 
 # ------------------------------------------------------------ language ID
-def q_lang_id(sf_dir: str) -> pd.DataFrame:
+def q_lang_id(sf_dir: str) -> rd.Dataset:
     """Unicode-script language ID (the OCR >30% rule, ocr.py:314-348)."""
 
     def fn(batch: pa.Table) -> pd.DataFrame:
@@ -137,7 +137,7 @@ FROM c ORDER BY doc_id
 _PII_SUFFIX = " ref 9876543210 mail a.b@example.com PAN ABCDE1234F on 15/01/2024"
 
 
-def q_pii_mask(sf_dir: str) -> pd.DataFrame:
+def q_pii_mask(sf_dir: str) -> rd.Dataset:
     """PII masking over text (a deterministic PII suffix is appended so the
     masks actually fire on this PII-free corpus); mirrors the reference
     chain normalizer.py:210-231 as a vectorized stage."""
@@ -170,7 +170,7 @@ FROM documents ORDER BY doc_id
 
 
 # ------------------------------------------------------------ fingerprint
-def q_fingerprint(sf_dir: str) -> pd.DataFrame:
+def q_fingerprint(sf_dir: str) -> rd.Dataset:
     """Canonical-text md5 fingerprint (lower + whitespace collapse)."""
 
     def fn(batch: pa.Table) -> pd.DataFrame:
@@ -199,7 +199,7 @@ FROM documents ORDER BY doc_id
 SAMPLE_MOD = 10      # keep 1-in-10
 
 
-def q_sample_docs(sf_dir: str) -> pd.DataFrame:
+def q_sample_docs(sf_dir: str) -> rd.Dataset:
     """Deterministic hash sampling — the scale-safe train/val splitter:
     keep a doc iff md5(doc_id) mod K == 0.  No RNG state, no coordination,
     identical on every worker/rerun, and any table keyed by doc_id can be

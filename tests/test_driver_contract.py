@@ -28,10 +28,12 @@ def test_every_registered_query_runs():
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs), "oracle without a query"
     failures = {}
+    dataset_names = set()
     for name, fn in qs.items():
         try:
             res = fn(SF)
             if isinstance(res, rd.Dataset):
+                dataset_names.add(name)
                 n = res.count()
             elif isinstance(res, pa.Table):
                 n = res.num_rows
@@ -42,6 +44,23 @@ def test_every_registered_query_runs():
         except Exception as exc:            # noqa: BLE001 — collect all
             failures[name] = repr(exc)[:200]
     assert not failures, failures
+    # scale-shape pin: queries whose OUTPUT scales with the corpus must
+    # return lazy Datasets (distributed sort; the harness materializes),
+    # never a driver-side DataFrame — a regression here reintroduces a
+    # corpus-sized driver collect
+    corpus_sized = {
+        "doc_tokens", "doc_quality", "lang_id", "pii_mask", "fingerprint",
+        "sample_docs", "stratified_sample", "tfidf_topk", "decontamination",
+        "exact_dedup", "jaccard_pairs", "shingle_pairs", "minhash_pairs",
+        "simhash_pairs", "dedup_clusters", "events_hourly", "user_sessions",
+        "event_followers", "asof_latest_order", "running_spend",
+        "customers_without_orders", "parts_ordered_large",
+        "embed_ann_lsh", "embed_ann_ivf", "embed_kmeans",
+    }
+    missing = corpus_sized - set(qs)
+    assert not missing, f"pinned queries vanished: {missing}"
+    not_lazy = corpus_sized - dataset_names
+    assert not not_lazy, f"corpus-sized queries not lazy Datasets: {not_lazy}"
 
 
 def test_oracle_sql_entries_are_nonempty_select_statements():
