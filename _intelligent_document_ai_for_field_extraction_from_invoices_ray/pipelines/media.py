@@ -145,9 +145,11 @@ def build_media_features(docs: rd.Dataset, concurrency: int = 2,
         batch_size=batch_size, concurrency=concurrency)
 
 
-def q_media_features(sf_dir: str) -> pd.DataFrame:
+def q_media_features(sf_dir: str) -> rd.Dataset:
     """Driver query: per-media features over the derived corpus (rows-only:
-    payload synthesis + stub decode are not SQL-expressible)."""
+    payload synthesis + stub decode are not SQL-expressible).  Returns a
+    lazy distributed-sorted Dataset — the output is media-row-sized
+    (corpus-scale), so nothing is collected driver-side."""
     import os
 
     import pyarrow.parquet as pq
@@ -164,5 +166,5 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
         return df[["doc_id", "media_ref", "media_kind", "payload_bytes",
                    "feat0_milli"]]
 
-    return (feats.map_batches(flatten, batch_format="pandas").to_pandas()
-            .sort_values(["doc_id", "media_ref"]).reset_index(drop=True))
+    return (feats.map_batches(flatten, batch_format="pandas")
+            .sort(["doc_id", "media_ref"]))

@@ -55,7 +55,7 @@ def test_every_registered_query_runs():
         "simhash_pairs", "dedup_clusters", "events_hourly", "user_sessions",
         "event_followers", "asof_latest_order", "running_spend",
         "customers_without_orders", "parts_ordered_large",
-        "embed_ann_lsh", "embed_ann_ivf", "embed_kmeans",
+        "embed_ann_lsh", "embed_ann_ivf", "embed_kmeans", "media_features",
     }
     missing = corpus_sized - set(qs)
     assert not missing, f"pinned queries vanished: {missing}"
