@@ -72,6 +72,22 @@ class ExtractConfig:
     # upstream stages need span-level rows (e.g. the pre-shuffle
     # normalize stage or custom per-span operators).
     compact_shuffle: bool = True
+    # Packed exchange (compact plan only): before the reassembly shuffle,
+    # each map task groups its rows by _part and ships ONE
+    # IPC+zlib(level 1) blob row per partition instead of N nested doc
+    # rows — invoice-like text compresses 3.8-4.7x at realistic
+    # (pack_batch / num_partitions)-doc windows, so the one all-to-all
+    # moves ~4x fewer bytes at the cost of compress/decompress cpu and
+    # one extra map pass.  Default OFF: measured on the single-box bench
+    # (960k docs) it LOSES ~20% at both 16 and 32 cpus (packed 12.2k/18.2k
+    # vs unpacked 15.2k/22.5k docs/s) because plasma transfers on one box
+    # are memcpy-fast — compression cannot pay for its cpu when the
+    # "exchange" never crosses a wire.  On a real multi-node cluster the
+    # exchange crosses the network (the resource Spark-style engines
+    # compress shuffles for by default); enable it there.  Semantics are
+    # byte-identical either way (pinned by test_packed_exchange_equal).
+    packed_exchange: bool = False
+    pack_batch: int = 16384           # docs per pack call; window = this / num_partitions
     # per-class detection thresholds (set_confidence_thresholds analog,
     # detector.py:725-729); None = reference defaults {sig .4, stamp .5}
     media_conf_thresholds: dict | None = None
@@ -162,7 +178,7 @@ def _build_compact(docs, cfg, ground_truth, dealer_master, model_master,
 
     import numpy as np
 
-    from ..stages.assemble import make_assemble_nested_fn
+    from ..stages.assemble import make_assemble_nested_fn, make_assemble_packed_fn
     from ..stages.classify import MediaClassifierNested
 
     P = cfg.num_partitions
@@ -204,15 +220,58 @@ def _build_compact(docs, cfg, ground_truth, dealer_master, model_master,
     gt_ref = ray.put(ground_truth) if ground_truth else None
     dealer_ref = ray.put(dealer_master) if dealer_master else None
     model_ref = ray.put(model_master) if model_master else None
-    assemble = make_assemble_nested_fn(output_dir=output_dir,
-                                       manifest_dir=manifest_dir,
-                                       gt_ref=gt_ref, dealer_master_ref=dealer_ref,
-                                       model_master_ref=model_ref,
-                                       rulebook=rulebook,
-                                       input_lineage=input_lineage,
-                                       emit_norm_spans=cfg.emit_norm_spans,
-                                       use_gpu=cfg.classify_num_gpus > 0)
+    mk = make_assemble_packed_fn if cfg.packed_exchange else make_assemble_nested_fn
+    assemble = mk(output_dir=output_dir,
+                  manifest_dir=manifest_dir,
+                  gt_ref=gt_ref, dealer_master_ref=dealer_ref,
+                  model_master_ref=model_ref,
+                  rulebook=rulebook,
+                  input_lineage=input_lineage,
+                  emit_norm_spans=cfg.emit_norm_spans,
+                  use_gpu=cfg.classify_num_gpus > 0)
+    if cfg.packed_exchange:
+        rows = rows.map_batches(_pack_by_part, batch_format="pyarrow",
+                                batch_size=cfg.pack_batch)
     return rows.groupby("_part").map_groups(assemble, batch_format="pyarrow")
+
+
+def _pack_by_part(batch: pa.Table) -> pa.Table:
+    """Pack a pre-shuffle batch into one IPC+zlib blob per partition
+    present — the exchange then moves compressed bytes, not Arrow rows.
+    zlib level 1 over the raw IPC stream beats Arrow's built-in ipc-zstd
+    at these window sizes (3.8x vs 3.0x at 26 docs/blob) and is stdlib.
+    Blob window = batch_rows / partitions-touched; callers size
+    ``pack_batch`` so windows land ≥~25 docs where the ratio flattens."""
+    import io
+    import zlib
+
+    import numpy as np
+    import pyarrow.ipc as ipc
+
+    schema = pa.schema([("_part", pa.int32()), ("n_docs", pa.int64()),
+                        ("blob", pa.large_binary())])
+    if batch.num_rows == 0:
+        return schema.empty_table()
+    parts = batch.column("_part").to_numpy(zero_copy_only=False)
+    order = np.argsort(parts, kind="stable")
+    tbl = batch.take(pa.array(order))
+    p = tbl.column("_part").to_numpy(zero_copy_only=False)
+    payload = tbl.drop_columns(["_part"])
+    bounds = np.flatnonzero(np.diff(p)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(p)]))
+    pids, ndocs, blobs = [], [], []
+    for s, e in zip(starts, ends):
+        sub = payload.slice(s, e - s)
+        sink = io.BytesIO()
+        with ipc.new_stream(sink, sub.schema) as w:
+            w.write_table(sub)
+        pids.append(int(p[s]))
+        ndocs.append(int(e - s))
+        blobs.append(zlib.compress(sink.getvalue(), 1))
+    return pa.table({"_part": pa.array(pids, type=pa.int32()),
+                     "n_docs": pa.array(ndocs, type=pa.int64()),
+                     "blob": pa.array(blobs, type=pa.large_binary())})
 
 
 def run_extraction(input_uri: str,

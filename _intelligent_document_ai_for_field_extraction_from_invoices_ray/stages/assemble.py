@@ -175,6 +175,38 @@ def _finalize(results, by_doc, part_id, output_dir, manifest_dir,
     return out
 
 
+def make_assemble_packed_fn(**kwargs):
+    """Assemble for the PACKED exchange: each group row is an
+    IPC+zlib-compressed blob of nested doc rows for this partition
+    (see ``extract._pack_by_part``).  Decompress + concat, then delegate
+    to the nested assemble — semantics are byte-identical, only the
+    transport of the one all-to-all changes (measured 3.8-4.7x fewer
+    exchange bytes on the synthetic corpus, window-size dependent)."""
+    inner = make_assemble_nested_fn(**kwargs)
+
+    def assemble(group: pa.Table) -> pa.Table:
+        import io
+        import zlib
+
+        import pyarrow.ipc as ipc
+
+        part_id = group.column("_part")[0].as_py()
+        tables = []
+        blob_col = group.column("blob")
+        for chunk in (blob_col.chunks if isinstance(blob_col, pa.ChunkedArray)
+                      else [blob_col]):
+            for b in chunk:
+                with ipc.open_stream(io.BytesIO(
+                        zlib.decompress(b.as_py()))) as r:
+                    tables.append(r.read_all())
+        full = pa.concat_tables(tables)
+        full = full.append_column(
+            "_part", pa.array([part_id] * full.num_rows, type=pa.int32()))
+        return inner(full)
+
+    return assemble
+
+
 def make_assemble_fn(output_dir: str | None = None,
                      manifest_dir: str | None = None,
                      gt_ref=None, dealer_master_ref=None, model_master_ref=None,

@@ -83,10 +83,14 @@ def run_bench() -> dict:
     # setup (measured 21.9-25.7s at 96 parts vs 24.3-25.7s at 192 on the
     # 480k corpus — within noise but never worse, and a partition's spans
     # still fit a worker heap comfortably)
+    # packed exchange: default OFF on this single box (plasma is
+    # memcpy-fast, compression loses ~20%; see ExtractConfig.packed_exchange)
+    packed = os.environ.get("GRAFT_PACKED", "0") != "0"
     cfg = ExtractConfig(num_partitions=max(64, n_docs // 5000),
                         classify_concurrency=max(2, NUM_CPUS // 4),
                         normalize_stage=not compact,
-                        emit_norm_spans=False, compact_shuffle=compact)
+                        emit_norm_spans=False, compact_shuffle=compact,
+                        packed_exchange=packed)
     t0 = time.perf_counter()
     out_rows = build_extraction(rd.read_parquet(docs_path), cfg).count()
     headline = time.perf_counter() - t0
@@ -131,6 +135,7 @@ def run_bench() -> dict:
     timed("stratified_sample", textstats.q_stratified_sample)
     timed("tfidf_topk", textstats.q_tfidf_topk)
     timed("ngram_hotspots", textstats.q_ngram_hotspots)
+    timed("repetition_stats", textstats.q_repetition_stats)
     timed("exact_dedup", dedup.q_exact_dedup)
     timed("jaccard_pairs", dedup.q_jaccard_pairs)
     timed("shingle_pairs", dedup.q_shingle_pairs)

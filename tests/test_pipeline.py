@@ -193,6 +193,26 @@ def test_compact_shuffle_matches_oracle(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_packed_exchange_matches_oracle(tmp_path):
+    """The packed (IPC+zlib blob) exchange is a pure transport change:
+    full column equality vs the oracle, shards + manifest intact.  A
+    small pack_batch forces several blobs per partition so the
+    decompress-concat path in make_assemble_packed_fn is really
+    exercised (one blob per part would hide a concat bug)."""
+    _no_tensor_casting()
+    docs, _ = corpus_tables(200)
+    cfg = ExtractConfig(num_partitions=8, salt_buckets=16, classify_concurrency=2,
+                        compact_shuffle=True, packed_exchange=True,
+                        pack_batch=32)
+    pdf = build_extraction(rd.from_arrow(docs), cfg,
+                           output_dir=str(tmp_path / "out"),
+                           manifest_dir=str(tmp_path / "mf")).to_pandas()
+    odf = run_oracle(docs).to_pandas()
+    assert_matches_oracle(pdf[odf.columns], odf)
+    assert len(mf.load_records(str(tmp_path / "mf"))) == 8
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_custom_detection_thresholds(tmp_path):
     """set_confidence_thresholds analog (detector.py:725-729): raising the
     signature threshold suppresses low-confidence detections, identically

@@ -1,0 +1,63 @@
+"""q_repetition_stats: Gopher-style repetition quality metrics.
+
+Pins the metric math on hand-computable adversarial docs and the full
+Ray-vs-DuckDB equality on a synthetic table (the sf sqlcheck covers the
+real corpora; this covers the degenerate shapes it lacks: empty text,
+single token, all-identical tokens, alternating template)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines import (
+    textstats as T,
+)
+
+
+@pytest.fixture(scope="module")
+def rep_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("rep_sf")
+    rng = np.random.RandomState(11)
+    docs = [
+        (0, ""),                                   # empty
+        (1, "  "),                                 # whitespace only
+        (2, "solo"),                               # one token: no bigrams
+        (3, "spam spam spam spam"),                # fully repeated
+        (4, "a b a b a b a b"),                    # alternating template
+        (5, "all tokens here are unique words"),   # no repetition
+    ]
+    docs += [(i, " ".join(rng.choice(["x", "y", "z", "w"], rng.randint(1, 40))))
+             for i in range(6, 300)]
+    pd.DataFrame({"doc_id": np.array([d[0] for d in docs], dtype=np.int64),
+                  "text": [d[1] for d in docs]}).to_parquet(
+        d / "documents.parquet", row_group_size=32)
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repetition_stats_vs_oracle(rep_sf):
+    got = T.q_repetition_stats(rep_sf).to_pandas()
+
+    con = duckdb.connect()
+    p = os.path.join(rep_sf, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    want = con.execute(T.SQL_REPETITION_STATS).df()
+
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+
+    by = got.set_index("doc_id")
+    # empty / whitespace-only: all zeros
+    assert (by.loc[0] == 0).all() and (by.loc[1] == 0).all()
+    # one token: no bigrams, token fully dominant
+    assert tuple(by.loc[2]) == (1, 1, 1000, 0, 0)
+    # 4x the same token: 3 bigrams all identical
+    assert tuple(by.loc[3]) == (4, 1, 1000, 666, 1000)
+    # alternating a b: 7 bigrams, 2 distinct ('a b' x4 dominant)
+    assert tuple(by.loc[4]) == (8, 2, 500, 714, 571)
+    # all-unique: no duplicate mass anywhere
+    assert by.loc[5, "dup_bigram_milli"] == 0
+    assert by.loc[5, "distinct_tokens"] == by.loc[5, "n_tokens"]
