@@ -606,6 +606,128 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------- duplicate passages
+def q_dup_passages(sf_dir: str) -> rd.Dataset:
+    """Exact duplicated-PASSAGE coverage per doc — the k-gram-anchor
+    analog of suffix-array substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    word-8-gram occurring in ≥2 DISTINCT docs marks its 8-token window
+    duplicated; per doc we report the flagged anchor count and the
+    union-of-windows token coverage (gaps-and-islands: Σ min(8, gap to
+    next anchor)).  Catches copied paragraphs inside otherwise-unique
+    docs, which whole-doc exact/near dedup both miss; within-doc
+    repetition is deliberately NOT flagged (that is q_repetition_stats'
+    job — cross-doc only, via COUNT(DISTINCT doc_id) > 1).
+
+    Scale shape: stage 1 emits (gram, doc_id, pos) anchors, bucketed by
+    GRAM (no vocabulary broadcast — each bucket sees every occurrence of
+    its grams, flags cross-doc ones with one vectorized transform);
+    stage 2 re-buckets only the FLAGGED (doc_id, pos) pairs by doc and
+    co-groups them with the tiny per-doc token counts to compute
+    coverage.  Two shuffles: first ∝ total token positions (the gram
+    string is the exchange payload — at 100 TB ship a 128-bit gram hash
+    instead; string kept here for exact oracle parity), second ∝ flagged
+    anchors only.  Nothing corpus-sized touches the driver; output is a
+    lazy distributed-sorted Dataset of O(docs) scalar rows."""
+    from .grouping import bucketed_cogroup, bucketed_group_apply
+
+    K = 8
+    docs = _docs(sf_dir)
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ids, poss, grams = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = t.lower().split()
+            for i in range(len(toks) - K + 1):
+                ids.append(d)
+                poss.append(i)
+                grams.append(" ".join(toks[i:i + K]))
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                             "pos": pd.Series(poss, dtype=np.int64),
+                             "gram": grams})
+
+    def flag_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # every occurrence of a gram is in this bucket → cross-doc test
+        # is one transform; only flagged (doc_id, pos) rows leave
+        nuniq = df.groupby("gram")["doc_id"].transform("nunique")
+        return df.loc[nuniq.to_numpy() > 1, ["doc_id", "pos"]]
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        texts = batch.column("text").to_pylist()
+        return pd.DataFrame({
+            "doc_id": pd.Series(batch.column("doc_id").to_pylist(),
+                                dtype=np.int64),
+            "n_tokens": pd.Series([len(t.split()) for t in texts],
+                                  dtype=np.int64)})
+
+    def coverage(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        # lf: (doc_id, n_tokens) for this bucket; rf: flagged anchors
+        out = lf[["doc_id", "n_tokens"]].copy()
+        if rf.empty:
+            dp = pd.Series(0, index=out.index, dtype=np.int64)
+            cov = dp
+        else:
+            s = rf.sort_values(["doc_id", "pos"])
+            nxt = s["pos"].shift(-1)
+            same = s["doc_id"].shift(-1).eq(s["doc_id"])
+            gap = np.where(same.to_numpy(), nxt.to_numpy() - s["pos"].to_numpy(), K)
+            agg = (s.assign(_c=np.minimum(gap, K).astype(np.int64))
+                    .groupby("doc_id").agg(dp=("pos", "size"), cov=("_c", "sum")))
+            m = out.merge(agg, left_on="doc_id", right_index=True, how="left")
+            dp = m["dp"].fillna(0).astype(np.int64)
+            cov = m["cov"].fillna(0).astype(np.int64)
+        n = out["n_tokens"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(),
+            "n_tokens": n,
+            "dup_positions": dp.to_numpy(),
+            "dup_cov_tokens": cov.to_numpy(),
+            "dup_cov_milli": np.where(n > 0, (1000 * cov.to_numpy()) // np.maximum(n, 1), 0),
+        })
+
+    flagged = bucketed_group_apply(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["gram"], flag_bucket, num_buckets=64)
+    stats = docs.map_batches(counts, batch_format="pyarrow")
+    return bucketed_cogroup(stats, flagged, ["doc_id"], ["doc_id"],
+                            coverage, num_buckets=64).sort("doc_id")
+
+
+SQL_DUP_PASSAGES = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i : i + 7], ' ') AS gram
+  FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS g(i)
+), flagged AS (
+  SELECT doc_id, pos FROM grams
+  WHERE gram IN (SELECT gram FROM grams GROUP BY gram
+                 HAVING COUNT(DISTINCT doc_id) > 1)
+), cov AS (
+  SELECT doc_id, COUNT(*) AS dup_positions,
+         SUM(LEAST(8, COALESCE(next_pos - pos, 8))) AS cov_tokens
+  FROM (SELECT doc_id, pos,
+               LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS next_pos
+        FROM flagged)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.dup_positions, 0) AS BIGINT) AS dup_positions,
+       CAST(COALESCE(c.cov_tokens, 0) AS BIGINT) AS dup_cov_tokens,
+       CAST(CASE WHEN len(t.toks) = 0 THEN 0
+            ELSE (1000 * COALESCE(c.cov_tokens, 0)) // len(t.toks)
+            END AS BIGINT) AS dup_cov_milli
+FROM t LEFT JOIN cov c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------- decontamination
 def q_decontamination(sf_dir: str) -> rd.Dataset:
     """Benchmark decontamination: flag every doc by how many DISTINCT
@@ -709,5 +831,6 @@ TEXT_QUERIES = {
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "ngram_hotspots": (q_ngram_hotspots, SQL_NGRAM_HOTSPOTS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),
 }

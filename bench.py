@@ -136,6 +136,7 @@ def run_bench() -> dict:
     timed("tfidf_topk", textstats.q_tfidf_topk)
     timed("ngram_hotspots", textstats.q_ngram_hotspots)
     timed("repetition_stats", textstats.q_repetition_stats)
+    timed("dup_passages", textstats.q_dup_passages)
     timed("exact_dedup", dedup.q_exact_dedup)
     timed("jaccard_pairs", dedup.q_jaccard_pairs)
     timed("shingle_pairs", dedup.q_shingle_pairs)

@@ -37,6 +37,55 @@ def rep_sf(tmp_path_factory):
     return str(d)
 
 
+@pytest.fixture(scope="module")
+def dup_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dup_sf")
+    base = "alpha beta gamma delta epsilon zeta eta theta"      # 8 tokens
+    docs = [
+        (0, ""),                                    # empty → all zeros
+        (1, "only seven tokens live right here now"),  # <8 toks: no anchors
+        (2, base + " iota kappa"),                  # shares base gram w/ 3
+        (3, "prefix " + base),                      # ... at a different pos
+        (4, base + " " + base),                     # within-doc repeat ONLY of
+                                                    # the non-shared grams
+        (5, "totally unique words that appear nowhere else in corpus x1 y2"),
+    ]
+    # filler docs sharing one long template passage pairwise
+    tpl = "the quick brown fox jumps over the lazy dog again and again"
+    docs += [(i, f"doc{i} intro {tpl} doc{i} outro") for i in range(6, 40)]
+    pd.DataFrame({"doc_id": np.array([d[0] for d in docs], dtype=np.int64),
+                  "text": [d[1] for d in docs]}).to_parquet(
+        d / "documents.parquet", row_group_size=8)
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_passages_vs_oracle(dup_sf):
+    got = T.q_dup_passages(dup_sf).to_pandas()
+
+    con = duckdb.connect()
+    p = os.path.join(dup_sf, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    want = con.execute(T.SQL_DUP_PASSAGES).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+
+    by = got.set_index("doc_id")
+    assert (by.loc[0] == 0).all()                       # empty
+    assert by.loc[1, "dup_positions"] == 0              # too short to anchor
+    # docs 2 and 3 share exactly the 8-token base gram (different offsets)
+    assert by.loc[2, "dup_positions"] == 1 and by.loc[2, "dup_cov_tokens"] == 8
+    assert by.loc[3, "dup_positions"] == 1 and by.loc[3, "dup_cov_tokens"] == 8
+    # doc 4 = base+base: its cross-doc anchors are the two base occurrences
+    # (pos 0 and 8); the straddling within-doc-only grams must NOT flag
+    assert by.loc[4, "dup_positions"] == 2 and by.loc[4, "dup_cov_tokens"] == 16
+    assert by.loc[5, "dup_positions"] == 0              # unique text
+    # template docs: the shared passage is covered, the doc-unique
+    # intro/outro tokens are not → coverage strictly between 0 and total
+    t6 = by.loc[6]
+    assert 0 < t6["dup_cov_tokens"] < t6["n_tokens"]
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_repetition_stats_vs_oracle(rep_sf):
     got = T.q_repetition_stats(rep_sf).to_pandas()
