@@ -32,8 +32,23 @@ def _corpus(n_docs: int) -> str:
     return docs_path
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — this VM shares a
+    host, and neighbor load has measured up to 3x on query wall-times
+    (BASELINE.md load-regime notes).  Recording steal + loadavg in every
+    bench line makes a slow run diagnosable as environment vs regression."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_bench() -> dict:
     import ray
+
+    load_start = os.getloadavg()[0]
+    steal0, total0 = _cpu_stat()
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -115,6 +130,7 @@ def run_bench() -> dict:
             "sf": SF_DIR, "num_cpus": NUM_CPUS, "corpus_docs": n_docs,
             "docs_per_sec": round(n_docs / headline, 1),
         }
+        result.update(_load_context(load_start, steal0, total0))
         ray.shutdown()
         return result
 
@@ -159,8 +175,17 @@ def run_bench() -> dict:
         "corpus_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
     }
+    result.update(_load_context(load_start, steal0, total0))
     ray.shutdown()
     return result
+
+
+def _load_context(load_start: float, steal0: int, total0: int) -> dict:
+    steal1, total1 = _cpu_stat()
+    dt = max(1, total1 - total0)
+    return {"load_start": round(load_start, 2),
+            "load_end": round(os.getloadavg()[0], 2),
+            "steal_pct": round(100.0 * (steal1 - steal0) / dt, 2)}
 
 
 def run_scaling() -> dict:
