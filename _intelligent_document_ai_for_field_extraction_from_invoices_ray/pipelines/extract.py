@@ -152,7 +152,7 @@ def build_extraction(docs: rd.Dataset,
 
     spans = spans.map_batches(MediaClassifier, batch_format="pyarrow",
                               batch_size=cfg.classify_batch,
-                              concurrency=cfg.classify_concurrency,
+                              concurrency=_pool_size(cfg.classify_concurrency),
                               num_gpus=cfg.classify_num_gpus or None,
                               fn_constructor_kwargs={
                                   "conf_thresholds": cfg.media_conf_thresholds})
@@ -168,6 +168,23 @@ def build_extraction(docs: rd.Dataset,
                                 emit_norm_spans=cfg.emit_norm_spans,
                                 use_gpu=cfg.classify_num_gpus > 0)
     return spans.groupby("_part").map_groups(assemble, batch_format="pyarrow")
+
+
+def _pool_size(requested: int) -> int:
+    """Clamp a FIXED actor-pool size to cluster CPUs - 1.  A fixed pool
+    reserves its CPUs for the stage's whole lifetime; sized >= the
+    cluster it starves the upstream read of its 1 CPU and the streaming
+    executor deadlocks (observed: 2-cpu session + 2-actor classify pool
+    → ReadParquet backpressured forever, zero tasks running).  One spare
+    CPU keeps the producer side live at any session size; at real sizes
+    (pool ≤ cpus/4) the clamp never binds."""
+    try:
+        avail = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        avail = 0
+    if avail <= 0:
+        return requested
+    return max(1, min(requested, avail - 1))
 
 
 def _build_compact(docs, cfg, ground_truth, dealer_master, model_master,
@@ -212,7 +229,7 @@ def _build_compact(docs, cfg, ground_truth, dealer_master, model_master,
 
     rows = rows.map_batches(MediaClassifierNested, batch_format="pyarrow",
                             batch_size=max(256, cfg.classify_batch // 8),
-                            concurrency=cfg.classify_concurrency,
+                            concurrency=_pool_size(cfg.classify_concurrency),
                             num_gpus=cfg.classify_num_gpus or None,
                             fn_constructor_kwargs={
                                 "conf_thresholds": cfg.media_conf_thresholds})

@@ -235,6 +235,13 @@ def run_scaling() -> dict:
         "docs_per_sec_high": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "corpus_docs": r_lo["corpus_docs"],
+        # per-trial load context: a depressed efficiency with high steal
+        # on the hi-cpu trials is the neighbor-load signature, not a
+        # regression (see BASELINE.md load-regime analysis)
+        "trials": [{"cpus": r["num_cpus"], "sec": r["value"],
+                    "steal_pct": r.get("steal_pct"),
+                    "load_start": r.get("load_start")}
+                   for r in lo_runs + hi_runs],
     }
 
 

@@ -213,6 +213,30 @@ def test_packed_exchange_matches_oracle(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_oversized_actor_pool_clamped():
+    """A fixed classify pool sized >= the session's CPUs must not
+    deadlock the streaming executor (observed live: 2-cpu session +
+    2-actor pool → ReadParquet starved of its 1 CPU forever).
+    _pool_size clamps to CPUs-1; this session has 4 CPUs, so a
+    requested 16-actor pool must still complete end-to-end."""
+    import ray as _ray
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.extract import (
+        _pool_size,
+    )
+
+    cpus = int(_ray.cluster_resources()["CPU"])
+    assert _pool_size(cpus * 4) == cpus - 1
+    assert _pool_size(1) == 1
+
+    _no_tensor_casting()
+    docs, _ = corpus_tables(60)
+    cfg = ExtractConfig(num_partitions=4, classify_concurrency=cpus * 4)
+    out = build_extraction(rd.from_arrow(docs), cfg).to_pandas()
+    assert len(out) == 60
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_custom_detection_thresholds(tmp_path):
     """set_confidence_thresholds analog (detector.py:725-729): raising the
     signature threshold suppresses low-confidence detections, identically
