@@ -517,6 +517,131 @@ ORDER BY n_occurrences DESC, ngram LIMIT 20
 """
 
 
+# ------------------------------------------------------- heavy hitters
+def q_token_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Exact top-20 tokens by corpus occurrence count via a
+    sketch-then-verify plan whose exchange is VOCABULARY-INDEPENDENT —
+    the scale-path complement to ``q_ngram_hotspots``' exact Counter
+    partials (those ship every distinct term a batch saw; at 100 TB the
+    per-batch vocabulary IS the batch).
+
+    Plan (Misra-Gries/SpaceSaving family, mergeable-summary shape):
+      1. per batch: exact local Counter, emit only the top-K_SKETCH
+         (=256) tokens (a lower bound L(t) of each token's true count)
+         plus one sentinel row carrying the batch's largest DROPPED
+         count — the max any token could be undercounted by this batch.
+      2. bucketed sum of those bounded partials (exchange ≤ (K+1)·blocks
+         rows, whatever the vocabulary); global top-C (=64) by L become
+         candidates, Σ sentinels = err.
+      3. exact pass: broadcast the 64 candidates, count them per batch
+         (set-membership filter), bucketed sum of the ≤64-row partials
+         → exact counts (exchange ≤ 64·blocks, result ≤ 64 rows).
+      4. CERTIFICATE: any non-candidate's true count ≤ min L(cand) +
+         err; if the exact 20th beats that bound the result is provably
+         the exact top-20 (ties included — a non-candidate cannot even
+         equal it).  On the rare certificate miss (near-uniform token
+         distribution) fall back to the exact full-vocabulary plan, so
+         the result is ALWAYS exact and SQL-checkable.
+
+    Two corpus passes, zero all-to-all of corpus-sized data."""
+    from collections import Counter
+
+    from .grouping import bucketed_group_apply
+
+    K_SKETCH, CAND, TOPN = 256, 64, 20
+    SENTINEL = "\x00err"      # tokens come from str.split(): no NUL bytes
+    docs = _docs(sf_dir)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.lower().split())
+        top = c.most_common(K_SKETCH + 1)
+        dropped = 0
+        if len(top) > K_SKETCH:
+            dropped = top[-1][1]
+            top = top[:K_SKETCH]
+        toks = [t for t, _ in top] + [SENTINEL]
+        cnts = [v for _, v in top] + [dropped]
+        return pd.DataFrame({"token": toks,
+                             "cnt": pd.Series(cnts, dtype=np.int64)})
+
+    def sum_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False)["cnt"].sum()
+        sent = g[g.token == SENTINEL]
+        rest = (g[g.token != SENTINEL]
+                .sort_values(["cnt", "token"], ascending=[False, True])
+                .head(CAND))
+        return pd.concat([rest, sent], ignore_index=True)
+
+    parts = bucketed_group_apply(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["token"], sum_bucket, num_buckets=16).to_pandas()
+    err = int(parts.loc[parts.token == SENTINEL, "cnt"].sum())
+    lower = (parts[parts.token != SENTINEL]
+             .sort_values(["cnt", "token"], ascending=[False, True])
+             .head(CAND))
+    cand = lower["token"].to_numpy()
+    bound = int(lower["cnt"].iloc[-1]) + err if len(lower) else err
+
+    cand_set = set(cand)
+
+    def exact_partial(batch: pa.Table) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tok for tok in t.lower().split() if tok in cand_set)
+        return pd.DataFrame({"token": list(c.keys()),
+                             "cnt": pd.Series(list(c.values()),
+                                              dtype=np.int64)})
+
+    def sum_all(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("token", as_index=False)["cnt"].sum()
+
+    exact = (bucketed_group_apply(
+        docs.map_batches(exact_partial, batch_format="pyarrow"),
+        ["token"], sum_all, num_buckets=4).to_pandas()
+        .sort_values(["cnt", "token"], ascending=[False, True])
+        .head(TOPN).reset_index(drop=True))
+
+    if len(exact) < TOPN or int(exact["cnt"].iloc[-1]) <= bound:
+        # certificate miss: fall back to the exact full-vocabulary plan
+        def full_partial(batch: pa.Table) -> pd.DataFrame:
+            c: Counter = Counter()
+            for t in batch.column("text").to_pylist():
+                c.update(t.lower().split())
+            return pd.DataFrame({"token": list(c.keys()),
+                                 "cnt": pd.Series(list(c.values()),
+                                                  dtype=np.int64)})
+
+        def sum_top(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("token", as_index=False)["cnt"].sum()
+            return g.sort_values(["cnt", "token"],
+                                 ascending=[False, True]).head(TOPN)
+
+        exact = (bucketed_group_apply(
+            docs.map_batches(full_partial, batch_format="pyarrow"),
+            ["token"], sum_top, num_buckets=16).to_pandas()
+            .sort_values(["cnt", "token"], ascending=[False, True])
+            .head(TOPN).reset_index(drop=True))
+
+    return exact.rename(columns={"cnt": "n_occurrences"})
+
+
+SQL_TOKEN_HEAVY_HITTERS = r"""
+WITH t AS (
+  SELECT CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END AS toks
+  FROM documents
+), u AS (
+  SELECT unnest(toks) AS token FROM t
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM u GROUP BY token
+ORDER BY n_occurrences DESC, token LIMIT 20
+"""
+
+
 # ------------------------------------------------------- repetition filter
 def q_repetition_stats(sf_dir: str) -> rd.Dataset:
     """Gopher-style per-doc repetition metrics — the quality-filter
@@ -830,6 +955,7 @@ TEXT_QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "ngram_hotspots": (q_ngram_hotspots, SQL_NGRAM_HOTSPOTS),
+    "token_heavy_hitters": (q_token_heavy_hitters, SQL_TOKEN_HEAVY_HITTERS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),

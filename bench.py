@@ -151,6 +151,7 @@ def run_bench() -> dict:
     timed("stratified_sample", textstats.q_stratified_sample)
     timed("tfidf_topk", textstats.q_tfidf_topk)
     timed("ngram_hotspots", textstats.q_ngram_hotspots)
+    timed("token_heavy_hitters", textstats.q_token_heavy_hitters)
     timed("repetition_stats", textstats.q_repetition_stats)
     timed("dup_passages", textstats.q_dup_passages)
     timed("exact_dedup", dedup.q_exact_dedup)

@@ -86,6 +86,58 @@ def test_dup_passages_vs_oracle(dup_sf):
     assert 0 < t6["dup_cov_tokens"] < t6["n_tokens"]
 
 
+def _hh_oracle(sf: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    p = os.path.join(sf, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(T.SQL_TOKEN_HEAVY_HITTERS).df()
+
+
+@pytest.fixture(scope="module")
+def zipf_sf(tmp_path_factory):
+    """Skewed (Zipf-ish) token corpus: the certificate path must engage."""
+    d = tmp_path_factory.mktemp("zipf_sf")
+    rng = np.random.RandomState(7)
+    vocab = np.array([f"w{i:04d}" for i in range(3000)])
+    probs = 1.0 / np.arange(1, len(vocab) + 1) ** 1.2
+    probs /= probs.sum()
+    texts = [" ".join(rng.choice(vocab, rng.randint(20, 120), p=probs))
+             for _ in range(400)]
+    pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64),
+                  "text": texts}).to_parquet(
+        d / "documents.parquet", row_group_size=32)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def uniform_sf(tmp_path_factory):
+    """Near-uniform token corpus over a vocabulary far larger than the
+    sketch: the certificate MISSES and the exact fallback must engage —
+    the result must still equal the oracle."""
+    d = tmp_path_factory.mktemp("uniform_sf")
+    rng = np.random.RandomState(13)
+    vocab = np.array([f"u{i:05d}" for i in range(20000)])
+    texts = [" ".join(rng.choice(vocab, 60)) for _ in range(300)]
+    pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                  "text": texts}).to_parquet(
+        d / "documents.parquet", row_group_size=16)
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_certified_path(zipf_sf):
+    got = T.q_token_heavy_hitters(zipf_sf)
+    want = _hh_oracle(zipf_sf)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_fallback_path(uniform_sf):
+    got = T.q_token_heavy_hitters(uniform_sf)
+    want = _hh_oracle(uniform_sf)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_repetition_stats_vs_oracle(rep_sf):
     got = T.q_repetition_stats(rep_sf).to_pandas()
