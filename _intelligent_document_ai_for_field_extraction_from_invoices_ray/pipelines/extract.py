@@ -85,7 +85,7 @@ class ExtractConfig:
     # "exchange" never crosses a wire.  On a real multi-node cluster the
     # exchange crosses the network (the resource Spark-style engines
     # compress shuffles for by default); enable it there.  Semantics are
-    # byte-identical either way (pinned by test_packed_exchange_equal).
+    # byte-identical either way (test_packed_exchange_matches_oracle).
     packed_exchange: bool = False
     pack_batch: int = 16384           # docs per pack call; window = this / num_partitions
     # per-class detection thresholds (set_confidence_thresholds analog,
@@ -150,12 +150,10 @@ def build_extraction(docs: rd.Dataset,
     # needn't ride the reassembly exchange
     spans = spans.drop_columns(["_salt"])
 
-    spans = spans.map_batches(MediaClassifier, batch_format="pyarrow",
-                              batch_size=cfg.classify_batch,
-                              concurrency=_pool_size(cfg.classify_concurrency),
-                              num_gpus=cfg.classify_num_gpus or None,
-                              fn_constructor_kwargs={
-                                  "conf_thresholds": cfg.media_conf_thresholds})
+    spans = _classify_stage(spans, MediaClassifier,
+                            cfg.classify_concurrency, cfg.classify_batch,
+                            cfg.classify_num_gpus or None,
+                            {"conf_thresholds": cfg.media_conf_thresholds})
 
     gt_ref = ray.put(ground_truth) if ground_truth else None
     dealer_ref = ray.put(dealer_master) if dealer_master else None
@@ -171,12 +169,16 @@ def build_extraction(docs: rd.Dataset,
 
 
 def _pool_size(requested: int) -> int:
-    """Clamp a FIXED actor-pool size to cluster CPUs - 1.  A fixed pool
+    """Clamp a FIXED actor-pool size to cluster CPUs - 1, or return 0
+    when NO fixed pool can coexist with its producer.  A fixed pool
     reserves its CPUs for the stage's whole lifetime; sized >= the
     cluster it starves the upstream read of its 1 CPU and the streaming
     executor deadlocks (observed: 2-cpu session + 2-actor classify pool
     → ReadParquet backpressured forever, zero tasks running).  One spare
-    CPU keeps the producer side live at any session size; at real sizes
+    CPU keeps the producer side live; on a 1-cpu session even a 1-actor
+    pool deadlocks the same way, so 0 tells the caller to run the
+    classifier as per-task functions instead (per-batch construction —
+    slower, but a degenerate session stays functional).  At real sizes
     (pool ≤ cpus/4) the clamp never binds."""
     try:
         avail = int(ray.cluster_resources().get("CPU", 0))
@@ -184,7 +186,27 @@ def _pool_size(requested: int) -> int:
         avail = 0
     if avail <= 0:
         return requested
+    if avail < 2:
+        return 0
     return max(1, min(requested, avail - 1))
+
+
+def _classify_stage(ds: rd.Dataset, cls, requested: int, batch_size: int,
+                    num_gpus, ctor_kwargs: dict) -> rd.Dataset:
+    """Attach the media-classify stage as a fixed actor pool, or — when
+    _pool_size says no pool fits (1-cpu session) — as stateless tasks
+    constructing the classifier per batch."""
+    pool = _pool_size(requested)
+    if pool == 0:
+        def per_task(batch: pa.Table) -> pa.Table:
+            return cls(**ctor_kwargs)(batch)
+
+        return ds.map_batches(per_task, batch_format="pyarrow",
+                              batch_size=batch_size)
+    return ds.map_batches(cls, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=pool,
+                          num_gpus=num_gpus,
+                          fn_constructor_kwargs=ctor_kwargs)
 
 
 def _build_compact(docs, cfg, ground_truth, dealer_master, model_master,
@@ -227,12 +249,11 @@ def _build_compact(docs, cfg, ground_truth, dealer_master, model_master,
 
             rows = rows.map_batches(drop_done, batch_format="pyarrow")
 
-    rows = rows.map_batches(MediaClassifierNested, batch_format="pyarrow",
-                            batch_size=max(256, cfg.classify_batch // 8),
-                            concurrency=_pool_size(cfg.classify_concurrency),
-                            num_gpus=cfg.classify_num_gpus or None,
-                            fn_constructor_kwargs={
-                                "conf_thresholds": cfg.media_conf_thresholds})
+    rows = _classify_stage(rows, MediaClassifierNested,
+                           cfg.classify_concurrency,
+                           max(256, cfg.classify_batch // 8),
+                           cfg.classify_num_gpus or None,
+                           {"conf_thresholds": cfg.media_conf_thresholds})
 
     gt_ref = ray.put(ground_truth) if ground_truth else None
     dealer_ref = ray.put(dealer_master) if dealer_master else None

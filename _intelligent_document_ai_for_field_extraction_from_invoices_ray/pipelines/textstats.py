@@ -552,19 +552,33 @@ def q_token_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     SENTINEL = "\x00err"      # tokens come from str.split(): no NUL bytes
     docs = _docs(sf_dir)
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
+    # ONE tokenizer for all three passes — the exactness certificate
+    # requires the sketch, verify and fallback passes to count the same
+    # tokens the SQL oracle's regexp_split does
+    def _count(batch: pa.Table, keep: set | None = None) -> Counter:
         c: Counter = Counter()
         for t in batch.column("text").to_pylist():
-            c.update(t.lower().split())
-        top = c.most_common(K_SKETCH + 1)
+            toks = t.lower().split()
+            c.update(toks if keep is None
+                     else (tok for tok in toks if tok in keep))
+        return c
+
+    def _frame(pairs) -> pa.Table:
+        # explicit Arrow types: an EMPTY pandas partial would infer a
+        # float64/null token column and fork the block schema through
+        # the shuffle (the silent-row-loss hazard grouping.py documents)
+        return pa.table({"token": pa.array([t for t, _ in pairs],
+                                           type=pa.string()),
+                         "cnt": pa.array([v for _, v in pairs],
+                                         type=pa.int64())})
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        top = _count(batch).most_common(K_SKETCH + 1)
         dropped = 0
         if len(top) > K_SKETCH:
             dropped = top[-1][1]
             top = top[:K_SKETCH]
-        toks = [t for t, _ in top] + [SENTINEL]
-        cnts = [v for _, v in top] + [dropped]
-        return pd.DataFrame({"token": toks,
-                             "cnt": pd.Series(cnts, dtype=np.int64)})
+        return _frame(top + [(SENTINEL, dropped)])
 
     def sum_bucket(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("token", as_index=False)["cnt"].sum()
@@ -587,12 +601,7 @@ def q_token_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     cand_set = set(cand)
 
     def exact_partial(batch: pa.Table) -> pd.DataFrame:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update(tok for tok in t.lower().split() if tok in cand_set)
-        return pd.DataFrame({"token": list(c.keys()),
-                             "cnt": pd.Series(list(c.values()),
-                                              dtype=np.int64)})
+        return _frame(list(_count(batch, keep=cand_set).items()))
 
     def sum_all(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("token", as_index=False)["cnt"].sum()
@@ -606,12 +615,7 @@ def q_token_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     if len(exact) < TOPN or int(exact["cnt"].iloc[-1]) <= bound:
         # certificate miss: fall back to the exact full-vocabulary plan
         def full_partial(batch: pa.Table) -> pd.DataFrame:
-            c: Counter = Counter()
-            for t in batch.column("text").to_pylist():
-                c.update(t.lower().split())
-            return pd.DataFrame({"token": list(c.keys()),
-                                 "cnt": pd.Series(list(c.values()),
-                                                  dtype=np.int64)})
+            return _frame(list(_count(batch).items()))
 
         def sum_top(df: pd.DataFrame) -> pd.DataFrame:
             g = df.groupby("token", as_index=False)["cnt"].sum()

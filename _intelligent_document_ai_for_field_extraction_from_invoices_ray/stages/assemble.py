@@ -192,14 +192,15 @@ def make_assemble_packed_fn(**kwargs):
 
         part_id = group.column("_part")[0].as_py()
         tables = []
-        blob_col = group.column("blob")
-        for chunk in (blob_col.chunks if isinstance(blob_col, pa.ChunkedArray)
-                      else [blob_col]):
-            for b in chunk:
-                with ipc.open_stream(io.BytesIO(
-                        zlib.decompress(b.as_py()))) as r:
-                    tables.append(r.read_all())
+        for b in group.column("blob"):      # ChunkedArray yields scalars
+            with ipc.open_stream(io.BytesIO(
+                    zlib.decompress(b.as_py()))) as r:
+                tables.append(r.read_all())
         full = pa.concat_tables(tables)
+        import pyarrow.compute as pc
+        want = pc.sum(group.column("n_docs")).as_py() or 0
+        assert full.num_rows == want, \
+            f"packed exchange integrity: {full.num_rows} rows != {want}"
         full = full.append_column(
             "_part", pa.array([part_id] * full.num_rows, type=pa.int32()))
         return inner(full)

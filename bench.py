@@ -37,11 +37,14 @@ def _cpu_stat() -> tuple[int, int]:
     host, and neighbor load has measured up to 3x on query wall-times
     (BASELINE.md load-regime notes).  Recording steal + loadavg in every
     bench line makes a slow run diagnosable as environment vs regression."""
-    with open("/proc/stat") as f:
-        parts = f.readline().split()
-    vals = [int(x) for x in parts[1:]]
-    steal = vals[7] if len(vals) > 7 else 0
-    return steal, sum(vals)
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except OSError:          # no procfs (non-Linux): omit the metric
+        return 0, 0
 
 
 def run_bench() -> dict:
