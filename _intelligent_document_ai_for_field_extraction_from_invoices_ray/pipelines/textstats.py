@@ -748,16 +748,18 @@ def q_dup_passages(sf_dir: str) -> rd.Dataset:
     repetition is deliberately NOT flagged (that is q_repetition_stats'
     job — cross-doc only, via COUNT(DISTINCT doc_id) > 1).
 
-    Scale shape: stage 1 emits (gram, doc_id, pos) anchors, bucketed by
-    GRAM (no vocabulary broadcast — each bucket sees every occurrence of
+    Scale shape: stage 1 emits (h1, h2, doc_id, pos) anchors — the gram
+    itself never ships: two independent 64-bit siphashes of the 8-token
+    window (128 bits total — collision-free in practice at 10^12 grams;
+    a collision could only FLAG an extra window, never unflag one) cut
+    the exchange ~2.5x vs the ~55-byte gram string.  Anchors bucket by
+    hash (no vocabulary broadcast — each bucket sees every occurrence of
     its grams, flags cross-doc ones with one vectorized transform);
     stage 2 re-buckets only the FLAGGED (doc_id, pos) pairs by doc and
     co-groups them with the tiny per-doc token counts to compute
-    coverage.  Two shuffles: first ∝ total token positions (the gram
-    string is the exchange payload — at 100 TB ship a 128-bit gram hash
-    instead; string kept here for exact oracle parity), second ∝ flagged
-    anchors only.  Nothing corpus-sized touches the driver; output is a
-    lazy distributed-sorted Dataset of O(docs) scalar rows."""
+    coverage.  Two shuffles: first ∝ total token positions, second ∝
+    flagged anchors only.  Nothing corpus-sized touches the driver;
+    output is a lazy distributed-sorted Dataset of O(docs) scalar rows."""
     from .grouping import bucketed_cogroup, bucketed_group_apply
 
     K = 8
@@ -772,14 +774,22 @@ def q_dup_passages(sf_dir: str) -> rd.Dataset:
                 ids.append(d)
                 poss.append(i)
                 grams.append(" ".join(toks[i:i + K]))
-        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
-                             "pos": pd.Series(poss, dtype=np.int64),
-                             "gram": grams})
+        g = pd.Series(grams, dtype=object)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype=np.int64),
+            "pos": pd.Series(poss, dtype=np.int64),
+            # deterministic across processes: pandas siphash, fixed keys
+            "h1": pd.util.hash_pandas_object(g, index=False).to_numpy()
+                    .astype(np.int64),
+            "h2": pd.util.hash_pandas_object(
+                g, index=False, hash_key="dup_passages_k2!").to_numpy()
+                    .astype(np.int64),
+        })
 
     def flag_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # every occurrence of a gram is in this bucket → cross-doc test
-        # is one transform; only flagged (doc_id, pos) rows leave
-        nuniq = df.groupby("gram")["doc_id"].transform("nunique")
+        # every occurrence of a gram(-hash) is in this bucket →
+        # cross-doc test is one transform; only flagged rows leave
+        nuniq = df.groupby(["h1", "h2"])["doc_id"].transform("nunique")
         return df.loc[nuniq.to_numpy() > 1, ["doc_id", "pos"]]
 
     def counts(batch: pa.Table) -> pd.DataFrame:
@@ -817,7 +827,7 @@ def q_dup_passages(sf_dir: str) -> rd.Dataset:
 
     flagged = bucketed_group_apply(
         docs.map_batches(explode, batch_format="pyarrow"),
-        ["gram"], flag_bucket, num_buckets=64)
+        ["h1", "h2"], flag_bucket, num_buckets=64)
     stats = docs.map_batches(counts, batch_format="pyarrow")
     return bucketed_cogroup(stats, flagged, ["doc_id"], ["doc_id"],
                             coverage, num_buckets=64).sort("doc_id")
