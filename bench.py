@@ -184,12 +184,26 @@ def run_bench() -> dict:
     return result
 
 
+def _cpu_canary() -> float:
+    """Seconds for a fixed single-thread integer loop.  This VM's host
+    both steals CPU in bursts AND varies effective per-core speed
+    (measured 1.07 s vs 1.37 s for this loop minutes apart at ~1%
+    steal), so absolute throughputs from different windows are only
+    comparable after normalizing by this canary."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(2_000_000):
+        s += i * i
+    return round(time.perf_counter() - t0, 4)
+
+
 def _load_context(load_start: float, steal0: int, total0: int) -> dict:
     steal1, total1 = _cpu_stat()
     dt = max(1, total1 - total0)
     return {"load_start": round(load_start, 2),
             "load_end": round(os.getloadavg()[0], 2),
-            "steal_pct": round(100.0 * (steal1 - steal0) / dt, 2)}
+            "steal_pct": round(100.0 * (steal1 - steal0) / dt, 2),
+            "cpu_canary_sec": _cpu_canary()}
 
 
 def run_scaling() -> dict:
@@ -244,7 +258,8 @@ def run_scaling() -> dict:
         # regression (see BASELINE.md load-regime analysis)
         "trials": [{"cpus": r["num_cpus"], "sec": r["value"],
                     "steal_pct": r.get("steal_pct"),
-                    "load_start": r.get("load_start")}
+                    "load_start": r.get("load_start"),
+                    "cpu_canary_sec": r.get("cpu_canary_sec")}
                    for r in lo_runs + hi_runs],
     }
 
