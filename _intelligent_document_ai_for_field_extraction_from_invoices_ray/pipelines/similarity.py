@@ -548,10 +548,88 @@ def q_embed_kmeans(sf_dir: str) -> rd.Dataset:
     return kmeans_assign(_emb(sf_dir)).sort("vec_id")
 
 
+# ------------------------------------------------------------ SemDeDup
+SEMDEDUP_TAU = 0.5          # == q_embed_neardup's exact threshold, so the
+                            # within-cluster recall pin is apples-to-apples
+SEMDEDUP_CHUNK = 2048       # rows per matmul chunk inside a hot cluster
+
+
+def q_embed_semantic_dedup(sf_dir: str) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    semantic deduplication — cluster with the sample-fit k-means coarse
+    quantizer, then WITHIN each cluster drop every vector that has a
+    LOWER-id τ-cosine neighbor (keep-first).  Deterministic, and it
+    yields the invariant that no two KEPT vectors in one cluster are
+    τ-close.  Output per vector: (vec_id, cluster, keep, dup_of) where
+    dup_of is the smallest earlier τ-neighbor (-1 for kept).
+
+    Distributed plan: centroids fit on a fixed-size sample (driver cost
+    O(sample), centroids broadcast via ray.put); one ``map_batches``
+    assigns clusters; ONE bucketed shuffle co-locates each cluster; the
+    per-cluster scan is a chunked matmul (memory O(chunk·|cluster|),
+    never |cluster|²) over vec_id-sorted rows with an earlier-only
+    mask.  Only within-cluster pairs are compared — that IS the SemDeDup
+    approximation; within-cluster agreement with the EXACT pair list is
+    pinned by pytest (iterative clustering is not SQL-expressible →
+    rows-only driver check)."""
+    from .grouping import bucketed_group_apply
+
+    sample_df = _emb(sf_dir).limit(IVF_FIT_SAMPLE).to_pandas()
+    sample = _normalize(np.stack(sample_df.embedding.to_numpy())
+                        .astype(np.float64))
+    cent_ref = ray.put(_ivf_centroids(sample))
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        ids, mat = _to_matrix(batch)
+        mat = _normalize(mat)
+        cluster = (mat @ ray.get(cent_ref).T).argmax(axis=1)
+        return pd.DataFrame({"vec_id": ids.astype(np.int64),
+                             "cluster": cluster.astype(np.int64),
+                             "emb": [r.tolist() for r in mat]})
+
+    def dedup_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        # the bucket may hold several whole clusters — process each
+        frames = []
+        for cl, g in df.groupby("cluster"):
+            g = g.sort_values("vec_id")
+            ids = g.vec_id.to_numpy().astype(np.int64)
+            mat = np.stack(g.emb.to_numpy())
+            n = len(ids)
+            dup_of = np.full(n, -1, dtype=np.int64)
+            for s in range(0, n, SEMDEDUP_CHUNK):
+                e = min(s + SEMDEDUP_CHUNK, n)
+                sims = mat[s:e] @ mat.T                 # (chunk, n)
+                earlier = np.arange(n)[None, :] < np.arange(s, e)[:, None]
+                hit = (sims >= SEMDEDUP_TAU) & earlier
+                rows, cols = np.nonzero(hit)
+                if len(rows):
+                    first = pd.Series(cols).groupby(rows).min()
+                    dup_of[s + first.index.to_numpy()] = \
+                        ids[first.to_numpy()]
+            frames.append(pd.DataFrame({
+                "vec_id": ids,
+                "cluster": np.full(n, cl, dtype=np.int64),
+                "keep": dup_of < 0,
+                "dup_of": dup_of}))
+        if not frames:
+            return pd.DataFrame({
+                "vec_id": pd.Series(dtype=np.int64),
+                "cluster": pd.Series(dtype=np.int64),
+                "keep": pd.Series(dtype=bool),
+                "dup_of": pd.Series(dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
+    assigned = _emb(sf_dir).map_batches(assign, batch_format="pyarrow",
+                                        batch_size=4096)
+    return bucketed_group_apply(assigned, ["cluster"], dedup_cluster,
+                                num_buckets=IVF_LISTS).sort("vec_id")
+
+
 SIM_QUERIES = {
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     "embed_ann_lsh": (q_embed_ann_lsh, None),
     "embed_ann_ivf": (q_embed_ann_ivf, None),
     "embed_kmeans": (q_embed_kmeans, None),
+    "embed_semantic_dedup": (q_embed_semantic_dedup, None),
 }
