@@ -517,6 +517,54 @@ ORDER BY n_occurrences DESC, ngram LIMIT 20
 """
 
 
+# ------------------------------------------------------- BPE-ish tokens
+_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def q_bpe_tokens(sf_dir: str) -> rd.Dataset:
+    """Token counting under a GPT-2-style BPE PRE-tokenizer regex (the
+    contraction / letter-run / digit-run / symbol-run / whitespace
+    alternation) — the LLM-budget view of document length, vs
+    ``q_doc_tokens``' whitespace split.  The pattern is deliberately
+    lookahead-free so Python ``re`` and DuckDB's RE2 tokenize
+    identically (verified incl. Devanagari/Gujarati — non-Latin scripts
+    fall into the symbol-run branch, exactly like tiktoken treats bytes
+    outside its letter classes).  One compiled-regex ``map_batches``
+    pass, no shuffle; lazy distributed-sorted Dataset out."""
+    import re
+
+    rx = re.compile(_BPE_PAT)
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n = np.empty(len(texts), dtype=np.int64)
+        d = np.empty(len(texts), dtype=np.int64)
+        for r, t in enumerate(texts):
+            toks = rx.findall(t)
+            n[r] = len(toks)
+            d[r] = len(set(toks))
+        return pd.DataFrame({"doc_id": ids, "n_bpe_tokens": n,
+                             "distinct_bpe": d})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_BPE_TOKENS = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text,
+           $$'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+$$)
+           AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(array_length(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(list_distinct(toks)) AS BIGINT) AS distinct_bpe
+FROM t ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------- heavy hitters
 def q_token_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     """Exact top-20 tokens by corpus occurrence count via a
@@ -970,6 +1018,7 @@ TEXT_QUERIES = {
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "ngram_hotspots": (q_ngram_hotspots, SQL_NGRAM_HOTSPOTS),
     "token_heavy_hitters": (q_token_heavy_hitters, SQL_TOKEN_HEAVY_HITTERS),
+    "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),

@@ -155,6 +155,7 @@ def run_bench() -> dict:
     timed("tfidf_topk", textstats.q_tfidf_topk)
     timed("ngram_hotspots", textstats.q_ngram_hotspots)
     timed("token_heavy_hitters", textstats.q_token_heavy_hitters)
+    timed("bpe_tokens", textstats.q_bpe_tokens)
     timed("repetition_stats", textstats.q_repetition_stats)
     timed("dup_passages", textstats.q_dup_passages)
     timed("exact_dedup", dedup.q_exact_dedup)

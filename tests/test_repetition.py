@@ -86,6 +86,35 @@ def test_dup_passages_vs_oracle(dup_sf):
     assert 0 < t6["dup_cov_tokens"] < t6["n_tokens"]
 
 
+@pytest.fixture(scope="module")
+def bpe_sf(tmp_path_factory):
+    """Engine-agreement edge cases: contractions, digit runs, symbol
+    runs, Devanagari/Gujarati (symbol-run branch), empty text."""
+    d = tmp_path_factory.mktemp("bpe_sf")
+    texts = ["Hello world, it's 2026!", "", "  leading space",
+             "don't we'll they're I'm", "₹5,25,000 (tax incl.)",
+             "डीलर नाम: शर्मा ट्रैक्टर्स", "મોડેલ 744", "café naïve",
+             "a\tb\nc", "ABCdef 12.5x mixed-case"]
+    pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                  "text": texts}).to_parquet(
+        d / "documents.parquet", row_group_size=4)
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_tokens_vs_oracle(bpe_sf):
+    got = T.q_bpe_tokens(bpe_sf).to_pandas()
+    con = duckdb.connect()
+    p = os.path.join(bpe_sf, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    want = con.execute(T.SQL_BPE_TOKENS).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+    by = got.set_index("doc_id")
+    assert by.loc[1, "n_bpe_tokens"] == 0              # empty text
+    assert by.loc[3, "n_bpe_tokens"] == 8              # 4 contractions split
+
+
 def _hh_oracle(sf: str) -> pd.DataFrame:
     con = duckdb.connect()
     p = os.path.join(sf, "documents.parquet")
