@@ -44,7 +44,9 @@ from ..functions import sketch as SK
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ..sources.io import read_parquet_sized
+    return read_parquet_sized(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"], rows_per_block=1000)
 
 
 def _pa_type(series: pd.Series) -> pa.DataType:
@@ -153,6 +155,52 @@ def common_hashes(docs: rd.Dataset, kind: str = "token") -> frozenset:
     df_counts = data.groupby("h")["c"].sum()
     cut = max(2, int(n_docs * COMMON_DF))
     return frozenset(int(h) for h in df_counts.index[df_counts >= cut])
+
+
+# per-(sf_dir, kind) memo of the MATERIALIZED demoted hash-set table.
+# Four queries consume it (jaccard / shingle / clusters / minhash — the
+# demoted order is only a reordering of each doc's set, and both the
+# minhash signature (min over permuted values) and the verify kernel
+# (lexsort-based intersection count) are order-independent), so within
+# one driver-gate process the corpus is tokenized+hashed ONCE per kind
+# instead of once per query.  Residency: the memo pins ~sets-size blocks
+# in the object store for the process lifetime (spill-tolerant); set
+# GRAFT_SETS_RESCAN=1 to trade that residency for re-scans — the table
+# stays LAZY and each consumer re-reads + re-hashes the corpus.
+_SETS_CACHE: dict[tuple[str, str], rd.Dataset] = {}
+
+
+def _rescan_mode() -> bool:
+    import os
+    return os.environ.get("GRAFT_SETS_RESCAN", "") == "1"
+
+
+def sets_cached(sf_dir: str, kind: str) -> rd.Dataset:
+    key = (sf_dir, kind)
+    cached = _SETS_CACHE.get(key)
+    if cached is None:
+        common = common_hashes_cached(sf_dir, kind)
+        cached = hash_sets(_docs(sf_dir), kind, demote=common)
+        if not _rescan_mode():
+            cached = cached.materialize()
+            _SETS_CACHE[key] = cached
+    return cached
+
+
+# per-sf_dir memo of the VERIFIED shingle-jaccard>=0.8 pair list (with
+# jaccard_milli) — shingle_pairs and dedup_clusters share the same edge
+# set, so the whole prefix-filter + verify plan runs once per process.
+_SHINGLE_EDGES_CACHE: dict[str, rd.Dataset] = {}
+
+
+def shingle_edges_cached(sf_dir: str) -> rd.Dataset:
+    cached = _SHINGLE_EDGES_CACHE.get(sf_dir)
+    if cached is None:
+        sets = sets_cached(sf_dir, "shingle")
+        cached = verify_pairs(prefix_candidates(sets, 4, 5), sets, 4, 5,
+                              emit=_jm).materialize()
+        _SHINGLE_EDGES_CACHE[sf_dir] = cached
+    return cached
 
 
 def hash_sets(docs: rd.Dataset, kind: str = "token",
@@ -653,14 +701,15 @@ def q_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     threshold ``20·|∩| ≥ 19·|∪|``) via the frequency-ordered
     prefix-filter join.
 
-    The hash-set table is ``materialize()``d because three stages consume
-    it (candidate gen + both verify joins) and Ray re-executes lazy
-    lineage per consumer; the object store spills it block-by-block at
-    scale.  The alternative — re-reading and re-hashing the corpus per
-    consumer — trades 2 extra corpus scans for zero store residency;
-    flip if store pressure ever beats scan cost."""
-    common = common_hashes_cached(sf_dir, "token")
-    sets = hash_sets(_docs(sf_dir), "token", demote=common).materialize()
+    The hash-set table is ``materialize()``d (via ``sets_cached``)
+    because three stages consume it (candidate gen + both verify joins)
+    and Ray re-executes lazy lineage per consumer; the object store
+    spills it block-by-block at scale.  The alternative — re-reading and
+    re-hashing the corpus per consumer — trades 2 extra corpus scans for
+    zero store residency; ``GRAFT_SETS_RESCAN=1`` flips to that mode
+    (identical output, pinned by pytest) if store pressure ever beats
+    scan cost."""
+    sets = sets_cached(sf_dir, "token")
     cands = prefix_candidates(sets, num=19, den=20)
     return verify_pairs(
         cands, sets, num=19, den=20,
@@ -710,11 +759,7 @@ def q_shingle_pairs(sf_dir: str) -> rd.Dataset:
     """All pairs with 3-shingle jaccard ≥ 0.8 — exact (prefix-filter join
     over shingle-hash sets); the exhaustive ground truth the MinHash+LSH
     path below approximates."""
-    common = common_hashes_cached(sf_dir, "shingle")
-    sets = hash_sets(_docs(sf_dir), "shingle", demote=common).materialize()
-    cands = prefix_candidates(sets, num=4, den=5)
-    return verify_pairs(cands, sets, num=4, den=5,
-                        emit=_jm).sort(["doc_a", "doc_b"])
+    return shingle_edges_cached(sf_dir).sort(["doc_a", "doc_b"])
 
 
 # shingle-set jaccard (not token-set): SQL builds the same 3-shingles
@@ -755,7 +800,8 @@ ORDER BY doc_a, doc_b
 
 
 # ------------------------------------------------------------ minhash LSH
-def minhash_lsh_pairs(docs: rd.Dataset, jaccard_milli: int = 800) -> rd.Dataset:
+def minhash_lsh_pairs(docs: rd.Dataset, jaccard_milli: int = 800,
+                      sets: rd.Dataset | None = None) -> rd.Dataset:
     """MinHash+LSH near-dup pairs, exact-verified.
 
     Plan: 64-perm signature per doc → explode to 16 compact
@@ -763,8 +809,14 @@ def minhash_lsh_pairs(docs: rd.Dataset, jaccard_milli: int = 800) -> rd.Dataset:
     per doc — → groupby(band) → candidate pairs → exact shingle-jaccard
     verification through the shared co-group verify join.  Cost ∝ docs +
     colliding pairs; recall ≈ 1-(1-j⁴)¹⁶ (<1 ⇒ rows-only driver check;
-    pinned against the exhaustive shingle_pairs by pytest)."""
-    sets = hash_sets(docs, "shingle").materialize()
+    pinned against the exhaustive shingle_pairs by pytest).
+
+    ``sets`` lets the caller pass a pre-built (doc_id, th) shingle-set
+    table (any per-doc ordering — signature and verify are both
+    order-independent) so the gate's four set-consumers share one
+    tokenize+hash pass."""
+    if sets is None:
+        sets = hash_sets(docs, "shingle").materialize()
 
     def band_keys(batch: pa.Table) -> pd.DataFrame:
         import pyarrow.compute as pc
@@ -793,8 +845,9 @@ def minhash_lsh_pairs(docs: rd.Dataset, jaccard_milli: int = 800) -> rd.Dataset:
 
 
 def q_minhash_pairs(sf_dir: str) -> rd.Dataset:
-    return minhash_lsh_pairs(_docs(sf_dir),
-                             jaccard_milli=800).sort(["doc_a", "doc_b"])
+    return minhash_lsh_pairs(_docs(sf_dir), jaccard_milli=800,
+                             sets=sets_cached(sf_dir, "shingle")
+                             ).sort(["doc_a", "doc_b"])
 
 
 # ------------------------------------------------------------ simhash
@@ -925,7 +978,8 @@ def q_simhash_pairs(sf_dir: str) -> rd.Dataset:
 
 # ------------------------------------------------------------ components
 def connected_components(edges: rd.Dataset, nodes: rd.Dataset,
-                         max_rounds: int = 30, jump_after: int = 3) -> rd.Dataset:
+                         max_rounds: int = 30, jump_after: int = 3,
+                         num_buckets: int = 32) -> rd.Dataset:
     """Connected components over a near-dup pair graph → per-doc cluster
     canonical (min reachable doc_id) — the step that turns pair detection
     into actual deduplication at corpus scale.
@@ -954,8 +1008,14 @@ def connected_components(edges: rd.Dataset, nodes: rd.Dataset,
     checkpoint a multi-day 10^12-row run would write).
 
     ``edges``: (doc_a, doc_b) int64 pairs; ``nodes``: (doc_id) int64.
+    ``num_buckets`` sizes every per-round exchange AND the label-table
+    block count — callers scale it with the node count (each round pays
+    2-3 all-to-alls whose task matrix is O(blocks x buckets), so 32
+    buckets on a 500-node graph is pure scheduling overhead).
     """
     from .grouping import bucketed_cogroup, bucketed_group_apply
+
+    nb = num_buckets
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a")
@@ -969,14 +1029,14 @@ def connected_components(edges: rd.Dataset, nodes: rd.Dataset,
     # blocks and per-round task overhead tripled each round (observed
     # 2.9 s -> 8.2 s -> ... on a 512-edge graph)
     e = (edges.map_batches(both_dirs, batch_format="pyarrow")
-         .repartition(32).materialize())
+         .repartition(nb).materialize())
 
     def init_labels(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id")
         return pa.table({"doc_id": ids, "label": ids})
 
     labels = (nodes.map_batches(init_labels, batch_format="pyarrow")
-              .repartition(32).materialize())
+              .repartition(nb).materialize())
 
     def send(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
         # lf: edges bucketed by src; rf: labels bucketed by doc_id
@@ -1010,15 +1070,15 @@ def connected_components(edges: rd.Dataset, nodes: rd.Dataset,
         # slower in this Ray version (22 s observed for a 512-edge round);
         # the boundary costs only the (dst, label) message exchange
         msgs = bucketed_cogroup(e, labels, ["src"], ["doc_id"], send,
-                                num_buckets=32).materialize()
+                                num_buckets=nb).materialize()
         fused = labels.union(msgs)
         if rnd >= jump_after:
             jumps = bucketed_cogroup(labels, labels, ["label"], ["doc_id"],
-                                     jump, num_buckets=32).materialize()
+                                     jump, num_buckets=nb).materialize()
             fused = fused.union(jumps)
         labels = (bucketed_group_apply(fused, ["doc_id"], min_label,
-                                       num_buckets=32)
-                  .repartition(32).materialize())
+                                       num_buckets=nb)
+                  .repartition(nb).materialize())
         cur = label_sum(labels)
         if cur == prev:        # labels are monotone non-increasing
             break
@@ -1036,14 +1096,19 @@ def q_dedup_clusters(sf_dir: str) -> rd.Dataset:
     shingle-jaccard ≥0.8 near-dup graph; singletons are their own
     cluster.  Completes the dedup family: pairs → clusters → canonical
     keeper per cluster."""
-    common = common_hashes_cached(sf_dir, "shingle")
-    sets = hash_sets(_docs(sf_dir), "shingle", demote=common).materialize()
-    edges = verify_pairs(prefix_candidates(sets, 4, 5), sets, 4, 5,
-                         emit=_jm).map_batches(
+    import pyarrow.parquet as _pq
+
+    edges = shingle_edges_cached(sf_dir).map_batches(
         lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
-    nodes = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id"])
-    return (connected_components(edges, nodes)
+    from ..sources.io import read_parquet_sized
+    docs_path = f"{sf_dir}/documents.parquet"
+    nodes = read_parquet_sized(docs_path, columns=["doc_id"],
+                               rows_per_block=20_000)
+    # CC pays 2-3 all-to-alls PER ROUND; size them with the node count
+    # (20k labels/bucket keeps a bucket ~tiny; cap covers 10^9+ nodes)
+    n_docs = _pq.read_metadata(docs_path).num_rows
+    nb = max(4, min(256, -(-n_docs // 20_000)))
+    return (connected_components(edges, nodes, num_buckets=nb)
             .map_batches(lambda b: (b.select(["doc_id", "label"])
                                     .rename_columns(["doc_id", "cluster_id"])),
                          batch_format="pyarrow")

@@ -29,7 +29,8 @@ import ray.data as rd
 
 
 def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..sources.io import read_parquet_sized
+    return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cents(arr) -> np.ndarray:

@@ -28,8 +28,10 @@ TOPK_K = 8
 
 
 def _emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
+    from ..sources.io import read_parquet_sized
+    return read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"],
+                              rows_per_block=2000)
 
 
 def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -55,8 +57,7 @@ def q_embed_topk(sf_dir: str) -> pd.DataFrame:
     Emits (query_id, rank, neighbor_id); scores stay internal so the
     DuckDB comparison is float-order-insensitive."""
     ds = _emb(sf_dir)
-    qdf = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
+    qdf = (_emb(sf_dir)
            .filter(expr=f"vec_id < {TOPK_QUERIES}").to_pandas())
     q_ids = qdf.vec_id.to_numpy()
     q_mat = _normalize(np.stack(qdf.embedding.to_numpy()).astype(np.float64))
@@ -118,7 +119,7 @@ def _pairs_frame(va=None, vb=None) -> pd.DataFrame:
                          "vec_b": vb.astype(np.int64)})
 
 
-def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
+def q_embed_neardup(sf_dir: str) -> rd.Dataset:
     """All pairs with cosine ≥ 0.5 — EXACT all-pairs, distributed.
 
     Block-pair grid (grouping.pair_grid_apply): vectors shuffle into
@@ -151,12 +152,16 @@ def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
         hi = np.maximum(ids_a[ai], ids_b[bi])
         return _pairs_frame(lo, hi)
 
-    out = pair_grid_apply(_emb(sf_dir), "vec_id", kernel,
-                          num_blocks=NEARDUP_BLOCKS).to_pandas()
-    if out.empty:
-        # an empty Dataset to_pandas()es to a COLUMN-LESS frame
-        return _pairs_frame()
-    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    pairs = pair_grid_apply(_emb(sf_dir), "vec_id", kernel,
+                            num_blocks=NEARDUP_BLOCKS)
+    # union an explicitly-typed EMPTY seed block: an all-empty-blocks
+    # Dataset otherwise to_pandas()es column-less downstream (and a
+    # trailing sort would see no schema), so the seed makes the lazy
+    # Dataset return safe on a near-dup-free corpus
+    seed = rd.from_arrow(pa.table({
+        "vec_a": pa.array([], type=pa.int64()),
+        "vec_b": pa.array([], type=pa.int64())}).replace_schema_metadata(None))
+    return pairs.union(seed).sort(["vec_a", "vec_b"])
 
 
 SQL_EMBED_NEARDUP = """
@@ -355,7 +360,10 @@ def q_embed_ann_lsh(sf_dir: str) -> rd.Dataset:
 
 
 # ------------------------------------------------------------ IVF ANN
-IVF_LISTS = 16
+IVF_LISTS = 16               # floor on the list/cluster count
+IVF_TARGET_LIST = 2048       # target vectors per inverted list / cluster
+IVF_MAX_LISTS = 4096         # cap on the driver-side sample fit; beyond
+                             # this, hot lists split over the block grid
 IVF_PROBES = 4
 IVF_ITERS = 8
 
@@ -363,102 +371,246 @@ IVF_ITERS = 8
 IVF_FIT_SAMPLE = 4096
 
 
-def _ivf_centroids(sample: np.ndarray) -> np.ndarray:
+def _emb_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+
+
+def _n_lists(n_rows: int) -> int:
+    """Cluster/list count scaled with the corpus (k ≈ n / target size),
+    floored at IVF_LISTS and capped at IVF_MAX_LISTS — a FIXED k turns a
+    per-cluster task into an O(n/k · dim) dense matrix, a scale-killer
+    at 10^9+ vectors (round-3 verdict).  Above the cap the per-list
+    bound comes from the hot-list grid split, not from k."""
+    return max(IVF_LISTS, min(IVF_MAX_LISTS, -(-n_rows // IVF_TARGET_LIST)))
+
+
+def _fit_sample(sf_dir: str, k: int) -> np.ndarray:
+    """Normalized fit sample sized to the cluster count (≥2 pts per
+    centroid, ≥IVF_FIT_SAMPLE) — still O(k·dim), never corpus-sized."""
+    n = max(IVF_FIT_SAMPLE, 2 * k)
+    df = _emb(sf_dir).limit(n).to_pandas()
+    return _normalize(np.stack(df.embedding.to_numpy()).astype(np.float64))
+
+
+def _fsl(mat: np.ndarray) -> pa.FixedSizeListArray:
+    """Arrow fixed-size-list<float64> column from a (n, dim) matrix —
+    the embedding EXCHANGE format (zero-copy flat buffer; round 3
+    shipped per-row Python ``tolist()`` objects instead, ~3-4x the
+    bytes plus object overhead through every shuffle)."""
+    n, dim = mat.shape
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(np.ascontiguousarray(mat).reshape(-1), type=pa.float64()),
+        dim)
+
+
+def _ivf_centroids(sample: np.ndarray, k: int = IVF_LISTS) -> np.ndarray:
     """Deterministic coarse quantizer: seeded k-means on a FIXED-SIZE
-    sample (the fit is O(sample·iters), independent of corpus size; at
+    sample (the fit is O(sample·k·iters), independent of corpus size; at
     10^12 rows only the sample ever reaches the driver)."""
     rng = np.random.RandomState(0x1F5)
     cent = sample[rng.choice(len(sample),
-                             size=min(IVF_LISTS, len(sample)),
+                             size=min(k, len(sample)),
                              replace=False)].copy()
     for _ in range(IVF_ITERS):
         assign = (sample @ cent.T).argmax(axis=1)
-        for c in range(len(cent)):
-            members = sample[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                nv = np.linalg.norm(v)
-                if nv > 0:
-                    cent[c] = v / nv
+        # vectorized centroid update (k can be 4096: a Python loop over
+        # clusters would dominate the fit)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, sample)
+        cnt = np.bincount(assign, minlength=len(cent)).astype(np.float64)
+        nz = cnt > 0
+        upd = sums[nz] / cnt[nz, None]
+        norms = np.linalg.norm(upd, axis=1)
+        ok = norms > 0
+        idx = np.flatnonzero(nz)[ok]
+        cent[idx] = upd[ok] / norms[ok, None]
     return cent
 
 
+IVF_MAX_TASK_ROWS = 8192     # hot-list threshold: (members+queries) rows
+                             # a single list task may hold
+IVF_GRID_BLOCKS = 8
+
+
+def _emb_mat(df: pd.DataFrame, col: str = "emb") -> np.ndarray:
+    """(n, dim) float64 matrix from a pandas frame carrying the Arrow
+    fixed-size-list column as object-of-ndarray (already normalized —
+    normalization happens once, in the assign stage)."""
+    return np.stack([np.asarray(e, dtype=np.float64)
+                     for e in df[col].to_numpy()])
+
+
+def _nn_empty() -> pd.DataFrame:
+    return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                         "nn_id": pd.Series(dtype=np.int64),
+                         "sim": pd.Series(dtype=np.float64)})
+
+
+def _nn_partial(qids, qmat, mids, mmat) -> pd.DataFrame:
+    """Per-query best member (chunked matmul, memory O(chunk·m)); self
+    matches masked; float ties break toward the smallest member id."""
+    outs = []
+    for s in range(0, len(qids), _NN_CHUNK):
+        e = min(len(qids), s + _NN_CHUNK)
+        sims = qmat[s:e] @ mmat.T
+        sims[qids[s:e, None] == mids[None, :]] = -np.inf
+        best = sims.max(axis=1)
+        ok = best > -np.inf
+        if not ok.any():
+            continue
+        nn = np.where(sims[ok] == best[ok][:, None],
+                      mids[None, :], np.iinfo(np.int64).max).min(axis=1)
+        outs.append(pd.DataFrame({"vec_id": qids[s:e][ok].astype(np.int64),
+                                  "nn_id": nn.astype(np.int64),
+                                  "sim": best[ok]}))
+    return pd.concat(outs, ignore_index=True) if outs else _nn_empty()
+
+
 def q_embed_ann_ivf(sf_dir: str) -> rd.Dataset:
-    """IVF approximate NN: coarse-quantize to IVF_LISTS inverted lists,
-    each vector probes its IVF_PROBES nearest lists only.
+    """IVF approximate NN: coarse-quantize to k = n/IVF_TARGET_LIST
+    inverted lists (≥IVF_LISTS, ≤IVF_MAX_LISTS), each vector probes its
+    IVF_PROBES nearest lists only.
 
     Distributed plan (no corpus-sized broadcast anywhere):
-    1. fit centroids on a fixed-size sample (``limit(4096)``, driver-side
-       k-means, centroids broadcast — IVF_LISTS·dim floats);
+    1. fit centroids on a bounded sample (driver-side k-means, centroids
+       broadcast — k·dim floats);
     2. ``map_batches`` emits each vector once as a MEMBER of its owner
-       list and once per probe as a QUERY row → exchange is (1+probes)·n;
+       list and once per probe as a QUERY row → exchange is (1+probes)·n
+       rows of Arrow fixed-size-list (no Python object columns);
     3. ``groupby(list_id)`` co-locates each inverted list with the
-       queries probing it; a vectorized matmul finds the per-list best;
-    4. a final per-vec_id reduce takes the best across probed lists
-       (owner lists are disjoint so candidates never double-count).
+       queries probing it; a chunked matmul finds the per-list best.
+       Lists whose (member+query) row count exceeds IVF_MAX_TASK_ROWS —
+       quantizer-collapse skew — split members over IVF_GRID_BLOCKS
+       hash blocks with queries replicated per block, so no task ever
+       holds a whole hot list;
+    4. a final per-vec_id reduce takes the best across probed lists /
+       blocks (owner lists are disjoint so candidates never
+       double-count).
     Cost ∝ n·(probes/lists) of brute force.  Recall is checked by pytest
     (not SQL-expressible)."""
     from .grouping import bucketed_group_apply
 
-    sample_df = _emb(sf_dir).limit(IVF_FIT_SAMPLE).to_pandas()
-    sample = _normalize(np.stack(sample_df.embedding.to_numpy())
-                        .astype(np.float64))
-    cent = _ivf_centroids(sample)
+    n_rows = _emb_rows(sf_dir)
+    k = _n_lists(n_rows)
+    cent = _ivf_centroids(_fit_sample(sf_dir, k), k)
     cent_ref = ray.put(cent)
 
-    def assign(batch: pa.Table) -> pd.DataFrame:
+    def assign(batch: pa.Table) -> pa.Table:
         ids, mat = _to_matrix(batch)
         mat = _normalize(mat)
         c = ray.get(cent_ref)
-        sims_c = mat @ c.T                              # (b, LISTS)
+        sims_c = mat @ c.T                              # (b, k)
         owner = sims_c.argmax(axis=1)
-        probes = np.argsort(-sims_c, axis=1)[:, :IVF_PROBES]
+        nprobe = min(IVF_PROBES, c.shape[0])
+        # STABLE argsort: under tied sims (degenerate corpora) it keeps
+        # the owner list (argmax = first max) in the probe set — an
+        # argpartition here once dropped the owner and every member
+        # went unprobed
+        part = np.argsort(-sims_c, axis=1, kind="stable")[:, :nprobe]
         n = len(ids)
-        emb_list = [r.tolist() for r in mat]
-        frames = [pd.DataFrame({"list_id": owner.astype(np.int64),
-                                "role": np.zeros(n, dtype=np.int8),
-                                "vec_id": ids.astype(np.int64),
-                                "emb": emb_list})]
-        for p in range(min(IVF_PROBES, probes.shape[1])):
-            frames.append(pd.DataFrame({
-                "list_id": probes[:, p].astype(np.int64),
-                "role": np.ones(n, dtype=np.int8),
-                "vec_id": ids.astype(np.int64),
-                "emb": emb_list}))
-        return pd.concat(frames, ignore_index=True)
+        list_id = np.concatenate(
+            [owner] + [part[:, p] for p in range(nprobe)]).astype(np.int64)
+        role = np.concatenate([np.zeros(n, np.int8),
+                               np.ones(n * nprobe, np.int8)])
+        vec_id = np.tile(ids.astype(np.int64), 1 + nprobe)
+        return pa.table({"list_id": pa.array(list_id),
+                         "role": pa.array(role),
+                         "vec_id": pa.array(vec_id),
+                         "emb": _fsl(np.tile(mat, (1 + nprobe, 1)))}
+                        ).replace_schema_metadata(None)
+
+    assigned = _emb(sf_dir).map_batches(assign, batch_format="pyarrow",
+                                        batch_size=1024).materialize()
+
+    # distributed hot-list histogram (same shape as the LSH hot-bucket
+    # pass): only list ids with count > IVF_MAX_TASK_ROWS reach the
+    # driver — provably < rows·(1+probes)/IVF_MAX_TASK_ROWS of them
+    def lcount(batch: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(
+            batch.column("list_id").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"k": pa.array(uniq.astype(np.int64)),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    def hot_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("k", as_index=False)["c"].sum()
+        return s.loc[s["c"] > IVF_MAX_TASK_ROWS, ["k"]]
+
+    hot_df = bucketed_group_apply(
+        assigned.map_batches(lcount, batch_format="pyarrow"),
+        ["k"], hot_in_bucket, num_buckets=32).to_pandas()
+    hot = (np.sort(hot_df["k"].to_numpy().astype(np.int64))
+           if len(hot_df) else np.empty(0, np.int64))
 
     def list_nn(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
-                              "nn_id": pd.Series(dtype=np.int64),
-                              "sim": pd.Series(dtype=np.float64)})
         mem = df[df.role == 0]
         qry = df[df.role == 1]
         if mem.empty or qry.empty:
-            return empty
-        mids = mem.vec_id.to_numpy()
-        mmat = np.stack(mem.emb.to_numpy())
-        qids = qry.vec_id.to_numpy()
-        qmat = np.stack(qry.emb.to_numpy())
-        sims = qmat @ mmat.T                            # (q, m)
-        sims[qids[:, None] == mids[None, :]] = -np.inf  # mask self
-        best = sims.max(axis=1)
-        ok = best > -np.inf
-        if not ok.any():
-            return empty
-        # tie-break: among equal-sim members take the smallest vec_id
-        nn = np.where(sims[ok] == best[ok][:, None],
-                      mids[None, :], np.iinfo(np.int64).max).min(axis=1)
-        return pd.DataFrame({"vec_id": qids[ok].astype(np.int64),
-                             "nn_id": nn.astype(np.int64),
-                             "sim": best[ok]})
+            return _nn_empty()
+        return _nn_partial(qry.vec_id.to_numpy().astype(np.int64),
+                           _emb_mat(qry),
+                           mem.vec_id.to_numpy().astype(np.int64),
+                           _emb_mat(mem))
 
-    per_list = bucketed_group_apply(
-        _emb(sf_dir).map_batches(assign, batch_format="pyarrow",
-                                 batch_size=1024),
-        ["list_id"], lambda df: pd.concat(
-            [list_nn(g) for _, g in df.groupby("list_id")],
-            ignore_index=True) if len(df) else list_nn(df),
-        num_buckets=IVF_LISTS)
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _nn_empty()
+        return pd.concat([list_nn(g) for _, g in df.groupby("list_id")],
+                         ignore_index=True)
+
+    nb_lists = max(16, min(256, k))
+
+    def split(want_hot: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = np.isin(batch.column("list_id")
+                           .to_numpy(zero_copy_only=False), hot)
+            out = batch.filter(pa.array(mask if want_hot else ~mask))
+            return out.replace_schema_metadata(None)
+        return f
+
+    if not len(hot):
+        per_list = bucketed_group_apply(assigned, ["list_id"], per_group,
+                                        num_buckets=nb_lists)
+    else:
+        cold = bucketed_group_apply(
+            assigned.map_batches(split(False), batch_format="pyarrow"),
+            ["list_id"], per_group, num_buckets=nb_lists)
+
+        # hot lists: members hash into IVF_GRID_BLOCKS blocks, queries
+        # replicate to every block; group key (list, block) bounds the
+        # member side per task, and the per-vec reduce below merges the
+        # per-block partial bests exactly like per-list ones
+        B = IVF_GRID_BLOCKS
+
+        def fan_hot(batch: pa.Table) -> pa.Table:
+            role = batch.column("role").to_numpy(zero_copy_only=False)
+            ids = batch.column("vec_id").to_pandas()
+            blk = (pd.util.hash_pandas_object(ids, index=False).to_numpy()
+                   % np.uint64(B)).astype(np.int64)
+            mem_idx = np.flatnonzero(role == 0)
+            qry_idx = np.flatnonzero(role == 1)
+            take = np.concatenate([mem_idx] + [qry_idx] * B)
+            cell = np.concatenate(
+                [blk[mem_idx]] + [np.full(len(qry_idx), b, np.int64)
+                                  for b in range(B)])
+            out = batch.take(pa.array(take))
+            return (out.append_column("_cell", pa.array(cell))
+                    .replace_schema_metadata(None))
+
+        def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return _nn_empty()
+            return pd.concat(
+                [list_nn(g) for _, g in df.groupby(["list_id", "_cell"])],
+                ignore_index=True)
+
+        hot_nn = bucketed_group_apply(
+            assigned.map_batches(split(True), batch_format="pyarrow")
+                    .map_batches(fan_hot, batch_format="pyarrow"),
+            ["list_id", "_cell"], per_cell,
+            num_buckets=min(512, max(nb_lists, len(hot) * B)))
+        per_list = cold.union(hot_nn)
 
     # sentinel guarantees every vec_id appears even with zero candidates
     def sentinel(batch: pa.Table) -> pd.DataFrame:
@@ -475,9 +627,10 @@ def q_embed_ann_ivf(sf_dir: str) -> rd.Dataset:
         out = df.groupby("vec_id", as_index=False).first()
         return out[["vec_id", "nn_id"]].astype(np.int64)
 
+    nb_vec = max(8, min(256, -(-n_rows // 20_000)))
     return bucketed_group_apply(per_list.union(sent), ["vec_id"],
                                 best_across_lists,
-                                num_buckets=32).sort("vec_id")
+                                num_buckets=nb_vec).sort("vec_id")
 
 
 # ------------------------------------------------------------ k-means
@@ -551,41 +704,77 @@ def q_embed_kmeans(sf_dir: str) -> rd.Dataset:
 # ------------------------------------------------------------ SemDeDup
 SEMDEDUP_TAU = 0.5          # == q_embed_neardup's exact threshold, so the
                             # within-cluster recall pin is apples-to-apples
-SEMDEDUP_CHUNK = 2048       # rows per matmul chunk inside a hot cluster
+SEMDEDUP_CHUNK = 2048       # rows per matmul chunk inside a cluster
+SEM_MAX_CLUSTER = 4096      # hot-cluster threshold (rows per task bound)
+SEM_GRID_BLOCKS = 8
+
+
+def _sem_frame(vec_id=None, cluster=None, keep=None, dup_of=None):
+    if vec_id is None:
+        return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                             "cluster": pd.Series(dtype=np.int64),
+                             "keep": pd.Series(dtype=bool),
+                             "dup_of": pd.Series(dtype=np.int64)})
+    return pd.DataFrame({"vec_id": vec_id.astype(np.int64),
+                         "cluster": cluster.astype(np.int64),
+                         "keep": keep, "dup_of": dup_of.astype(np.int64)})
+
+
+_I64MAX = np.iinfo(np.int64).max
+
+
+def _earlier_min(ids_a: np.ndarray, mat_a: np.ndarray,
+                 ids_b: np.ndarray, mat_b: np.ndarray) -> np.ndarray:
+    """Per row of A: the smallest id in B that is EARLIER (< own id) and
+    τ-close; _I64MAX where none.  Chunked over A rows (memory
+    O(chunk·|B|))."""
+    out = np.full(len(ids_a), _I64MAX, dtype=np.int64)
+    for s in range(0, len(ids_a), SEMDEDUP_CHUNK):
+        e = min(len(ids_a), s + SEMDEDUP_CHUNK)
+        sims = mat_a[s:e] @ mat_b.T
+        hit = (sims >= SEMDEDUP_TAU) & (ids_b[None, :] < ids_a[s:e, None])
+        out[s:e] = np.where(hit, ids_b[None, :], _I64MAX).min(axis=1)
+    return out
 
 
 def q_embed_semantic_dedup(sf_dir: str) -> rd.Dataset:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     semantic deduplication — cluster with the sample-fit k-means coarse
     quantizer, then WITHIN each cluster drop every vector that has a
-    LOWER-id τ-cosine neighbor (keep-first).  Deterministic, and it
-    yields the invariant that no two KEPT vectors in one cluster are
-    τ-close.  Output per vector: (vec_id, cluster, keep, dup_of) where
-    dup_of is the smallest earlier τ-neighbor (-1 for kept).
+    LOWER-id τ-cosine neighbor.  Deterministic, and it yields the
+    invariant that no two KEPT vectors in one cluster are τ-close.
+    Output per vector: (vec_id, cluster, keep, dup_of) where dup_of is
+    the smallest earlier τ-neighbor (-1 for kept).
 
-    Distributed plan: centroids fit on a fixed-size sample (driver cost
-    O(sample), centroids broadcast via ray.put); one ``map_batches``
-    assigns clusters; ONE bucketed shuffle co-locates each cluster; the
-    per-cluster scan is a chunked matmul (memory O(chunk·|cluster|),
-    never |cluster|²) over vec_id-sorted rows with an earlier-only
-    mask.  Only within-cluster pairs are compared — that IS the SemDeDup
+    Distributed plan: cluster count scales with the corpus
+    (k = n/IVF_TARGET_LIST — round 3 fixed it at 16, making a
+    per-cluster task hold an O(n/16 · dim) matrix); centroids fit on a
+    bounded sample and broadcast via ``ray.put``; one ``map_batches``
+    assigns clusters and ships embeddings as Arrow fixed-size-list; ONE
+    bucketed shuffle co-locates each cluster; the per-cluster scan is a
+    chunked matmul over vec_id-sorted rows with an earlier-only mask.
+    Clusters above SEM_MAX_CLUSTER rows (quantizer collapse — e.g. an
+    all-identical corpus defeats ANY k) split over the block-pair grid:
+    the per-pair predicate "v has an earlier τ-neighbor u" needs no
+    sequential state, so per-cell earlier-min partials reduce exactly
+    (min over cells) and no task ever holds a whole hot cluster.  Only
+    within-cluster pairs are compared — that IS the SemDeDup
     approximation; within-cluster agreement with the EXACT pair list is
     pinned by pytest (iterative clustering is not SQL-expressible →
     rows-only driver check)."""
-    from .grouping import bucketed_group_apply
+    from .grouping import bucketed_group_apply, pair_grid_apply
 
-    sample_df = _emb(sf_dir).limit(IVF_FIT_SAMPLE).to_pandas()
-    sample = _normalize(np.stack(sample_df.embedding.to_numpy())
-                        .astype(np.float64))
-    cent_ref = ray.put(_ivf_centroids(sample))
+    n_rows = _emb_rows(sf_dir)
+    k = _n_lists(n_rows)
+    cent_ref = ray.put(_ivf_centroids(_fit_sample(sf_dir, k), k))
 
-    def assign(batch: pa.Table) -> pd.DataFrame:
+    def assign(batch: pa.Table) -> pa.Table:
         ids, mat = _to_matrix(batch)
         mat = _normalize(mat)
         cluster = (mat @ ray.get(cent_ref).T).argmax(axis=1)
-        return pd.DataFrame({"vec_id": ids.astype(np.int64),
-                             "cluster": cluster.astype(np.int64),
-                             "emb": [r.tolist() for r in mat]})
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                         "cluster": pa.array(cluster.astype(np.int64)),
+                         "emb": _fsl(mat)}).replace_schema_metadata(None)
 
     def dedup_cluster(df: pd.DataFrame) -> pd.DataFrame:
         # the bucket may hold several whole clusters — process each
@@ -593,36 +782,103 @@ def q_embed_semantic_dedup(sf_dir: str) -> rd.Dataset:
         for cl, g in df.groupby("cluster"):
             g = g.sort_values("vec_id")
             ids = g.vec_id.to_numpy().astype(np.int64)
-            mat = np.stack(g.emb.to_numpy())
-            n = len(ids)
-            dup_of = np.full(n, -1, dtype=np.int64)
-            for s in range(0, n, SEMDEDUP_CHUNK):
-                e = min(s + SEMDEDUP_CHUNK, n)
-                sims = mat[s:e] @ mat.T                 # (chunk, n)
-                earlier = np.arange(n)[None, :] < np.arange(s, e)[:, None]
-                hit = (sims >= SEMDEDUP_TAU) & earlier
-                rows, cols = np.nonzero(hit)
-                if len(rows):
-                    first = pd.Series(cols).groupby(rows).min()
-                    dup_of[s + first.index.to_numpy()] = \
-                        ids[first.to_numpy()]
-            frames.append(pd.DataFrame({
-                "vec_id": ids,
-                "cluster": np.full(n, cl, dtype=np.int64),
-                "keep": dup_of < 0,
-                "dup_of": dup_of}))
+            mat = _emb_mat(g)
+            dup = _earlier_min(ids, mat, ids, mat)
+            dup_of = np.where(dup == _I64MAX, -1, dup)
+            frames.append(_sem_frame(ids, np.full(len(ids), cl, np.int64),
+                                     dup_of < 0, dup_of))
         if not frames:
-            return pd.DataFrame({
-                "vec_id": pd.Series(dtype=np.int64),
-                "cluster": pd.Series(dtype=np.int64),
-                "keep": pd.Series(dtype=bool),
-                "dup_of": pd.Series(dtype=np.int64)})
+            return _sem_frame()
         return pd.concat(frames, ignore_index=True)
 
     assigned = _emb(sf_dir).map_batches(assign, batch_format="pyarrow",
-                                        batch_size=4096)
-    return bucketed_group_apply(assigned, ["cluster"], dedup_cluster,
-                                num_buckets=IVF_LISTS).sort("vec_id")
+                                        batch_size=4096).materialize()
+
+    # distributed hot-cluster histogram (only ids with count >
+    # SEM_MAX_CLUSTER — provably < n/SEM_MAX_CLUSTER — reach the driver)
+    def ccount(batch: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(
+            batch.column("cluster").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"k": pa.array(uniq.astype(np.int64)),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    def hot_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("k", as_index=False)["c"].sum()
+        return s.loc[s["c"] > SEM_MAX_CLUSTER, ["k"]]
+
+    hot_df = bucketed_group_apply(
+        assigned.map_batches(ccount, batch_format="pyarrow"),
+        ["k"], hot_in_bucket, num_buckets=32).to_pandas()
+    hot = (np.sort(hot_df["k"].to_numpy().astype(np.int64))
+           if len(hot_df) else np.empty(0, np.int64))
+
+    nb = max(16, min(256, k))
+    if not len(hot):
+        return bucketed_group_apply(assigned, ["cluster"], dedup_cluster,
+                                    num_buckets=nb).sort("vec_id")
+
+    def split(want_hot: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = np.isin(batch.column("cluster")
+                           .to_numpy(zero_copy_only=False), hot)
+            out = batch.filter(pa.array(mask if want_hot else ~mask))
+            return out.replace_schema_metadata(None)
+        return f
+
+    cold = bucketed_group_apply(
+        assigned.map_batches(split(False), batch_format="pyarrow"),
+        ["cluster"], dedup_cluster, num_buckets=nb)
+
+    # hot clusters: block-pair grid partials.  Each cell emits, per
+    # vector it sees, the min earlier τ-neighbor among the cell's pairs
+    # (or _I64MAX); the per-vec reduce takes the min across cells.  The
+    # diagonal cell also carries each vector's sentinel row, so vectors
+    # with no τ-neighbor anywhere still come out (keep=True).
+    def grid_kernel(a: pd.DataFrame, b: pd.DataFrame | None) -> pd.DataFrame:
+        outs = []
+        if b is None:
+            for cl, g in a.groupby("cluster"):
+                ids = g.vec_id.to_numpy().astype(np.int64)
+                order = np.argsort(ids, kind="stable")
+                ids, mat = ids[order], _emb_mat(g)[order]
+                outs.append(pd.DataFrame({
+                    "vec_id": ids,
+                    "cluster": np.full(len(ids), cl, np.int64),
+                    "dup_cand": _earlier_min(ids, mat, ids, mat)}))
+        else:
+            common = np.intersect1d(a.cluster.unique(), b.cluster.unique())
+            for cl in common:
+                ga, gb = a.loc[a.cluster == cl], b.loc[b.cluster == cl]
+                ia = ga.vec_id.to_numpy().astype(np.int64)
+                ib = gb.vec_id.to_numpy().astype(np.int64)
+                ma, mb = _emb_mat(ga), _emb_mat(gb)
+                outs.append(pd.DataFrame({
+                    "vec_id": ia, "cluster": np.full(len(ia), cl, np.int64),
+                    "dup_cand": _earlier_min(ia, ma, ib, mb)}))
+                outs.append(pd.DataFrame({
+                    "vec_id": ib, "cluster": np.full(len(ib), cl, np.int64),
+                    "dup_cand": _earlier_min(ib, mb, ia, ma)}))
+        if not outs:
+            return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                                 "cluster": pd.Series(dtype=np.int64),
+                                 "dup_cand": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    def reduce_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("vec_id", as_index=False).agg(
+            cluster=("cluster", "first"), dup=("dup_cand", "min"))
+        dup_of = np.where(g.dup.to_numpy() == _I64MAX, -1,
+                          g.dup.to_numpy()).astype(np.int64)
+        return _sem_frame(g.vec_id.to_numpy(), g.cluster.to_numpy(),
+                          dup_of < 0, dup_of)
+
+    partials = pair_grid_apply(
+        assigned.map_batches(split(True), batch_format="pyarrow"),
+        "vec_id", grid_kernel, num_blocks=SEM_GRID_BLOCKS)
+    hot_res = bucketed_group_apply(partials, ["vec_id"], reduce_min,
+                                   num_buckets=nb)
+    return cold.union(hot_res).sort("vec_id")
 
 
 SIM_QUERIES = {

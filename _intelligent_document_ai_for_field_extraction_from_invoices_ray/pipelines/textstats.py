@@ -24,7 +24,10 @@ _STOP_SQL = "(" + ",".join(f"'{w}'" for w in sorted(V.STOPWORDS)) + ")"
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    from ..sources.io import read_parquet_sized
+    # text-heavy per-row map work (tokenizers) wants parallelism sooner
+    return read_parquet_sized(f"{sf_dir}/documents.parquet",
+                              columns=list(columns), rows_per_block=1000)
 
 
 # ------------------------------------------------------------ token counts
@@ -215,8 +218,7 @@ def q_sample_docs(sf_dir: str) -> rd.Dataset:
                 kept_ids.append(d)
         return pd.DataFrame({"doc_id": pd.Series(kept_ids, dtype=np.int64)})
 
-    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id"])
+    return (_docs(sf_dir, columns=("doc_id",))
             .map_batches(fn, batch_format="pyarrow").sort("doc_id"))
 
 
@@ -354,8 +356,7 @@ def q_stratified_sample(sf_dir: str) -> rd.Dataset:
         out = pd.concat(outs) if outs else df
         return out[["doc_id", "lang"]]
 
-    ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
-                          columns=["doc_id", "lang"])
+    ds = (_docs(sf_dir, columns=("doc_id", "lang"))
           .map_batches(keyed, batch_format="pyarrow"))
     return bucketed_group_apply(ds, ["lang"], per_bucket,
                                 num_buckets=16).sort("doc_id")

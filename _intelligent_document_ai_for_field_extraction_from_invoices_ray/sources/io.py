@@ -53,3 +53,37 @@ def read_docs_table(uri: str) -> pa.Table:
     if HAVE_LANCE and uri.endswith(".lance"):
         return lance.dataset(uri).to_table()
     return pq.read_table(uri)
+
+
+# ------------------------------------------------------- sized reads
+# Ray's default read planner splits ANY input into ~2x-session-CPUs
+# blocks, so a 200 KiB table becomes 64 near-empty blocks and every
+# downstream all-to-all pays a blocks x partitions task matrix of pure
+# scheduling overhead (measured at sf0.01/32cpu: the asof/range-join
+# queries dropped 3.9 s -> 0.6 s once the read produced 1 block instead
+# of 64).  For SMALL single-file inputs we override the block count to
+# ceil(rows / rows_per_block); large (or multi-file) inputs keep Ray's
+# default policy, which targets DataContext.target_max_block_size and
+# is the right call at 100-TB scale.
+SMALL_FILE_BYTES = 1 << 30
+
+
+def read_parquet_sized(path: str, columns: list[str] | None = None,
+                       rows_per_block: int = 20_000):
+    """``read_parquet`` with a small-input block-count override.
+
+    ``rows_per_block`` is a per-table-kind knob: ~20k for cheap
+    vectorized relational columns, ~1-2k for text/embedding tables whose
+    per-row map work (tokenizing, matmul) needs task parallelism sooner.
+    """
+    import ray.data as rd
+
+    try:
+        if os.path.isfile(path) and os.path.getsize(path) <= SMALL_FILE_BYTES:
+            rows = pq.read_metadata(path).num_rows
+            nb = max(1, min(64, -(-rows // max(1, rows_per_block))))
+            return rd.read_parquet(path, columns=columns,
+                                   override_num_blocks=nb)
+    except Exception:  # pragma: no cover - fall back to the default plan
+        pass
+    return rd.read_parquet(path, columns=columns)

@@ -371,3 +371,23 @@ def test_simhash_identical_corpus_bounded():
     assert len(out) == n * (n - 1) // 2
     assert (out["hamming"] == 0).all()
     assert took < 120, f"degenerate corpus took {took:.0f}s"
+
+
+def test_sets_rescan_flag_identical_output(ray_session, monkeypatch):
+    """GRAFT_SETS_RESCAN=1 trades the memoized/materialized hash-set
+    table for lazy re-scans (zero object-store residency); the pair
+    output must be identical either way."""
+    _no_tensor_casting()
+    base = D.q_jaccard_pairs(SF).to_pandas()
+    monkeypatch.setenv("GRAFT_SETS_RESCAN", "1")
+    D._SETS_CACHE.clear()
+    D._SHINGLE_EDGES_CACHE.clear()
+    try:
+        rescan = D.q_jaccard_pairs(SF).to_pandas()
+    finally:
+        monkeypatch.delenv("GRAFT_SETS_RESCAN")
+        D._SETS_CACHE.clear()
+        D._SHINGLE_EDGES_CACHE.clear()
+    pd.testing.assert_frame_equal(
+        base.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        rescan.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))

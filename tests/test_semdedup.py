@@ -111,3 +111,32 @@ def test_dup_of_wellformed(result, norm_embs):
     for _, r in dropped.iterrows():
         assert by_vec.loc[r.dup_of, "cluster"] == r.cluster
         assert mat[pos[r.vec_id]] @ mat[pos[r.dup_of]] >= S.SEMDEDUP_TAU - 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_hot_cluster_all_equal():
+    """All-identical embeddings put the whole corpus in ONE cluster no
+    matter how k scales — the quantizer-collapse case.  The hot-cluster
+    grid path must engage (no task holds the whole cluster) and the
+    keep-first semantics must still be exact: vec 0 kept, every other
+    vector dup_of == 0."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 6000                      # > SEM_MAX_CLUSTER -> hot path engaged
+    vec = list(np.ones(16) / 4.0)
+    tbl = pa.table({"vec_id": pa.array(list(range(n)), type=pa.int64()),
+                    "embedding": pa.array([vec] * n,
+                                          type=pa.list_(pa.float32()))})
+    d = tempfile.mkdtemp(prefix="sem_hot_")
+    pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+
+    out = S.q_embed_semantic_dedup(d).to_pandas().sort_values("vec_id")
+    assert len(out) == n
+    assert bool(out.keep.iloc[0]) and int(out.dup_of.iloc[0]) == -1
+    rest = out.iloc[1:]
+    assert (~rest.keep).all() and (rest.dup_of.to_numpy() == 0).all()
+    assert out.cluster.nunique() == 1

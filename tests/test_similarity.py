@@ -180,3 +180,31 @@ def test_lsh_ann_hot_bucket_all_equal():
     assert len(out) == n
     want_nn = np.where(out.vec_id.to_numpy() == 0, 1, 0)
     assert (out.nn_id.to_numpy() == want_nn).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_hot_list_all_equal():
+    """All-equal embeddings collapse every vector into ONE inverted list
+    regardless of k — the case adaptive cluster counts cannot fix.  The
+    hot-list path must split the list's members over hash blocks
+    (queries replicated per block, bounded per-task rows) and the
+    per-vec reduce must still produce the exact answer: everyone's NN is
+    the smallest other id."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 3000                      # (1+probes)*n > IVF_MAX_TASK_ROWS
+    vec = list(np.ones(16) / 4.0)
+    tbl = pa.table({"vec_id": pa.array(list(range(n)), type=pa.int64()),
+                    "embedding": pa.array([vec] * n,
+                                          type=pa.list_(pa.float32()))})
+    d = tempfile.mkdtemp(prefix="ivf_hot_")
+    pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+
+    out = S.q_embed_ann_ivf(d).to_pandas()
+    assert len(out) == n
+    want_nn = np.where(out.vec_id.to_numpy() == 0, 1, 0)
+    assert (out.nn_id.to_numpy() == want_nn).all()
