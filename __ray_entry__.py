@@ -321,6 +321,43 @@ def _query_banks() -> list[dict]:
     return banks
 
 
+# Gate insurance: the driver runs queries in dict order and the r03 gate
+# was killed 50 queries in, losing the 13 tail rows.  Enumerate
+# SQL-checked queries first (ascending measured cost at sf0.01, 32 cpus
+# — BENCH/correctness_local_r04a.json), rows-only queries after, so a
+# budget-killed gate truncates the least information.  Cache coupling is
+# respected: shingle_pairs (builds the memoized shingle sets + verified
+# edges) precedes dedup_clusters; minhash_pairs (rows-only tier) reuses
+# the sets from tier 1.  Names missing from this list (future queries)
+# keep registration order at the end.
+_GATE_ORDER = [
+    # --- tier 1: SQL-oracle-checked, cheapest first
+    "top_orders", "fingerprint", "revenue_filter", "sample_docs",
+    "doc_quality", "bpe_tokens", "token_histogram", "distinct_flags",
+    "events_json", "pii_mask", "repetition_stats", "doc_tokens",
+    "stratified_sample", "lang_id", "embed_topk", "events_top3_per_type",
+    "events_value_quantiles", "segment_sales", "pricing_summary",
+    "part_brand_stats", "decontamination", "embed_neardup",
+    "region_customers", "supplier_nation", "token_heavy_hitters",
+    "length_quantiles", "ngram_hotspots", "exact_dedup",
+    "customers_without_orders", "running_spend", "event_followers",
+    "events_hourly", "parts_ordered_large", "tfidf_topk",
+    "priority_revenue", "user_sessions", "asof_latest_order",
+    "shingle_pairs", "dup_passages", "jaccard_pairs",
+    "segment_status_native", "dedup_clusters",
+    # --- tier 2: rows-only (flagship family is additionally smoke-
+    # checked by entry(); the first extract_* entry pays the cached
+    # flagship run)
+    "extract_perf_analysis", "extract_cost_analysis",
+    "extract_confidence_analysis", "extract_spans", "extract_summary",
+    "span_scalars", "extract_error_samples", "extract_cost",
+    "extract_error_buckets", "events_hll_users", "extract_evaluate",
+    "embed_semantic_dedup", "embed_kmeans", "embed_ann_lsh",
+    "embed_ann_ivf", "extract_report", "simhash_pairs", "minhash_pairs",
+    "extract_with_fallback", "media_features", "extract_fields",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {
         "extract_fields": _q_extract_fields,
@@ -341,7 +378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     for bank in _query_banks():
         for name, (fn, _sql) in bank.items():
             out[name] = fn
-    return out
+    ordered = {k: out.pop(k) for k in _GATE_ORDER if k in out}
+    ordered.update(out)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

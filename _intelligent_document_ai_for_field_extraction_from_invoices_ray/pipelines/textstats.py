@@ -5,7 +5,14 @@ a DuckDB oracle.
 
 Integer discipline: ratios are emitted as exactly-reproducible integers
 (``round(1000 * a / b)`` of two int operands → identical double → identical
-round in both engines)."""
+round in both engines).
+
+Whitespace discipline: the ``str.split()``-tokenized queries assume
+ASCII-whitespace corpora — Python splits on Unicode whitespace (NBSP,
+ideographic space) while the DuckDB oracles' RE2 ``\\s`` is ASCII-only,
+so a corpus token containing U+00A0 would tokenize differently across
+engines.  ``q_bpe_tokens`` spells the RE2 class out explicitly and is
+immune; the testdata corpus (and typical OCR output) is ASCII-spaced."""
 
 from __future__ import annotations
 
@@ -519,7 +526,13 @@ ORDER BY n_occurrences DESC, ngram LIMIT 20
 
 
 # ------------------------------------------------------- BPE-ish tokens
-_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+# whitespace is the EXPLICIT RE2 \s class [\t\n\f\r ]: Python's \s is
+# Unicode-aware (NBSP, ideographic space...) while DuckDB's RE2 \s is
+# ASCII-only, so spelling the class out makes both engines tokenize
+# exotic-whitespace text identically (NBSP falls into the symbol-run
+# branch on BOTH sides)
+_BPE_PAT = (r"'s|'t|'re|'ve|'m|'ll|'d"
+            r"| ?[A-Za-z]+| ?[0-9]+| ?[^\t\n\f\r A-Za-z0-9]+|[\t\n\f\r ]+")
 
 
 def q_bpe_tokens(sf_dir: str) -> rd.Dataset:
@@ -527,11 +540,14 @@ def q_bpe_tokens(sf_dir: str) -> rd.Dataset:
     contraction / letter-run / digit-run / symbol-run / whitespace
     alternation) — the LLM-budget view of document length, vs
     ``q_doc_tokens``' whitespace split.  The pattern is deliberately
-    lookahead-free so Python ``re`` and DuckDB's RE2 tokenize
-    identically (verified incl. Devanagari/Gujarati — non-Latin scripts
-    fall into the symbol-run branch, exactly like tiktoken treats bytes
-    outside its letter classes).  One compiled-regex ``map_batches``
-    pass, no shuffle; lazy distributed-sorted Dataset out."""
+    lookahead-free and spells whitespace as the explicit RE2 class
+    [\\t\\n\\f\\r ] so Python ``re`` and DuckDB's RE2 tokenize
+    identically even on Unicode whitespace (verified incl.
+    Devanagari/Gujarati and NBSP — non-Latin scripts and exotic spaces
+    fall into the symbol-run branch on both sides, like tiktoken treats
+    bytes outside its letter classes).  One compiled-regex
+    ``map_batches`` pass, no shuffle; lazy distributed-sorted Dataset
+    out."""
     import re
 
     rx = re.compile(_BPE_PAT)
@@ -598,7 +614,6 @@ def q_token_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     from .grouping import bucketed_group_apply
 
     K_SKETCH, CAND, TOPN = 256, 64, 20
-    SENTINEL = "\x00err"      # tokens come from str.split(): no NUL bytes
     docs = _docs(sf_dir)
 
     # ONE tokenizer for all three passes — the exactness certificate
@@ -612,14 +627,24 @@ def q_token_heavy_hitters(sf_dir: str) -> pd.DataFrame:
                      else (tok for tok in toks if tok in keep))
         return c
 
-    def _frame(pairs) -> pa.Table:
+    def _frame(pairs, dropped: int | None = None) -> pa.Table:
         # explicit Arrow types: an EMPTY pandas partial would infer a
         # float64/null token column and fork the block schema through
-        # the shuffle (the silent-row-loss hazard grouping.py documents)
-        return pa.table({"token": pa.array([t for t, _ in pairs],
-                                           type=pa.string()),
-                         "cnt": pa.array([v for _, v in pairs],
-                                         type=pa.int64())})
+        # the shuffle (the silent-row-loss hazard grouping.py documents).
+        # The dropped-count travels as a TYPED kind=1 row, never as a
+        # magic token — str.split() CAN yield NUL-containing corpus
+        # tokens (\x00 is not whitespace), so a "\x00err" sentinel
+        # would swallow them
+        toks = [t for t, _ in pairs]
+        cnts = [v for _, v in pairs]
+        kinds = [0] * len(pairs)
+        if dropped is not None:
+            toks.append("")          # key is ignored for kind=1 rows
+            cnts.append(dropped)
+            kinds.append(1)
+        return pa.table({"token": pa.array(toks, type=pa.string()),
+                         "cnt": pa.array(cnts, type=pa.int64()),
+                         "kind": pa.array(kinds, type=pa.int8())})
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         top = _count(batch).most_common(K_SKETCH + 1)
@@ -627,12 +652,12 @@ def q_token_heavy_hitters(sf_dir: str) -> pd.DataFrame:
         if len(top) > K_SKETCH:
             dropped = top[-1][1]
             top = top[:K_SKETCH]
-        return _frame(top + [(SENTINEL, dropped)])
+        return _frame(top, dropped)
 
     def sum_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("token", as_index=False)["cnt"].sum()
-        sent = g[g.token == SENTINEL]
-        rest = (g[g.token != SENTINEL]
+        g = df.groupby(["token", "kind"], as_index=False)["cnt"].sum()
+        sent = g[g.kind == 1]
+        rest = (g[g.kind == 0]
                 .sort_values(["cnt", "token"], ascending=[False, True])
                 .head(CAND))
         return pd.concat([rest, sent], ignore_index=True)
@@ -640,8 +665,8 @@ def q_token_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     parts = bucketed_group_apply(
         docs.map_batches(partial, batch_format="pyarrow"),
         ["token"], sum_bucket, num_buckets=16).to_pandas()
-    err = int(parts.loc[parts.token == SENTINEL, "cnt"].sum())
-    lower = (parts[parts.token != SENTINEL]
+    err = int(parts.loc[parts.kind == 1, "cnt"].sum())
+    lower = (parts[parts.kind == 0]
              .sort_values(["cnt", "token"], ascending=[False, True])
              .head(CAND))
     cand = lower["token"].to_numpy()

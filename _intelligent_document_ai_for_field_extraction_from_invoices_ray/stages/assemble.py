@@ -199,8 +199,12 @@ def make_assemble_packed_fn(**kwargs):
         full = pa.concat_tables(tables)
         import pyarrow.compute as pc
         want = pc.sum(group.column("n_docs")).as_py() or 0
-        assert full.num_rows == want, \
-            f"packed exchange integrity: {full.num_rows} rows != {want}"
+        if full.num_rows != want:
+            # explicit raise, not assert: `python -O` compiles asserts
+            # out, and this is the ONLY guard against a truncated or
+            # duplicated blob decode silently corrupting the partition
+            raise RuntimeError(
+                f"packed exchange integrity: {full.num_rows} rows != {want}")
         full = full.append_column(
             "_part", pa.array([part_id] * full.num_rows, type=pa.int32()))
         return inner(full)

@@ -244,10 +244,24 @@ def run_scaling() -> dict:
     for _ in range(reps):
         lo_runs.append(run(lo))
         hi_runs.append(run(hi))
-    r_lo = min(lo_runs, key=lambda r: r["value"])
-    r_hi = min(hi_runs, key=lambda r: r["value"])
+
+    # steal gate: a trial that ran under >2% CPU steal measured a noisy
+    # neighbor, not this engine — exclude it from the min() unless a
+    # level has NO clean trial (then fall back and flag the result)
+    gate = float(os.environ.get("GRAFT_STEAL_GATE", "2.0"))
+
+    def valid(runs):
+        ok = [r for r in runs if (r.get("steal_pct") or 0.0) <= gate]
+        return (ok, False) if ok else (runs, True)
+
+    lo_ok, lo_dirty = valid(lo_runs)
+    hi_ok, hi_dirty = valid(hi_runs)
+    r_lo = min(lo_ok, key=lambda r: r["value"])
+    r_hi = min(hi_ok, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
+        "steal_gate_pct": gate,
+        "steal_contaminated": lo_dirty or hi_dirty,
         "metric": "scaling efficiency (same job, fresh ray sessions, N vs 4N cpus)",
         "cpus_low": lo, "cpus_high": hi,
         "sec_low": r_lo["value"], "sec_high": r_hi["value"],

@@ -44,3 +44,15 @@ def test_auto_join_paths_agree(monkeypatch):
     shuffled = _canon(shuffled.rename(columns={"sk": "k2"})
                       .drop(columns=["k2"]))
     pd.testing.assert_frame_equal(shuffled, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_segment_sales_routes_through_auto_join(monkeypatch):
+    """q_segment_sales joins a SCALING dimension (customer), so it must
+    obey the auto_join guard: with the broadcast limit forced to 0 the
+    bucketed hash-join path must produce the identical aggregate."""
+    sf = "/root/testdata/sf0.001"
+    base = R.q_segment_sales(sf)
+    monkeypatch.setattr(R, "BROADCAST_ROW_LIMIT", 0)
+    shuffled = R.q_segment_sales(sf)
+    pd.testing.assert_frame_equal(base, shuffled)
