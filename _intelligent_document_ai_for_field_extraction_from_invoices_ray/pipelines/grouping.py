@@ -172,3 +172,17 @@ def pair_grid_apply(ds: rd.Dataset, block_col_src: str,
 
     return (ds.map_batches(replicate, batch_format="pyarrow")
             .groupby("_pair").map_groups(apply, batch_format="pyarrow"))
+
+
+def maybe_checkpoint(ds: rd.Dataset) -> rd.Dataset:
+    """``materialize()`` a multi-consumer intermediate — unless
+    ``GRAFT_SETS_RESCAN=1``, which trades the object-store residency for
+    re-executing the (deterministic) upstream lineage once per consumer.
+    Use ONLY where the consumers are order-insensitive (histogram +
+    split paths); checkpoints that pin plan DETERMINISM (verify_pairs'
+    candidate list, the CC round boundaries) must stay unconditional."""
+    import os
+
+    if os.environ.get("GRAFT_SETS_RESCAN", "") == "1":
+        return ds
+    return ds.materialize()

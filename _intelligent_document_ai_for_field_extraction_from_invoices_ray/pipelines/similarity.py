@@ -241,8 +241,9 @@ def q_embed_ann_lsh(sf_dir: str) -> rd.Dataset:
         return (batch.append_column("bucket", pa.array(bucket))
                 .replace_schema_metadata(None))
 
-    keyed = ds.map_batches(bucketize, batch_format="pyarrow",
-                           batch_size=4096).materialize()
+    from .grouping import maybe_checkpoint
+    keyed = maybe_checkpoint(ds.map_batches(bucketize, batch_format="pyarrow",
+                                            batch_size=4096))
 
     # distributed hot-bucket histogram: only hot bucket ids (provably
     # < rows/LSH_MAX_BUCKET) reach the driver
@@ -520,8 +521,9 @@ def q_embed_ann_ivf(sf_dir: str) -> rd.Dataset:
                          "emb": _fsl(np.tile(mat, (1 + nprobe, 1)))}
                         ).replace_schema_metadata(None)
 
-    assigned = _emb(sf_dir).map_batches(assign, batch_format="pyarrow",
-                                        batch_size=1024).materialize()
+    from .grouping import maybe_checkpoint
+    assigned = maybe_checkpoint(_emb(sf_dir).map_batches(
+        assign, batch_format="pyarrow", batch_size=1024))
 
     # distributed hot-list histogram (same shape as the LSH hot-bucket
     # pass): only list ids with count > IVF_MAX_TASK_ROWS reach the
@@ -791,8 +793,9 @@ def q_embed_semantic_dedup(sf_dir: str) -> rd.Dataset:
             return _sem_frame()
         return pd.concat(frames, ignore_index=True)
 
-    assigned = _emb(sf_dir).map_batches(assign, batch_format="pyarrow",
-                                        batch_size=4096).materialize()
+    from .grouping import maybe_checkpoint
+    assigned = maybe_checkpoint(_emb(sf_dir).map_batches(
+        assign, batch_format="pyarrow", batch_size=4096))
 
     # distributed hot-cluster histogram (only ids with count >
     # SEM_MAX_CLUSTER — provably < n/SEM_MAX_CLUSTER — reach the driver)
