@@ -353,7 +353,8 @@ _GATE_ORDER = [
     "span_scalars", "extract_error_samples", "extract_cost",
     "extract_error_buckets", "events_hll_users", "extract_evaluate",
     "embed_semantic_dedup", "embed_kmeans", "embed_ann_lsh",
-    "embed_ann_ivf", "extract_report", "simhash_pairs", "minhash_pairs",
+    "embed_ann_ivf", "embed_ann_ivfpq", "extract_report",
+    "simhash_pairs", "minhash_pairs",
     "extract_with_fallback", "media_features", "extract_fields",
 ]
 

@@ -490,8 +490,6 @@ def q_embed_ann_ivf(sf_dir: str) -> rd.Dataset:
        double-count).
     Cost ∝ n·(probes/lists) of brute force.  Recall is checked by pytest
     (not SQL-expressible)."""
-    from .grouping import bucketed_group_apply
-
     n_rows = _emb_rows(sf_dir)
     k = _n_lists(n_rows)
     cent = _ivf_centroids(_fit_sample(sf_dir, k), k)
@@ -521,9 +519,34 @@ def q_embed_ann_ivf(sf_dir: str) -> rd.Dataset:
                          "emb": _fsl(np.tile(mat, (1 + nprobe, 1)))}
                         ).replace_schema_metadata(None)
 
-    from .grouping import maybe_checkpoint
+    return _ivf_route(sf_dir, assign, _ivf_list_nn, n_rows, k)
+
+
+def _ivf_list_nn(df: pd.DataFrame) -> pd.DataFrame:
+    """Raw-vector per-list kernel: chunked matmul of the list's queries
+    against its members."""
+    mem = df[df.role == 0]
+    qry = df[df.role == 1]
+    if mem.empty or qry.empty:
+        return _nn_empty()
+    return _nn_partial(qry.vec_id.to_numpy().astype(np.int64),
+                       _emb_mat(qry),
+                       mem.vec_id.to_numpy().astype(np.int64),
+                       _emb_mat(mem))
+
+
+def _ivf_route(sf_dir: str, assign, list_kernel, n_rows: int, k: int,
+               batch_size: int = 1024) -> rd.Dataset:
+    """Shared IVF routing skeleton (used by raw-vector IVF and IVF-PQ):
+    assign → hot-list histogram → cold per-list groupby / hot grid fan →
+    sentinel union → per-vec best reduce.  ``assign`` emits one MEMBER
+    row (role 0) and ``nprobe`` QUERY rows (role 1) per vector, keyed by
+    ``list_id``; ``list_kernel(df)`` computes the partial
+    (vec_id, nn_id, sim) bests for ONE list's (or cell's) rows."""
+    from .grouping import bucketed_group_apply, maybe_checkpoint
+
     assigned = maybe_checkpoint(_emb(sf_dir).map_batches(
-        assign, batch_format="pyarrow", batch_size=1024))
+        assign, batch_format="pyarrow", batch_size=batch_size))
 
     # distributed hot-list histogram (same shape as the LSH hot-bucket
     # pass): only list ids with count > IVF_MAX_TASK_ROWS reach the
@@ -545,20 +568,10 @@ def q_embed_ann_ivf(sf_dir: str) -> rd.Dataset:
     hot = (np.sort(hot_df["k"].to_numpy().astype(np.int64))
            if len(hot_df) else np.empty(0, np.int64))
 
-    def list_nn(df: pd.DataFrame) -> pd.DataFrame:
-        mem = df[df.role == 0]
-        qry = df[df.role == 1]
-        if mem.empty or qry.empty:
-            return _nn_empty()
-        return _nn_partial(qry.vec_id.to_numpy().astype(np.int64),
-                           _emb_mat(qry),
-                           mem.vec_id.to_numpy().astype(np.int64),
-                           _emb_mat(mem))
-
     def per_group(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return _nn_empty()
-        return pd.concat([list_nn(g) for _, g in df.groupby("list_id")],
+        return pd.concat([list_kernel(g) for _, g in df.groupby("list_id")],
                          ignore_index=True)
 
     nb_lists = max(16, min(256, k))
@@ -604,7 +617,7 @@ def q_embed_ann_ivf(sf_dir: str) -> rd.Dataset:
             if not len(df):
                 return _nn_empty()
             return pd.concat(
-                [list_nn(g) for _, g in df.groupby(["list_id", "_cell"])],
+                [list_kernel(g) for _, g in df.groupby(["list_id", "_cell"])],
                 ignore_index=True)
 
         hot_nn = bucketed_group_apply(
@@ -633,6 +646,149 @@ def q_embed_ann_ivf(sf_dir: str) -> rd.Dataset:
     return bucketed_group_apply(per_list.union(sent), ["vec_id"],
                                 best_across_lists,
                                 num_buckets=nb_vec).sort("vec_id")
+
+
+# ------------------------------------------------------------ IVF-PQ ANN
+PQ_M = 8                     # subspaces (dim must be divisible)
+PQ_KSUB = 256                # codewords per subspace (codes fit uint8)
+PQ_ITERS = 8
+
+
+def _pq_codebooks(sample: np.ndarray, m: int) -> np.ndarray:
+    """(m, PQ_KSUB, dim/m) product-quantizer codebooks: seeded L2
+    k-means per subspace on the bounded fit sample (driver cost
+    O(sample·ksub), independent of corpus size)."""
+    n, dim = sample.shape
+    dsub = dim // m
+    rng = np.random.RandomState(0x90A)
+    books = np.empty((m, PQ_KSUB, dsub))
+    for j in range(m):
+        sub = sample[:, j * dsub:(j + 1) * dsub]
+        k = min(PQ_KSUB, len(sub))
+        cent = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(PQ_ITERS):
+            # nearest codeword by L2: argmax(2 x·c - |c|²)
+            a = (2 * sub @ cent.T - (cent * cent).sum(1)[None, :]).argmax(1)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, a, sub)
+            cnt = np.bincount(a, minlength=len(cent)).astype(np.float64)
+            nz = cnt > 0
+            cent[nz] = sums[nz] / cnt[nz, None]
+        if k < PQ_KSUB:       # degenerate tiny sample: pad by repetition
+            cent = np.vstack([cent] * (PQ_KSUB // k + 1))[:PQ_KSUB]
+        books[j] = cent
+    return books
+
+
+def _pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes: nearest codeword per subspace."""
+    n, dim = mat.shape
+    m = books.shape[0]
+    dsub = dim // m
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        c = books[j]
+        codes[:, j] = (2 * sub @ c.T
+                       - (c * c).sum(1)[None, :]).argmax(1).astype(np.uint8)
+    return codes
+
+
+def q_embed_ann_ivfpq(sf_dir: str) -> rd.Dataset:
+    """IVF-PQ approximate NN (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search") — the 10^9-vector scale path: inverted
+    lists hold PQ_M-byte codes instead of dim·8-byte vectors, so the
+    resident index is dim·8/PQ_M ≈ 64× smaller and a per-list task's
+    member side is O(|list|·m) bytes.
+
+    Distributed plan: same coarse quantizer + routing skeleton as
+    ``q_embed_ann_ivf`` (adaptive k, hot-list grid split, per-vec
+    reduce); the assign stage PQ-encodes MEMBER rows (list<uint8>, empty
+    emb) and ships QUERY rows raw (list<float64>, empty code) — queries
+    must stay raw for ADC (asymmetric distance computation: the kernel
+    builds each query chunk's (m, 256) inner-product table against the
+    broadcast codebooks and scores members with m table gathers, no
+    decode).  Approximate by BOTH list pruning and quantization ⇒
+    rows-only driver check; recall vs brute force and exactness on a
+    codebook-representable corpus pinned by pytest."""
+    n_rows = _emb_rows(sf_dir)
+    k = _n_lists(n_rows)
+    sample = _fit_sample(sf_dir, k)
+    cent = _ivf_centroids(sample, k)
+    m = PQ_M if sample.shape[1] % PQ_M == 0 else 1
+    refs = ray.put((cent, _pq_codebooks(sample, m)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids, mat = _to_matrix(batch)
+        mat = _normalize(mat)
+        c, books = ray.get(refs)
+        sims_c = mat @ c.T
+        owner = sims_c.argmax(axis=1)
+        nprobe = min(IVF_PROBES, c.shape[0])
+        part = np.argsort(-sims_c, axis=1, kind="stable")[:, :nprobe]
+        n, dim = mat.shape
+        codes = _pq_encode(mat, books)
+        list_id = np.concatenate(
+            [owner] + [part[:, p] for p in range(nprobe)]).astype(np.int64)
+        role = np.concatenate([np.zeros(n, np.int8),
+                               np.ones(n * nprobe, np.int8)])
+        vec_id = np.tile(ids.astype(np.int64), 1 + nprobe)
+        # members: code payload, empty emb; queries: raw emb, empty code
+        # (variable-length lists, so the empty side costs offsets only)
+        code_off = np.concatenate([np.arange(n + 1, dtype=np.int32) * m,
+                                   np.full(n * nprobe, n * m, np.int32)])
+        code_col = pa.ListArray.from_arrays(
+            pa.array(code_off), pa.array(codes.reshape(-1),
+                                         type=pa.uint8()))
+        emb_off = np.concatenate([np.zeros(n + 1, dtype=np.int32),
+                                  np.arange(1, n * nprobe + 1,
+                                            dtype=np.int32) * dim])
+        emb_col = pa.ListArray.from_arrays(
+            pa.array(emb_off),
+            pa.array(np.tile(mat, (nprobe, 1)).reshape(-1),
+                     type=pa.float64()))
+        return pa.table({"list_id": pa.array(list_id),
+                         "role": pa.array(role),
+                         "vec_id": pa.array(vec_id),
+                         "emb": emb_col,
+                         "code": code_col}).replace_schema_metadata(None)
+
+    def list_nn(df: pd.DataFrame) -> pd.DataFrame:
+        mem = df[df.role == 0]
+        qry = df[df.role == 1]
+        if mem.empty or qry.empty:
+            return _nn_empty()
+        _, books = ray.get(refs)
+        mm = books.shape[0]
+        dsub = books.shape[2]
+        mids = mem.vec_id.to_numpy().astype(np.int64)
+        codes = np.stack([np.asarray(c, dtype=np.uint8)
+                          for c in mem.code.to_numpy()])
+        qids = qry.vec_id.to_numpy().astype(np.int64)
+        qmat = _emb_mat(qry)
+        outs = []
+        for s in range(0, len(qids), _NN_CHUNK):
+            e = min(len(qids), s + _NN_CHUNK)
+            # ADC tables: (chunk, m, 256) inner products q_sub · codeword
+            tabs = np.einsum(
+                "qjd,jkd->qjk",
+                qmat[s:e].reshape(e - s, mm, dsub), books)
+            sims = np.zeros((e - s, len(mids)))
+            for j in range(mm):
+                sims += tabs[:, j, codes[:, j]]
+            sims[qids[s:e, None] == mids[None, :]] = -np.inf
+            best = sims.max(axis=1)
+            ok = best > -np.inf
+            if not ok.any():
+                continue
+            nn = np.where(sims[ok] == best[ok][:, None],
+                          mids[None, :], np.iinfo(np.int64).max).min(axis=1)
+            outs.append(pd.DataFrame({
+                "vec_id": qids[s:e][ok], "nn_id": nn.astype(np.int64),
+                "sim": best[ok]}))
+        return (pd.concat(outs, ignore_index=True) if outs else _nn_empty())
+
+    return _ivf_route(sf_dir, assign, list_nn, n_rows, k)
 
 
 # ------------------------------------------------------------ k-means
@@ -889,6 +1045,7 @@ SIM_QUERIES = {
     "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     "embed_ann_lsh": (q_embed_ann_lsh, None),
     "embed_ann_ivf": (q_embed_ann_ivf, None),
+    "embed_ann_ivfpq": (q_embed_ann_ivfpq, None),
     "embed_kmeans": (q_embed_kmeans, None),
     "embed_semantic_dedup": (q_embed_semantic_dedup, None),
 }

@@ -168,6 +168,7 @@ def run_bench() -> dict:
     timed("embed_neardup", similarity.q_embed_neardup)
     timed("embed_ann_lsh", similarity.q_embed_ann_lsh)
     timed("embed_ann_ivf", similarity.q_embed_ann_ivf)
+    timed("embed_ann_ivfpq", similarity.q_embed_ann_ivfpq)
     timed("embed_kmeans", similarity.q_embed_kmeans)
     timed("embed_semantic_dedup", similarity.q_embed_semantic_dedup)
 

@@ -69,3 +69,29 @@ def test_oracle_sql_entries_are_nonempty_select_statements():
     e = importlib.import_module("__ray_entry__")
     for name, sql in e.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_gate_order_covers_every_query():
+    """Every registered query must appear in the cheapest-first gate
+    order (a new query left out of _GATE_ORDER silently runs LAST,
+    which is usually wrong for an SQL-checked query), and the order
+    must not name queries that no longer exist."""
+    import importlib
+
+    e = importlib.import_module("__ray_entry__")
+    qs = set(e.queries())
+    order = e._GATE_ORDER
+    assert len(order) == len(set(order)), "duplicate names in _GATE_ORDER"
+    missing = qs - set(order)
+    assert not missing, f"queries missing from _GATE_ORDER: {sorted(missing)}"
+    stale = set(order) - qs
+    assert not stale, f"_GATE_ORDER names unknown queries: {sorted(stale)}"
+    # SQL-checked queries must enumerate before every rows-only query
+    oracles = set(e.oracle_sql())
+    seen_rows_only = False
+    for name in order:
+        if name in oracles:
+            assert not seen_rows_only, \
+                f"SQL-checked {name!r} enumerates after a rows-only query"
+        else:
+            seen_rows_only = True

@@ -208,3 +208,52 @@ def test_ivf_hot_list_all_equal():
     assert len(out) == n
     want_nn = np.where(out.vec_id.to_numpy() == 0, 1, 0)
     assert (out.nn_id.to_numpy() == want_nn).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivfpq_exact_on_codebook_representable_corpus():
+    """When every vector IS a codeword combination (here: a handful of
+    distinct vectors, so the PQ codebooks reproduce them exactly), the
+    quantization error is zero and IVF-PQ must return the same answer as
+    exact within-probed-lists search: each vector's NN is the nearest
+    distinct vector's smallest id (its own duplicate group first)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    bases = rng.randn(6, 16)
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    n = 600
+    which = np.arange(n) % 6
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array([bases[w].astype(np.float32).tolist()
+                               for w in which], type=pa.list_(pa.float32())),
+    })
+    d = tempfile.mkdtemp(prefix="ivfpq_exact_")
+    pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+
+    out = S.q_embed_ann_ivfpq(d).to_pandas().sort_values("vec_id")
+    assert len(out) == n
+    # duplicates are cosine-1.0: everyone's NN is the smallest OTHER id
+    # of its own base group (ids are assigned round-robin: group g has
+    # ids g, g+6, g+12, ...)
+    vid = out.vec_id.to_numpy()
+    want = np.where(vid < 6, vid + 6, vid % 6)
+    assert (out.nn_id.to_numpy() == want).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivfpq_recall_vs_brute_force():
+    """On the real sf0.001 embeddings, PQ adds quantization error on top
+    of list pruning — recall@1 must still clear a meaningful floor and
+    the result must be deterministic."""
+    truth = _brute_nn()
+    a = S.q_embed_ann_ivfpq(SF).to_pandas()
+    b = S.q_embed_ann_ivfpq(SF).to_pandas()
+    assert a.equals(b)
+    hits = sum(1 for _, r in a.iterrows() if truth.get(r.vec_id) == r.nn_id)
+    assert hits / len(a) >= 0.35, hits / len(a)
