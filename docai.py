@@ -28,7 +28,7 @@ for _sub in ("schema", "oracle",
              "pipelines", "pipelines.extract", "pipelines.summary",
              "pipelines.evaluate", "pipelines.relational", "pipelines.dedup",
              "pipelines.textstats", "pipelines.similarity", "pipelines.media",
-             "pipelines.fallback", "pipelines.grouping",
+             "pipelines.fallback", "pipelines.grouping", "pipelines.report",
              "state", "state.manifest", "run"):
     _mod = importlib.import_module(f"{_PKG}.{_sub}")
     sys.modules[f"docai.{_sub}"] = _mod
