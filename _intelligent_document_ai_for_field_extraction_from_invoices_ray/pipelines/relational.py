@@ -421,6 +421,80 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ------------------------------------------------------------ sliding window
+SLIDE_W = 3600          # window length (s)
+SLIDE_S = 900           # slide step (s) — W/S = 4 windows per event
+
+
+def q_events_sliding(sf_dir: str) -> rd.Dataset:
+    """SLIDING-window aggregate per event type: 1-hour windows sliding
+    every 15 minutes (count + exact-cents sum per (event_type,
+    window_start)).  Completes the window family: tumbling
+    (events_hourly), session (user_sessions), range (event_followers),
+    as-of (asof_latest_order) — this is the overlapping-window shape a
+    streaming engine would maintain incrementally.
+
+    Distributed shape: each event belongs to exactly W/S = 4 windows
+    (window starts are the 4 slide ticks in (t−W, t]), so one
+    ``map_batches`` replicates each row 4× with vectorized numpy (a
+    bounded, shuffle-free expansion — the streaming-window analog of
+    the pair-grid's bounded replication), pre-aggregates within the
+    batch, and ONE bucketed shuffle sums the partials.  Exchange ≤
+    4·rows but ≤ (types × windows-per-batch) after the in-batch
+    combine."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["ts", "event_type", "value"])
+    reps = SLIDE_W // SLIDE_S
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        sec = (df.ts.astype("datetime64[ns]").astype("int64")
+               // 1_000_000_000).to_numpy()
+        v = _cents(df.value)
+        base = sec // SLIDE_S
+        frames = []
+        for i in range(reps):
+            frames.append(pd.DataFrame({
+                "event_type": df.event_type.to_numpy(),
+                "window_start": (base - i) * SLIDE_S,
+                "v": v}))
+        out = pd.concat(frames, ignore_index=True)
+        # in-batch combine: the exchange ships (type, window) partials
+        return out.groupby(["event_type", "window_start"],
+                           as_index=False).agg(n_events=("v", "size"),
+                                               value_cents=("v", "sum"))
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "window_start"],
+                          as_index=False).agg(
+            n_events=("n_events", "sum"),
+            value_cents=("value_cents", "sum"))
+
+    return bucketed_group_apply(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["event_type", "window_start"], agg,
+        num_buckets=16).sort(["event_type", "window_start"])
+
+
+# every event joins the 4 windows whose start lies in (t-W, t]; with
+# W = 4*S those are exactly starts (sec//S - i)*S for i in 0..3
+SQL_EVENTS_SLIDING = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(round(value*100) AS BIGINT) AS v,
+         CAST(floor(epoch(ts)) AS BIGINT) // {SLIDE_S} AS tick
+  FROM events
+), w AS (
+  SELECT event_type, v, (tick - i) * {SLIDE_S} AS window_start
+  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+)
+SELECT event_type, window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(v) AS BIGINT) AS value_cents
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_events_top3_per_type(sf_dir: str) -> pd.DataFrame:
     """Grouped top-k: 3 highest-value events per type.
 
@@ -968,6 +1042,7 @@ QUERIES = {
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "distinct_flags": (q_distinct_flags, SQL_DISTINCT_FLAGS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "events_top3_per_type": (q_events_top3_per_type, SQL_EVENTS_TOP3),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
     "running_spend": (q_running_spend, SQL_RUNNING_SPEND),

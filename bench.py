@@ -143,6 +143,7 @@ def run_bench() -> dict:
     timed("priority_revenue", relational.q_priority_revenue)
     timed("top_orders", relational.q_top_orders)
     timed("events_hourly", relational.q_events_hourly)
+    timed("events_sliding", relational.q_events_sliding)
     timed("running_spend", relational.q_running_spend)
     timed("doc_quality", textstats.q_doc_quality)
     timed("lang_id", textstats.q_lang_id)
