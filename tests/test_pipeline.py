@@ -348,3 +348,27 @@ def test_adversarial_span_content(tmp_path):
     pdf = build_extraction(rd.from_arrow(docs), CFG).to_pandas()
     odf = run_oracle(docs).to_pandas()
     assert_matches_oracle(pdf[odf.columns], odf)
+
+
+def test_read_parquet_sized_block_policy(ray_session, tmp_path):
+    """Small single-file reads must coalesce to ceil(rows/rows_per_block)
+    blocks (Ray's ~2x-CPU default made a 200 KiB table 64 near-empty
+    blocks and every all-to-all paid the task matrix); directories fall
+    back to the default planner."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.sources.io import (
+        read_parquet_sized,
+    )
+
+    f = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"x": list(range(2500))}), f)
+    ds = read_parquet_sized(str(f), rows_per_block=1000)
+    assert ds.materialize().num_blocks() == 3          # ceil(2500/1000)
+    assert ds.count() == 2500
+    # a directory path (multi-file input) keeps Ray's default plan
+    d = tmp_path / "dir"
+    d.mkdir()
+    pq.write_table(pa.table({"x": [1, 2]}), d / "a.parquet")
+    assert read_parquet_sized(str(d)).count() == 2
