@@ -345,15 +345,20 @@ _GATE_ORDER = [
     "priority_revenue", "user_sessions", "asof_latest_order",
     "shingle_pairs", "dup_passages", "jaccard_pairs",
     "segment_status_native", "dedup_clusters",
-    # --- tier 2: rows-only (flagship family is additionally smoke-
-    # checked by entry(); the first extract_* entry pays the cached
-    # flagship run)
+    # --- tier 2: rows-only, ordered by information value (flagship
+    # family is additionally smoke-checked by entry(); the first
+    # extract_* entry pays the cached flagship run).  extract_evaluate
+    # and extract_report — the only rows-only queries validating the
+    # GT-join / eval-metric surface — run right after the cheap
+    # cached-flagship group and BEFORE the ANN family, so a budget-
+    # truncated gate keeps them (r4 verdict item #3)
     "extract_perf_analysis", "extract_cost_analysis",
     "extract_confidence_analysis", "extract_spans", "extract_summary",
+    "extract_evaluate", "extract_report",
     "span_scalars", "extract_error_samples", "extract_cost",
-    "extract_error_buckets", "events_hll_users", "extract_evaluate",
+    "extract_error_buckets", "events_hll_users",
     "embed_semantic_dedup", "embed_kmeans", "embed_ann_lsh",
-    "embed_ann_ivf", "embed_ann_ivfpq", "extract_report",
+    "embed_ann_ivf", "embed_ann_ivfpq",
     "simhash_pairs", "minhash_pairs",
     "extract_with_fallback", "media_features", "extract_fields",
 ]

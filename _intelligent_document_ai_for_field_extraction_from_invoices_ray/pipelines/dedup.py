@@ -102,11 +102,13 @@ COMMON_DF = 0.02           # tokens in ≥2% of sampled docs are "common"
 # per-(sf_dir, kind) memo: the stop-token sample is deterministic for a
 # given input directory, and three queries (jaccard/shingle/clusters)
 # recompute it otherwise
-_COMMON_CACHE: dict[tuple[str, str], frozenset] = {}
+_COMMON_CACHE: dict[tuple, frozenset] = {}
 
 
 def common_hashes_cached(sf_dir: str, kind: str) -> frozenset:
-    key = (sf_dir, kind)
+    # a frozenset holds no object refs, so only the input-mtime part of
+    # the token matters here — but reuse the same key discipline
+    key = (sf_dir, kind, _cache_token(sf_dir))
     if key not in _COMMON_CACHE:
         _COMMON_CACHE[key] = common_hashes(_docs(sf_dir), kind)
     return _COMMON_CACHE[key]
@@ -167,7 +169,7 @@ def common_hashes(docs: rd.Dataset, kind: str = "token") -> frozenset:
 # in the object store for the process lifetime (spill-tolerant); set
 # GRAFT_SETS_RESCAN=1 to trade that residency for re-scans — the table
 # stays LAZY and each consumer re-reads + re-hashes the corpus.
-_SETS_CACHE: dict[tuple[str, str], rd.Dataset] = {}
+_SETS_CACHE: dict[tuple, rd.Dataset] = {}
 
 
 def _rescan_mode() -> bool:
@@ -175,14 +177,33 @@ def _rescan_mode() -> bool:
     return os.environ.get("GRAFT_SETS_RESCAN", "") == "1"
 
 
+def _cache_token(sf_dir: str) -> tuple:
+    """Session+input identity folded into every process-lifetime memo
+    key: a ray.shutdown()/init() cycle in the same process invalidates
+    MaterializedDataset object refs, and parquet files changing under
+    the same path invalidate the contents — both must MISS the cache
+    rather than serve dead refs / stale data (ADVICE r4)."""
+    import os
+
+    import ray
+    job = (ray.get_runtime_context().get_job_id()
+           if ray.is_initialized() else None)
+    try:
+        mtime = os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
+    except OSError:
+        mtime = 0
+    return (job, mtime)
+
+
 def sets_cached(sf_dir: str, kind: str) -> rd.Dataset:
-    key = (sf_dir, kind)
+    key = (sf_dir, kind, _cache_token(sf_dir))
     cached = _SETS_CACHE.get(key)
     if cached is None:
         common = common_hashes_cached(sf_dir, kind)
         cached = hash_sets(_docs(sf_dir), kind, demote=common)
         if not _rescan_mode():
             cached = cached.materialize()
+            _SETS_CACHE.clear()          # one live session/input at a time
             _SETS_CACHE[key] = cached
     return cached
 
@@ -190,16 +211,26 @@ def sets_cached(sf_dir: str, kind: str) -> rd.Dataset:
 # per-sf_dir memo of the VERIFIED shingle-jaccard>=0.8 pair list (with
 # jaccard_milli) — shingle_pairs and dedup_clusters share the same edge
 # set, so the whole prefix-filter + verify plan runs once per process.
-_SHINGLE_EDGES_CACHE: dict[str, rd.Dataset] = {}
+_SHINGLE_EDGES_CACHE: dict[tuple, rd.Dataset] = {}
 
 
 def shingle_edges_cached(sf_dir: str) -> rd.Dataset:
-    cached = _SHINGLE_EDGES_CACHE.get(sf_dir)
+    sets = None
+    if _rescan_mode():
+        # zero-residency mode: hand back the LAZY verify plan, uncached —
+        # each consumer re-runs prefix+verify (verify_pairs' own internal
+        # candidate checkpoint stays unconditional for plan determinism)
+        sets = sets_cached(sf_dir, "shingle")
+        return verify_pairs(prefix_candidates(sets, 4, 5), sets, 4, 5,
+                            emit=_jm)
+    key = (sf_dir, _cache_token(sf_dir))
+    cached = _SHINGLE_EDGES_CACHE.get(key)
     if cached is None:
         sets = sets_cached(sf_dir, "shingle")
         cached = verify_pairs(prefix_candidates(sets, 4, 5), sets, 4, 5,
                               emit=_jm).materialize()
-        _SHINGLE_EDGES_CACHE[sf_dir] = cached
+        _SHINGLE_EDGES_CACHE.clear()
+        _SHINGLE_EDGES_CACHE[key] = cached
     return cached
 
 

@@ -482,7 +482,11 @@ SQL_EVENTS_SLIDING = f"""
 WITH e AS (
   SELECT event_type,
          CAST(round(value*100) AS BIGINT) AS v,
-         CAST(floor(epoch(ts)) AS BIGINT) // {SLIDE_S} AS tick
+         -- floor(x / S), not x // S: DuckDB's // truncates toward zero
+         -- (-7 // 2 = -3) while the engine's numpy path floors
+         -- (-7 // 2 = -4); floor() keeps pre-1970 timestamps in the
+         -- same window on both sides
+         CAST(floor(epoch(ts) / {SLIDE_S}) AS BIGINT) AS tick
   FROM events
 ), w AS (
   SELECT event_type, v, (tick - i) * {SLIDE_S} AS window_start
