@@ -174,6 +174,20 @@ def pair_grid_apply(ds: rd.Dataset, block_col_src: str,
             .groupby("_pair").map_groups(apply, batch_format="pyarrow"))
 
 
+def two_level_combine(ds: rd.Dataset, combine: Callable,
+                      num_blocks: int = 64,
+                      batch_format: str = "pandas") -> rd.Dataset:
+    """Intermediate combine level between per-block partials and a
+    driver-side merge: coalesce the partial blocks to ``num_blocks``
+    and re-apply the (semilattice) ``combine`` per coalesced block, so
+    the rows the driver pulls are bounded by O(num_blocks ×
+    per-partial-bound) regardless of input block count.  A 100-TB read
+    is ~800k blocks; without this level a 10-rows-per-block partial
+    top-k ships ~8M rows to the driver — with it, ≤640."""
+    return ds.repartition(num_blocks).map_batches(
+        combine, batch_format=batch_format)
+
+
 def maybe_checkpoint(ds: rd.Dataset) -> rd.Dataset:
     """``materialize()`` a multi-consumer intermediate — unless
     ``GRAFT_SETS_RESCAN=1``, which trades the object-store residency for

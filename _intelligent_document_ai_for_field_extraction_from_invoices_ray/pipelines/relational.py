@@ -338,9 +338,13 @@ GROUP BY r_name ORDER BY r_name
 # ------------------------------------------------------------ sort / limit
 def q_top_orders(sf_dir: str) -> pd.DataFrame:
     """Global top-10 orders by price.  Top-k is a semilattice: each
-    batch emits its local top-10 and the driver merges the tiny
-    partials (10 rows × blocks) — no all-to-all sort of the table for
-    10 output rows (``sort().limit()`` would shuffle everything)."""
+    batch emits its local top-10, a second combine level re-reduces the
+    partials in ~16 blocks (block-count-independent driver pull — at
+    800k input blocks the driver sees ≤160 rows, not 8M), and the
+    driver merges that — no all-to-all sort of the table for 10 output
+    rows (``sort().limit()`` would shuffle everything)."""
+    from .grouping import two_level_combine
+
     ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def partial_topk(batch: pa.Table) -> pa.Table:
@@ -351,8 +355,13 @@ def q_top_orders(sf_dir: str) -> pd.DataFrame:
         return (out.append_column("price_cents", pa.array(cents[idx]))
                 .drop_columns(["o_totalprice"]).replace_schema_metadata(None))
 
-    parts = (ds.map_batches(partial_topk, batch_format="pyarrow")
-             .to_pandas())
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["price_cents", "o_orderkey"],
+                              ascending=[False, True]).head(10)
+
+    parts = two_level_combine(
+        ds.map_batches(partial_topk, batch_format="pyarrow"),
+        combine, num_blocks=16).to_pandas()
     out = parts.sort_values(["price_cents", "o_orderkey"],
                             ascending=[False, True]).head(10)
     return (out[["o_orderkey", "o_custkey", "price_cents"]]
@@ -369,14 +378,19 @@ FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10
 def q_distinct_flags(sf_dir: str) -> pd.DataFrame:
     """Distinct (returnflag, linestatus) pairs.  Distinct is a
     semilattice: each batch emits its local distinct pairs (≤ |flag ×
-    status| rows) and the driver unions the tiny partials — no shuffle
-    of the full table for a handful of output rows."""
+    status| rows), a second combine level re-dedups the partials in
+    ~16 blocks (driver pull independent of input block count), and the
+    driver unions that — no shuffle of the full table for a handful of
+    output rows."""
+    from .grouping import two_level_combine
+
     ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
 
     def uniq(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()
 
-    out = (ds.map_batches(uniq, batch_format="pandas")
+    out = (two_level_combine(ds.map_batches(uniq, batch_format="pandas"),
+                             uniq, num_blocks=16)
            .to_pandas().drop_duplicates())
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 

@@ -79,8 +79,20 @@ def q_embed_topk(sf_dir: str) -> pd.DataFrame:
                 rows.append((int(qid), int(ids[i]), float(s[i])))
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
 
-    parts = ds.map_batches(partial_topk, batch_format="pyarrow",
-                           batch_size=4096).to_pandas()
+    # second combine level: re-reduce the ≤(Q·K)-row block partials in
+    # ~16 blocks so the driver pull is block-count-independent (at 800k
+    # input blocks: ≤640 rows, not 32M)
+    from .grouping import two_level_combine
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["query_id", "sim", "neighbor_id"],
+                               ascending=[True, False, True])
+                .groupby("query_id", as_index=False).head(TOPK_K))
+
+    parts = two_level_combine(
+        ds.map_batches(partial_topk, batch_format="pyarrow",
+                       batch_size=4096),
+        combine, num_blocks=16).to_pandas()
     out_rows = []
     for qid, g in parts.groupby("query_id"):
         g = g.sort_values(["sim", "neighbor_id"],
