@@ -402,7 +402,7 @@ def _pairs_from_keys(keyed: rd.Dataset, key_col: str,
     contiguous size window (see _windowed_pairs_grouped/_cross);
     without it (LSH band path) all intra-group pairs are generated —
     the grid split equally protects degenerate band buckets."""
-    from .grouping import bucketed_group_apply
+    from .grouping import bucketed_group_apply, hot_keys, split_hot
 
     B = grid_blocks
 
@@ -434,56 +434,20 @@ def _pairs_from_keys(keyed: rd.Dataset, key_col: str,
                          "doc_b": pa.array(res[1], type=t)}
                         ).replace_schema_metadata(None)
 
-    # ---- hot-key detection: per-batch (key, count) partials -> one
-    # bucketed sum + filter(> max_group).  Only HOT keys — provably
-    # < rows/max_group of them — ever reach the driver; the full
-    # distinct-key histogram (vocabulary-sized at corpus scale) stays
-    # distributed.  (Round 2 merged ALL partials driver-side.)
-    keyed = keyed.materialize()
-    # only repeated-in-batch keys can matter: a key with total count
-    # > max_group over NB batches keeps per-batch count >= 2 in all but
-    # < NB of its occurrences, so dropping per-batch singletons
-    # undercounts any key by < NB — a key missed for being marginally
-    # hot just runs inline, its group bounded by max_group + NB.  For
-    # shingle/token keys (mostly unique within a batch) this shrinks the
-    # histogram exchange 10-50x.  Guard: only trim when NB is small
+    # hot-key detection via the shared grouping.hot_keys pass.  The
+    # singleton-trim (min_batch_count=2) applies only when NB is small
     # relative to max_group so the miss bound stays ~2x max_group; at
     # extreme block counts fall back to the exact histogram.
+    keyed = keyed.materialize()
     min_cnt = 2 if keyed.num_blocks() <= max_group else 1
+    hot = hot_keys(keyed, key_col, max_group, min_batch_count=min_cnt)
 
-    def kcount(batch: pa.Table) -> pa.Table:
-        uniq, cnt = np.unique(
-            batch.column(key_col).to_numpy(zero_copy_only=False),
-            return_counts=True)
-        rep = cnt >= min_cnt
-        return pa.table({"k": pa.array(uniq[rep].astype(np.int64)),
-                         "c": pa.array(cnt[rep].astype(np.int64))})
-
-    def hot_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        s = df.groupby("k", as_index=False)["c"].sum()
-        return s.loc[s["c"] > max_group, ["k"]]
-
-    hot_df = bucketed_group_apply(
-        keyed.map_batches(kcount, batch_format="pyarrow"),
-        ["k"], hot_in_bucket, num_buckets=32).to_pandas()
-    hot = frozenset(int(k) for k in hot_df["k"]) if len(hot_df) else frozenset()
-
-    if not hot:
+    if not len(hot):
         pairs = bucketed_group_apply(keyed, [key_col], pairs_in_bucket,
                                      num_buckets=128)
     else:
-        hot_arr = np.fromiter(hot, dtype=np.int64, count=len(hot))
-        hot_arr.sort()
-
-        def split(want_hot: bool):
-            def f(batch: pa.Table) -> pa.Table:
-                mask = np.isin(batch.column(key_col)
-                               .to_numpy(zero_copy_only=False), hot_arr)
-                out = batch.filter(pa.array(mask if want_hot else ~mask))
-                return out.replace_schema_metadata(None)
-            return f
-
-        cold = keyed.map_batches(split(False), batch_format="pyarrow")
+        cold = keyed.map_batches(split_hot(key_col, hot, False),
+                                 batch_format="pyarrow")
         pairs_cold = bucketed_group_apply(cold, [key_col], pairs_in_bucket,
                                           num_buckets=128)
 
@@ -501,7 +465,8 @@ def _pairs_from_keys(keyed: rd.Dataset, key_col: str,
             out = out.append_column("_blk", pa.array(np.concatenate(blks)))
             return out.replace_schema_metadata(None)
 
-        members = (keyed.map_batches(split(True), batch_format="pyarrow")
+        members = (keyed.map_batches(split_hot(key_col, hot, True),
+                                     batch_format="pyarrow")
                    .map_batches(replicate, batch_format="pyarrow"))
 
         def stage2(df: pd.DataFrame) -> pa.Table:

@@ -253,28 +253,13 @@ def q_embed_ann_lsh(sf_dir: str) -> rd.Dataset:
         return (batch.append_column("bucket", pa.array(bucket))
                 .replace_schema_metadata(None))
 
-    from .grouping import maybe_checkpoint
+    from .grouping import hot_keys, maybe_checkpoint, split_hot
     keyed = maybe_checkpoint(ds.map_batches(bucketize, batch_format="pyarrow",
                                             batch_size=4096))
 
     # distributed hot-bucket histogram: only hot bucket ids (provably
     # < rows/LSH_MAX_BUCKET) reach the driver
-    def bcount(batch: pa.Table) -> pa.Table:
-        uniq, cnt = np.unique(
-            batch.column("bucket").to_numpy(zero_copy_only=False),
-            return_counts=True)
-        return pa.table({"k": pa.array(uniq.astype(np.int64)),
-                         "c": pa.array(cnt.astype(np.int64))})
-
-    def hot_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        s = df.groupby("k", as_index=False)["c"].sum()
-        return s.loc[s["c"] > LSH_MAX_BUCKET, ["k"]]
-
-    hot_df = bucketed_group_apply(
-        keyed.map_batches(bcount, batch_format="pyarrow"),
-        ["k"], hot_in_bucket, num_buckets=32).to_pandas()
-    hot = (np.sort(hot_df["k"].to_numpy().astype(np.int64))
-           if len(hot_df) else np.empty(0, np.int64))
+    hot = hot_keys(keyed, "bucket", LSH_MAX_BUCKET)
 
     def cold_kernel(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -286,20 +271,13 @@ def q_embed_ann_lsh(sf_dir: str) -> rd.Dataset:
                                  "nn_id": np.empty(0, np.int64)})
         return pd.concat(outs, ignore_index=True)
 
-    def split(want_hot: bool):
-        def f(batch: pa.Table) -> pa.Table:
-            mask = np.isin(batch.column("bucket")
-                           .to_numpy(zero_copy_only=False), hot)
-            out = batch.filter(pa.array(mask if want_hot else ~mask))
-            return out.replace_schema_metadata(None)
-        return f
-
     if not len(hot):
         return bucketed_group_apply(keyed, ["bucket"], cold_kernel,
                                     num_buckets=64).sort("vec_id")
 
     nn_cold = bucketed_group_apply(
-        keyed.map_batches(split(False), batch_format="pyarrow"),
+        keyed.map_batches(split_hot("bucket", hot, False),
+                          batch_format="pyarrow"),
         ["bucket"], cold_kernel, num_buckets=64)
 
     # hot buckets: block-grid partial NN + per-vec reduce.  The grid key
@@ -363,7 +341,8 @@ def q_embed_ann_lsh(sf_dir: str) -> rd.Dataset:
         return best[["vec_id", "nn_id"]]
 
     partials = pair_grid_apply(
-        keyed.map_batches(split(True), batch_format="pyarrow"),
+        keyed.map_batches(split_hot("bucket", hot, True),
+                          batch_format="pyarrow"),
         "vec_id", grid_kernel, num_blocks=LSH_GRID_BLOCKS)
     nn_hot = bucketed_group_apply(partials, ["vec_id"], reduce_best,
                                   num_buckets=32)
@@ -555,30 +534,20 @@ def _ivf_route(sf_dir: str, assign, list_kernel, n_rows: int, k: int,
     row (role 0) and ``nprobe`` QUERY rows (role 1) per vector, keyed by
     ``list_id``; ``list_kernel(df)`` computes the partial
     (vec_id, nn_id, sim) bests for ONE list's (or cell's) rows."""
-    from .grouping import bucketed_group_apply, maybe_checkpoint
+    from .grouping import (
+        bucketed_group_apply,
+        hot_keys,
+        maybe_checkpoint,
+        split_hot,
+    )
 
     assigned = maybe_checkpoint(_emb(sf_dir).map_batches(
         assign, batch_format="pyarrow", batch_size=batch_size))
 
-    # distributed hot-list histogram (same shape as the LSH hot-bucket
-    # pass): only list ids with count > IVF_MAX_TASK_ROWS reach the
-    # driver — provably < rows·(1+probes)/IVF_MAX_TASK_ROWS of them
-    def lcount(batch: pa.Table) -> pa.Table:
-        uniq, cnt = np.unique(
-            batch.column("list_id").to_numpy(zero_copy_only=False),
-            return_counts=True)
-        return pa.table({"k": pa.array(uniq.astype(np.int64)),
-                         "c": pa.array(cnt.astype(np.int64))})
-
-    def hot_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        s = df.groupby("k", as_index=False)["c"].sum()
-        return s.loc[s["c"] > IVF_MAX_TASK_ROWS, ["k"]]
-
-    hot_df = bucketed_group_apply(
-        assigned.map_batches(lcount, batch_format="pyarrow"),
-        ["k"], hot_in_bucket, num_buckets=32).to_pandas()
-    hot = (np.sort(hot_df["k"].to_numpy().astype(np.int64))
-           if len(hot_df) else np.empty(0, np.int64))
+    # distributed hot-list histogram (shared grouping.hot_keys pass):
+    # only list ids with count > IVF_MAX_TASK_ROWS reach the driver —
+    # provably < rows·(1+probes)/IVF_MAX_TASK_ROWS of them
+    hot = hot_keys(assigned, "list_id", IVF_MAX_TASK_ROWS)
 
     def per_group(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -588,20 +557,13 @@ def _ivf_route(sf_dir: str, assign, list_kernel, n_rows: int, k: int,
 
     nb_lists = max(16, min(256, k))
 
-    def split(want_hot: bool):
-        def f(batch: pa.Table) -> pa.Table:
-            mask = np.isin(batch.column("list_id")
-                           .to_numpy(zero_copy_only=False), hot)
-            out = batch.filter(pa.array(mask if want_hot else ~mask))
-            return out.replace_schema_metadata(None)
-        return f
-
     if not len(hot):
         per_list = bucketed_group_apply(assigned, ["list_id"], per_group,
                                         num_buckets=nb_lists)
     else:
         cold = bucketed_group_apply(
-            assigned.map_batches(split(False), batch_format="pyarrow"),
+            assigned.map_batches(split_hot("list_id", hot, False),
+                                 batch_format="pyarrow"),
             ["list_id"], per_group, num_buckets=nb_lists)
 
         # hot lists: members hash into IVF_GRID_BLOCKS blocks, queries
@@ -633,7 +595,8 @@ def _ivf_route(sf_dir: str, assign, list_kernel, n_rows: int, k: int,
                 ignore_index=True)
 
         hot_nn = bucketed_group_apply(
-            assigned.map_batches(split(True), batch_format="pyarrow")
+            assigned.map_batches(split_hot("list_id", hot, True),
+                                 batch_format="pyarrow")
                     .map_batches(fan_hot, batch_format="pyarrow"),
             ["list_id", "_cell"], per_cell,
             num_buckets=min(512, max(nb_lists, len(hot) * B)))
@@ -961,44 +924,22 @@ def q_embed_semantic_dedup(sf_dir: str) -> rd.Dataset:
             return _sem_frame()
         return pd.concat(frames, ignore_index=True)
 
-    from .grouping import maybe_checkpoint
+    from .grouping import hot_keys, maybe_checkpoint, split_hot
     assigned = maybe_checkpoint(_emb(sf_dir).map_batches(
         assign, batch_format="pyarrow", batch_size=4096))
 
     # distributed hot-cluster histogram (only ids with count >
     # SEM_MAX_CLUSTER — provably < n/SEM_MAX_CLUSTER — reach the driver)
-    def ccount(batch: pa.Table) -> pa.Table:
-        uniq, cnt = np.unique(
-            batch.column("cluster").to_numpy(zero_copy_only=False),
-            return_counts=True)
-        return pa.table({"k": pa.array(uniq.astype(np.int64)),
-                         "c": pa.array(cnt.astype(np.int64))})
-
-    def hot_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        s = df.groupby("k", as_index=False)["c"].sum()
-        return s.loc[s["c"] > SEM_MAX_CLUSTER, ["k"]]
-
-    hot_df = bucketed_group_apply(
-        assigned.map_batches(ccount, batch_format="pyarrow"),
-        ["k"], hot_in_bucket, num_buckets=32).to_pandas()
-    hot = (np.sort(hot_df["k"].to_numpy().astype(np.int64))
-           if len(hot_df) else np.empty(0, np.int64))
+    hot = hot_keys(assigned, "cluster", SEM_MAX_CLUSTER)
 
     nb = max(16, min(256, k))
     if not len(hot):
         return bucketed_group_apply(assigned, ["cluster"], dedup_cluster,
                                     num_buckets=nb).sort("vec_id")
 
-    def split(want_hot: bool):
-        def f(batch: pa.Table) -> pa.Table:
-            mask = np.isin(batch.column("cluster")
-                           .to_numpy(zero_copy_only=False), hot)
-            out = batch.filter(pa.array(mask if want_hot else ~mask))
-            return out.replace_schema_metadata(None)
-        return f
-
     cold = bucketed_group_apply(
-        assigned.map_batches(split(False), batch_format="pyarrow"),
+        assigned.map_batches(split_hot("cluster", hot, False),
+                             batch_format="pyarrow"),
         ["cluster"], dedup_cluster, num_buckets=nb)
 
     # hot clusters: block-pair grid partials.  Each cell emits, per
@@ -1045,7 +986,8 @@ def q_embed_semantic_dedup(sf_dir: str) -> rd.Dataset:
                           dup_of < 0, dup_of)
 
     partials = pair_grid_apply(
-        assigned.map_batches(split(True), batch_format="pyarrow"),
+        assigned.map_batches(split_hot("cluster", hot, True),
+                             batch_format="pyarrow"),
         "vec_id", grid_kernel, num_blocks=SEM_GRID_BLOCKS)
     hot_res = bucketed_group_apply(partials, ["vec_id"], reduce_min,
                                    num_buckets=nb)
