@@ -1,9 +1,15 @@
-"""Multimodal stub stages + low-confidence fallback branch."""
+"""Multimodal real-decode stages + low-confidence fallback branch."""
 
+import hashlib
+
+import numpy as np
 import pytest
 
 import ray.data as rd
 
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions import (
+    rawmedia as rm,
+)
 from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines import (
     fallback as FB,
 )
@@ -32,12 +38,83 @@ def test_payload_synthesis_deterministic():
     assert k1 in M.MEDIA_KINDS and len(p1) >= 256
 
 
-def test_feature_extractor_stub_contract():
+def test_ppm_roundtrip_and_resize():
+    rng = np.random.RandomState(7)
+    pix = rng.randint(0, 256, size=(13, 21, 3)).astype(np.uint8)
+    buf = rm.encode_ppm(pix)
+    assert buf[:2] == b"P6" and rm.sniff_kind(buf) == "image"
+    assert np.array_equal(rm.decode_ppm(buf), pix)
+    # comment lines in the header are legal PPM
+    commented = b"P6\n# made by a test\n21 13\n255\n" + pix.tobytes()
+    assert np.array_equal(rm.decode_ppm(commented), pix)
+    small = rm.resize_nearest(pix, 5, 4)
+    assert small.shape == (4, 5, 3)
+    # nearest-neighbor: every output pixel exists in the input
+    assert small[0, 0] in pix.reshape(-1, 3)
+    same = rm.resize_nearest(pix, 21, 13)
+    assert np.array_equal(same, pix)
+
+
+def test_wav_roundtrip():
+    samples = (np.sin(np.linspace(0, 30, 4000)) * 12000).astype(np.int16)
+    buf = rm.encode_wav(samples, rate=4000)
+    assert rm.sniff_kind(buf) == "audio"
+    rate, back = rm.decode_wav(buf)
+    assert rate == 4000 and np.array_equal(back, samples)
+
+
+def test_vid_container_seek():
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, size=(6, 8, 3)).astype(np.uint8)
+              for _ in range(5)]
+    buf = rm.encode_vid(frames, fps_milli=10_000)
+    assert rm.sniff_kind(buf) == "video"
+    assert rm.vid_info(buf) == (5, 10_000)
+    for i in (0, 2, 4):
+        assert np.array_equal(rm.decode_vid_frame(buf, i), frames[i])
+    with pytest.raises(IndexError):
+        rm.decode_vid_frame(buf, 5)
+
+
+def test_synthesized_metadata_matches_decode():
+    """The typed metadata columns ARE what decoding the payload yields."""
+    seen = set()
+    for i in range(60):
+        kind, payload, meta = M.synthesize_payload(f"m://probe/{i}")
+        seen.add(kind)
+        assert rm.sniff_kind(payload) == kind
+        if kind == "image":
+            pix = rm.decode_ppm(payload)
+            assert pix.shape == (meta["height"], meta["width"], 3)
+        elif kind == "audio":
+            rate, samples = rm.decode_wav(payload)
+            assert len(samples) * 1000 // rate == meta["duration_ms"]
+        else:
+            n, fps_milli = rm.vid_info(payload)
+            f0 = rm.decode_vid_frame(payload, 0)
+            assert f0.shape == (meta["height"], meta["width"], 3)
+            assert n * (1_000_000 // fps_milli) == meta["duration_ms"]
+    assert seen == set(M.MEDIA_KINDS)
+
+
+def test_feature_extractor_contract():
+    # unknown-format fallback: byte histogram
     feats = M.MediaFeatureExtractor._fake_decode(b"\x00\x10\x20\xff")
     assert feats.shape == (16,)
     assert abs(feats.sum() - 1.0) < 1e-9
+    # external compressed codecs remain an honest seam
     with pytest.raises(NotImplementedError):
         M.MediaFeatureExtractor(real_codecs=True)
+    # image features are the exact luma histogram of the decoded pixels
+    _, payload, meta = M.synthesize_payload("m://img-probe/2")  # any ref
+    kind = rm.sniff_kind(payload)
+    feat, w, h, n_frames = M.MediaFeatureExtractor._decode_one(payload)
+    assert abs(feat.sum() - 1.0) < 1e-9
+    if kind == "image":
+        lum = rm.luminance(rm.decode_ppm(payload))
+        want = np.bincount((lum >> 4).ravel(), minlength=16) / lum.size
+        assert np.allclose(feat, want)
+        assert (w, h, n_frames) == (meta["width"], meta["height"], 1)
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -54,6 +131,15 @@ def test_media_pipeline_stages():
     feats = M.build_media_features(ds, concurrency=2, batch_size=64).to_pandas()
     assert len(feats) == len(mdf)
     assert all(len(f) == 16 for f in feats.features)
+    # decoded geometry equals the typed metadata columns, per kind
+    merged = feats.merge(mdf[["media_ref", "width", "height"]],
+                         on="media_ref")
+    vis = merged[merged.media_kind != "audio"]
+    assert (vis.dec_width == vis.width).all()
+    assert (vis.dec_height == vis.height).all()
+    assert (merged[merged.media_kind == "image"].n_frames == 1).all()
+    assert (merged[merged.media_kind == "video"].n_frames >= 2).all()
+    assert (merged[merged.media_kind == "audio"].dec_width == 0).all()
 
     resized = media.map_batches(M.ImageResizer, batch_format="pyarrow",
                                 concurrency=2, batch_size=64).to_pandas()
@@ -61,12 +147,24 @@ def test_media_pipeline_stages():
     assert (img.out_width == 224).all() and (img.resized_digest != "").all()
     nonimg = resized[resized.media_kind != "image"]
     assert (nonimg.out_width == 0).all()
+    # the digest is of the ACTUAL resized raster
+    ref0 = img.iloc[0].media_ref
+    _, payload0, _ = M.synthesize_payload(ref0)
+    want = hashlib.blake2b(
+        rm.resize_nearest(rm.decode_ppm(payload0), 224, 224).tobytes(),
+        digest_size=8).hexdigest()
+    assert img.iloc[0].resized_digest == want
 
     sampled = media.map_batches(M.FrameSampler, batch_format="pyarrow",
                                 concurrency=2, batch_size=64).to_pandas()
-    if len(sampled):
-        assert (sampled.media_kind != "image").all()
-        assert (sampled.sample_ms > 0).all()
+    n_av = (mdf.media_kind != "image").sum()
+    assert len(sampled) == 4 * n_av          # n_samples per audio/video row
+    assert (sampled.media_kind != "image").all()
+    assert (sampled.sample_ms > 0).all()
+    assert sampled.frame_stat_milli.between(0, 1000).all()
+    # synth audio is a loud sine: its RMS stat should be well off zero
+    assert (sampled[sampled.media_kind == "audio"]
+            .frame_stat_milli > 10).any()
 
 
 def test_fallback_trigger_predicate():
