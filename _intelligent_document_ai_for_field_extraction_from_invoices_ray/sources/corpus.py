@@ -198,3 +198,66 @@ def corpus_tables(n_docs: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
     docs = pa.Table.from_pylist(doc_rows, schema=DOC_SCHEMA)
     gt = pa.Table.from_pylist(gt_rows, schema=GROUND_TRUTH_SCHEMA)
     return docs, gt
+
+
+def structured_embeddings(n: int, dim: int = 64, n_clusters: int = 8,
+                          subspaces: int = 8, palette: int = 8,
+                          alpha: float = 0.6, beta: float = 0.8,
+                          noise: float = 0.005, seed: int = 11):
+    """Deterministic STRUCTURED embedding table — the intended-regime ANN
+    recall counterpart to the testdata's i.i.d.-random vectors (on which
+    product quantization has no subspace structure to exploit and recall
+    is provably near its worst case).  Two-level structure of the kind
+    IVF-PQ is built for:
+
+    - a dominant CLUSTER component (``alpha`` · center) so the coarse
+      quantizer recovers the clusters and true NNs co-locate in probed
+      lists (IVF pruning ≈ lossless);
+    - a per-SUBSPACE palette residual: each dim/``subspaces`` slice takes
+      one of ``palette`` codewords (±orthonormal frame columns, scaled
+      ``beta``), so vectors occupy ≤ n_clusters·palette distinct values
+      per subspace — inside the PQ codebook budget ⇒ near-zero
+      quantization error.  Geometric per-subspace weights make every
+      distinct palette-match SET a distinct similarity (unique binary
+      subset sums), so recall@1 is decided by structure, not noise ties;
+    - centers live on frame column 0, palettes on columns 1.. ⇒ centers ⟂
+      residuals exactly and every vector is unit-norm up to ``noise`` —
+      no per-vector norm smear to scatter the codeword clouds;
+    - gaussian ``noise`` keeps the corpus honest (ties broken, clouds
+      have nonzero radius).
+
+    Returns a pyarrow Table (vec_id int64, embedding list<float32>,
+    label int32 = generating cluster) matching embeddings.parquet."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    dsub = dim // subspaces
+    if palette > 2 * (dsub - 1):
+        raise ValueError(f"palette {palette} exceeds ±(dsub-1)={2*(dsub-1)}")
+    weights = np.sqrt(2.0 ** np.arange(subspaces))
+    frames = np.stack([np.linalg.qr(rng.randn(dsub, dsub))[0]
+                       for _ in range(subspaces)])
+    g = rng.randn(n_clusters, subspaces)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    centers = np.zeros((n_clusters, dim))
+    for s in range(subspaces):
+        centers[:, s * dsub:(s + 1) * dsub] = (
+            g[:, s:s + 1] * frames[s][:, 0][None, :])
+    sign = np.where(np.arange(palette) % 2 == 0, 1.0, -1.0)
+    ncols = (palette + 1) // 2
+    pal = np.stack([frames[s][:, 1:1 + ncols].T
+                    .repeat(2, axis=0)[:palette] * sign[:, None]
+                    for s in range(subspaces)])
+    label = rng.randint(0, n_clusters, size=n)
+    choice = rng.randint(0, palette, size=(n, subspaces))
+    resid = pal[np.arange(subspaces)[None, :], choice] * weights[None, :, None]
+    pts = (alpha * centers[label]
+           + beta * resid.reshape(n, dim) / np.sqrt((weights ** 2).sum())
+           + noise * rng.randn(n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([row.astype("float32").tolist() for row in pts],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(label.astype("int32"), type=pa.int32()),
+    })
