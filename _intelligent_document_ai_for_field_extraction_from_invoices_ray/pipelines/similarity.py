@@ -6,9 +6,11 @@
 - **cosine near-dup pairs**: exact all-pairs via the block-pair grid
   (``grouping.pair_grid_apply``) — vectors shuffle into block-pair groups,
   nothing corpus-sized is broadcast or materialized driver-side.
-- **LSH-bucketed ANN**: random-hyperplane signatures → bucket groupby →
-  within-bucket exact search; the sub-linear scale path (recall < 1 by
-  construction → verified by a recall pytest, not a SQL oracle).
+- **LSH-bucketed ANN**: adaptive-width random-hyperplane signatures →
+  multi-probe member/query exchange (own bucket + lowest-margin bit
+  flips) → within-bucket exact scoring → per-vector reduce; the
+  sub-linear scale path (recall < 1 by construction → verified by a
+  recall pytest, not a SQL oracle).
 - **IVF ANN**: sample-fit centroids (broadcast, tiny) → vectors shuffle
   into inverted lists as members + probe-queries → per-list vectorized
   search → per-vector reduce across probed lists.
@@ -185,13 +187,28 @@ ORDER BY vec_a, vec_b
 
 
 # ------------------------------------------------------------ LSH ANN
-NUM_PLANES = 12
-_plane_rng = np.random.RandomState(0xA11CE)
+LSH_TARGET_BUCKET = 1024     # adaptive plane count targets this bucket size
+LSH_MAX_PLANES = 24
+LSH_PROBES = 4               # probes per query: own bucket + lowest-margin
+                             # single-bit flips (multi-probe LSH, Lv et al.
+                             # 2007) — same 1+nprobe exchange shape as IVF
 
 
-def _planes(dim: int) -> np.ndarray:
+def _n_planes(n_rows: int) -> int:
+    """Plane count sized so the EXPECTED bucket holds ~LSH_TARGET_BUCKET
+    vectors (the r4-verdict adaptive-k fix, applied to LSH: a fixed plane
+    count either collapses a 10⁹ corpus into giant buckets or shatters a
+    small one into singletons — measured recall@1 0.03 at 500 vectors
+    under the old fixed 12 planes)."""
+    import math
+    return min(LSH_MAX_PLANES,
+               max(4, math.ceil(math.log2(max(2.0, n_rows
+                                              / LSH_TARGET_BUCKET)))))
+
+
+def _planes(dim: int, nbits: int) -> np.ndarray:
     rng = np.random.RandomState(0xA11CE)
-    return rng.normal(size=(NUM_PLANES, dim))
+    return rng.normal(size=(nbits, dim))
 
 
 LSH_MAX_BUCKET = 2048        # hot-bucket threshold (rows per task bound)
@@ -208,145 +225,149 @@ def _df_matrix(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat
 
 
-def _nn_within(ids: np.ndarray, mat: np.ndarray) -> pd.DataFrame:
-    """Deterministic exact NN inside one bucket: rows sorted by id, sims
-    computed in _NN_CHUNK-row windows (memory O(chunk·k), never k²),
-    ties broken toward the smallest neighbor id."""
-    if len(ids) < 2:
-        return pd.DataFrame({"vec_id": np.empty(0, np.int64),
-                             "nn_id": np.empty(0, np.int64)})
-    order = np.argsort(ids, kind="stable")
-    ids, mat = ids[order], mat[order]
-    nn = np.empty(len(ids), dtype=np.int64)
-    for s in range(0, len(ids), _NN_CHUNK):
-        e = min(len(ids), s + _NN_CHUNK)
-        sims = mat[s:e] @ mat.T
-        sims[np.arange(e - s), np.arange(s, e)] = -2.0   # mask self
-        nn[s:e] = sims.argmax(axis=1)     # first max = smallest id (sorted)
-    return pd.DataFrame({"vec_id": ids, "nn_id": ids[nn]})
+def _lsh_partials_empty() -> pd.DataFrame:
+    return pd.DataFrame({"vec_id": np.empty(0, np.int64),
+                         "nn_id": np.empty(0, np.int64),
+                         "sim": np.empty(0, np.float64)})
+
+
+def _lsh_score(iq: np.ndarray, mq: np.ndarray, im: np.ndarray,
+               mm: np.ndarray, outs: list) -> None:
+    """Chunked query×member cosine partials: best member per query row,
+    self-pairs masked by id, ties toward the smallest member id (members
+    pre-sorted ascending ⇒ argmax's first-max rule)."""
+    om = np.argsort(im, kind="stable")
+    im, mm = im[om], mm[om]
+    for s in range(0, len(iq), _NN_CHUNK):
+        e = min(len(iq), s + _NN_CHUNK)
+        sims = mq[s:e] @ mm.T
+        sims[iq[s:e, None] == im[None, :]] = -2.0
+        j = sims.argmax(axis=1)
+        best = sims[np.arange(e - s), j]
+        keep = best > -1.5                      # drop all-masked rows
+        if keep.any():
+            outs.append(pd.DataFrame({"vec_id": iq[s:e][keep],
+                                      "nn_id": im[j][keep],
+                                      "sim": best[keep]}))
 
 
 def q_embed_ann_lsh(sf_dir: str) -> rd.Dataset:
-    """Approximate NN via random-hyperplane buckets: each vector lands in
-    one of 2^NUM_PLANES buckets; nearest neighbor searched within-bucket.
+    """Multi-probe LSH ANN (random hyperplanes; Lv et al. 2007): the
+    plane count adapts so expected bucket size ≈ LSH_TARGET_BUCKET, each
+    vector ships ONE member row (its own bucket) plus LSH_PROBES query
+    rows (own bucket + the lowest-|margin| single-bit flips — the
+    buckets its true NN most plausibly landed in), and per-bucket
+    chunked-matmul kernels emit (vec_id, nn_id, sim) partials that
+    reduce per vec_id.  Same 1+nprobe exchange shape as the IVF route.
     Sub-linear at scale; recall is checked by pytest, not SQL.
 
-    Scale shape (round 3; was one ``map_groups`` Python call per bucket
-    with an unchunked k×k matmul): cold buckets run through
-    ``bucketed_group_apply`` (64 tasks regardless of bucket count) with a
-    chunked-matmul kernel; buckets larger than LSH_MAX_BUCKET — the
-    low-entropy-embedding collapse case — are split over the
-    ``pair_grid_apply`` block grid into bounded (k/B)² cells whose
-    partial (vec_id, nn_id, sim) results reduce per vec_id (max sim,
-    ties toward the smallest neighbor id), so no single task ever holds
-    a corpus-sized bucket."""
+    Scale shape: cold buckets run through ``bucketed_group_apply`` (64
+    tasks regardless of bucket count); buckets larger than
+    LSH_MAX_BUCKET rows — the low-entropy-embedding collapse case — are
+    split over the ``pair_grid_apply`` block grid into bounded (k/B)²
+    cells, so no single task ever holds a corpus-sized bucket."""
     from .grouping import bucketed_group_apply, pair_grid_apply
 
     ds = _emb(sf_dir)
+    nbits = _n_planes(_emb_rows(sf_dir))
+    probes = min(LSH_PROBES, nbits + 1)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         ids, mat = _to_matrix(batch)
-        planes = _planes(mat.shape[1])
-        bits = (_normalize(mat) @ planes.T) > 0
-        bucket = (bits.astype(np.int64)
-                  * (1 << np.arange(NUM_PLANES))).sum(axis=1)
-        return (batch.append_column("bucket", pa.array(bucket))
-                .replace_schema_metadata(None))
+        mat = _normalize(mat)
+        planes = _planes(mat.shape[1], nbits)
+        proj = mat @ planes.T
+        base = ((proj > 0).astype(np.int64)
+                * (1 << np.arange(nbits))).sum(axis=1)
+        n = len(ids)
+        # query probes: own bucket + (probes-1) lowest-margin bit flips
+        flip = np.argsort(np.abs(proj), axis=1, kind="stable")[:, :probes - 1]
+        qbuckets = [base] + [base ^ (1 << flip[:, p])
+                             for p in range(probes - 1)]
+        bucket = np.concatenate([base] + qbuckets)
+        role = np.concatenate([np.zeros(n, np.int8),
+                               np.ones(n * probes, np.int8)])
+        out = batch.take(pa.array(np.tile(np.arange(n), 1 + probes)))
+        out = out.append_column("bucket", pa.array(bucket))
+        out = out.append_column("role", pa.array(role))
+        return out.replace_schema_metadata(None)
 
     from .grouping import hot_keys, maybe_checkpoint, split_hot
     keyed = maybe_checkpoint(ds.map_batches(bucketize, batch_format="pyarrow",
                                             batch_size=4096))
 
     # distributed hot-bucket histogram: only hot bucket ids (provably
-    # < rows/LSH_MAX_BUCKET) reach the driver
+    # < rows·(1+probes)/LSH_MAX_BUCKET) reach the driver
     hot = hot_keys(keyed, "bucket", LSH_MAX_BUCKET)
 
     def cold_kernel(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
+        outs: list = []
         for _, g in df.groupby("bucket"):
-            ids, mat = _df_matrix(g)
-            outs.append(_nn_within(ids, mat))
+            mem, qry = g[g.role == 0], g[g.role == 1]
+            if mem.empty or qry.empty:
+                continue
+            im, mm = _df_matrix(mem)
+            iq, mq = _df_matrix(qry)
+            _lsh_score(iq, mq, im, mm, outs)
         if not outs:
-            return pd.DataFrame({"vec_id": np.empty(0, np.int64),
-                                 "nn_id": np.empty(0, np.int64)})
+            return _lsh_partials_empty()
         return pd.concat(outs, ignore_index=True)
 
-    if not len(hot):
-        return bucketed_group_apply(keyed, ["bucket"], cold_kernel,
-                                    num_buckets=64).sort("vec_id")
-
-    nn_cold = bucketed_group_apply(
+    cold_partials = bucketed_group_apply(
         keyed.map_batches(split_hot("bucket", hot, False),
-                          batch_format="pyarrow"),
+                          batch_format="pyarrow") if len(hot) else keyed,
         ["bucket"], cold_kernel, num_buckets=64)
+    partial_sets = [cold_partials]
 
-    # hot buckets: block-grid partial NN + per-vec reduce.  The grid key
-    # folds the bucket id in so distinct hot buckets never mix.
-    def grid_kernel(a: pd.DataFrame, b: pd.DataFrame | None) -> pd.DataFrame:
-        cols = {"vec_id": np.empty(0, np.int64),
-                "nn_id": np.empty(0, np.int64),
-                "sim": np.empty(0, np.float64)}
-        outs = []
-        if b is None:
-            for _, g in a.groupby("bucket"):
-                ids, mat = _df_matrix(g)
-                if len(ids) < 2:
-                    continue
-                order = np.argsort(ids, kind="stable")
-                ids, mat = ids[order], mat[order]
-                for s in range(0, len(ids), _NN_CHUNK):
-                    e = min(len(ids), s + _NN_CHUNK)
-                    sims = mat[s:e] @ mat.T
-                    sims[np.arange(e - s), np.arange(s, e)] = -2.0
-                    j = sims.argmax(axis=1)
-                    outs.append(pd.DataFrame({
-                        "vec_id": ids[s:e], "nn_id": ids[j],
-                        "sim": sims[np.arange(e - s), j]}))
-        else:
-            both = {k: (a.loc[a.bucket == k], b.loc[b.bucket == k])
-                    for k in np.intersect1d(a.bucket.unique(),
-                                            b.bucket.unique())}
-            for _, (ga, gb) in both.items():
-                if ga.empty or gb.empty:
-                    continue
-                ia, ma = _df_matrix(ga)
-                ib, mb = _df_matrix(gb)
-                oa = np.argsort(ia, kind="stable")
-                ob = np.argsort(ib, kind="stable")
-                ia, ma, ib, mb = ia[oa], ma[oa], ib[ob], mb[ob]
-                for s in range(0, len(ia), _NN_CHUNK):
-                    e = min(len(ia), s + _NN_CHUNK)
-                    sims = ma[s:e] @ mb.T
-                    j = sims.argmax(axis=1)
-                    outs.append(pd.DataFrame({
-                        "vec_id": ia[s:e], "nn_id": ib[j],
-                        "sim": sims[np.arange(e - s), j]}))
-                for s in range(0, len(ib), _NN_CHUNK):
-                    e = min(len(ib), s + _NN_CHUNK)
-                    sims = mb[s:e] @ ma.T
-                    j = sims.argmax(axis=1)
-                    outs.append(pd.DataFrame({
-                        "vec_id": ib[s:e], "nn_id": ia[j],
-                        "sim": sims[np.arange(e - s), j]}))
-        if not outs:
-            return pd.DataFrame(cols)
-        return pd.concat(outs, ignore_index=True)
+    if len(hot):
+        # hot buckets: block-grid partials — each cell scores one side's
+        # queries against the other side's members (and the diagonal
+        # cell its own), so every (query, member) pair lands in exactly
+        # one cell and per-task rows stay bounded.
+        def grid_kernel(a: pd.DataFrame,
+                        b: pd.DataFrame | None) -> pd.DataFrame:
+            outs: list = []
+            if b is None:
+                for _, g in a.groupby("bucket"):
+                    mem, qry = g[g.role == 0], g[g.role == 1]
+                    if mem.empty or qry.empty:
+                        continue
+                    im, mm = _df_matrix(mem)
+                    iq, mq = _df_matrix(qry)
+                    _lsh_score(iq, mq, im, mm, outs)
+            else:
+                keys = np.intersect1d(a.bucket.unique(), b.bucket.unique())
+                for k in keys:
+                    ga, gb = a.loc[a.bucket == k], b.loc[b.bucket == k]
+                    for gq, gm in ((ga, gb), (gb, ga)):
+                        qry, mem = gq[gq.role == 1], gm[gm.role == 0]
+                        if mem.empty or qry.empty:
+                            continue
+                        im, mm = _df_matrix(mem)
+                        iq, mq = _df_matrix(qry)
+                        _lsh_score(iq, mq, im, mm, outs)
+            if not outs:
+                return _lsh_partials_empty()
+            return pd.concat(outs, ignore_index=True)
+
+        partial_sets.append(pair_grid_apply(
+            keyed.map_batches(split_hot("bucket", hot, True),
+                              batch_format="pyarrow"),
+            "vec_id", grid_kernel, num_blocks=LSH_GRID_BLOCKS))
 
     def reduce_best(df: pd.DataFrame) -> pd.DataFrame:
-        # max sim per vec_id; float ties (duplicate vectors) break
-        # toward the smallest neighbor id for determinism
+        # max sim per vec_id across probed buckets; float ties
+        # (duplicate vectors) break toward the smallest neighbor id
         df = df.sort_values(["vec_id", "sim", "nn_id"],
                             ascending=[True, False, True])
         best = df.drop_duplicates("vec_id")
         return best[["vec_id", "nn_id"]]
 
-    partials = pair_grid_apply(
-        keyed.map_batches(split_hot("bucket", hot, True),
-                          batch_format="pyarrow"),
-        "vec_id", grid_kernel, num_blocks=LSH_GRID_BLOCKS)
-    nn_hot = bucketed_group_apply(partials, ["vec_id"], reduce_best,
-                                  num_buckets=32)
-    return nn_cold.union(nn_hot).sort("vec_id")
+    partials = partial_sets[0]
+    for p in partial_sets[1:]:
+        partials = partials.union(p)
+    return bucketed_group_apply(partials, ["vec_id"], reduce_best,
+                                num_buckets=32).sort("vec_id")
 
 
 

@@ -295,3 +295,9 @@ def test_ann_recall_on_structured_corpus():
     hits = (pq_out.nn_id.to_numpy()
             == np.array([truth[v] for v in pq_out.vec_id])).mean()
     assert hits >= 0.8, f"IVF-PQ recall {hits}"
+
+    lsh = S.q_embed_ann_lsh(d).to_pandas()
+    assert len(lsh) == 3000          # multi-probe: every vector answered
+    hits = (lsh.nn_id.to_numpy()
+            == np.array([truth[v] for v in lsh.vec_id])).mean()
+    assert hits >= 0.7, f"LSH recall {hits}"

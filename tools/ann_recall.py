@@ -85,11 +85,11 @@ def main() -> int:
             **recalls(RANDOM_SF),
         },
         "notes": {
-            "lsh": "single-probe 16-bit signature LSH: recall@1 targets "
-                   "near-duplicate angles (P[same sig] ~ (1-θ/π)^16); at "
-                   "within-cluster θ≈69° it is inherently low — its "
-                   "contract (within-bucket NN, determinism) is pinned "
-                   "separately in pytest",
+            "lsh": "multi-probe LSH (adaptive plane count targeting "
+                   "~1024-vector buckets; own bucket + 3 lowest-margin "
+                   "bit flips per query): every vector is answered; "
+                   "residual misses are NNs whose signatures differ in "
+                   ">1 probed bit",
         },
     }
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH/ann_recall.json"
