@@ -165,7 +165,8 @@ def process_document(doc_id: str,
         return {**base, **_empty_fields_row(), "status": "failed",
                 "error_message": NO_TEXT_ERROR, **timing}
 
-    extracted = F.extract_fields(raw_blocks, dealer_master, model_master)
+    extracted = F.extract_fields(raw_blocks, dealer_master, model_master,
+                                 memo=norm_memo)
     t_extract = perf_counter()
 
     gt_boxes = None
@@ -178,7 +179,7 @@ def process_document(doc_id: str,
     extracted["stamp"] = detection["stamp"]
     t_detect = perf_counter()
 
-    validated = VA.validate_document(extracted, rulebook)
+    validated = VA.validate_document(extracted, rulebook, memo=norm_memo)
     t_validate = perf_counter()
 
     return {

@@ -107,7 +107,8 @@ DEFAULT_RULEBOOK = RuleBook()
 
 
 # ---------------------------------------------------------------- application
-def apply_field_rules(field_data: dict, rules: tuple[Rule, ...], field_name: str) -> None:
+def apply_field_rules(field_data: dict, rules: tuple[Rule, ...], field_name: str,
+                      memo: dict | None = None) -> None:
     value = field_data.get("value")
     if field_name in V.BINARY_FIELDS:
         if not field_data.get("present"):
@@ -116,6 +117,33 @@ def apply_field_rules(field_data: dict, rules: tuple[Rule, ...], field_name: str
     if value is None:
         return
     confidence = field_data.get("confidence", 0.5)
+    # Rule outcomes depend only on `value` (conditions are pure), so the
+    # per-partition memo caches the MULTIPLIER SEQUENCE + issue/boost
+    # names per (field, rules-instance, value) and replays it — sequence,
+    # not product, so the float multiply order (and thus every last bit
+    # of the confidence) is identical to the unmemoized path.  Scalar
+    # values only; BINARY_FIELDS pass the whole dict and skip the memo.
+    key = None
+    if memo is not None and isinstance(value, (str, int, float, bool)):
+        # value.__class__ in the key: True==1 and 5==5.0 hash-equal but a
+        # condition may observe the type (str(value), isinstance checks)
+        key = ("afr", field_name, id(rules), value.__class__, value)
+        hit = memo.get(key)
+        if hit is not None:
+            # hit[0] pins the rules tuple alive so the id in the key can
+            # never be recycled onto a different tuple during memo life
+            _, mults, issues_t, boosts_t = hit
+            for m in mults:
+                confidence *= m
+            field_data["confidence"] = min(
+                max(confidence, V.FIELD_MIN_CONFIDENCE), V.FIELD_MAX_CONFIDENCE)
+            if issues_t:
+                field_data["validation_issues"] = [
+                    {"rule": n, "severity": s} for n, s in issues_t]
+            if boosts_t:
+                field_data["validation_boosts"] = list(boosts_t)
+            return
+    mults: list[float] = []
     issues, boosts = [], []
     for rule in rules:
         try:
@@ -124,10 +152,16 @@ def apply_field_rules(field_data: dict, rules: tuple[Rule, ...], field_name: str
             continue
         if passes and rule.is_boost:
             confidence *= rule.multiplier
+            mults.append(rule.multiplier)
             boosts.append(rule.name)
         elif not passes and not rule.is_boost:
             confidence *= rule.multiplier
+            mults.append(rule.multiplier)
             issues.append({"rule": rule.name, "severity": rule.severity})
+    if key is not None:
+        memo[key] = (rules, tuple(mults),
+                     tuple((i["rule"], i["severity"]) for i in issues),
+                     tuple(boosts))
     field_data["confidence"] = min(max(confidence, V.FIELD_MIN_CONFIDENCE), V.FIELD_MAX_CONFIDENCE)
     if issues:
         field_data["validation_issues"] = issues
@@ -208,11 +242,12 @@ def weighted_overall_confidence(data: dict) -> float:
     return weighted / total if total > 0 else 0.0
 
 
-def validate_document(data: dict, rulebook: RuleBook | None = None) -> dict:
+def validate_document(data: dict, rulebook: RuleBook | None = None,
+                      memo: dict | None = None) -> dict:
     rb = rulebook or DEFAULT_RULEBOOK
     for field_name, rules in rb.rules.items():
         if field_name in data:
-            apply_field_rules(data[field_name], rules, field_name)
+            apply_field_rules(data[field_name], rules, field_name, memo=memo)
     if "model_name" in data and "horse_power" in data:
         cross_validate_model_hp(data)
     if "horse_power" in data and "asset_cost" in data:
