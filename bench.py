@@ -84,6 +84,7 @@ def run_bench() -> dict:
         relational,
         similarity,
         textstats,
+        webextract,
     )
     from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.extract import (
         ExtractConfig,
@@ -171,6 +172,7 @@ def run_bench() -> dict:
     timed("bpe_tokens", textstats.q_bpe_tokens)
     timed("repetition_stats", textstats.q_repetition_stats)
     timed("dup_passages", textstats.q_dup_passages)
+    timed("html_main_text", webextract.q_html_main_text)
     timed("exact_dedup", dedup.q_exact_dedup)
     timed("jaccard_pairs", dedup.q_jaccard_pairs)
     timed("shingle_pairs", dedup.q_shingle_pairs)
