@@ -74,11 +74,15 @@ def content_chunks(text: str) -> list[str]:
 
 
 class _BlockParser(HTMLParser):
-    """One-pass segmentation into (text, link_chars, pruned) blocks."""
+    """One-pass segmentation into an ordered event stream:
+    ``("text", text, link_chars, pruned)`` blocks at block-tag
+    boundaries, ``("media", src, in_link, pruned)`` markers at ``img``
+    tags — the interleaved span sequence the flagship data model keys
+    on."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.blocks: list[tuple[str, int, bool]] = []
+        self.events: list[tuple] = []
         self._parts: list[str] = []
         self._link_chars = 0
         self._pruned = False
@@ -87,13 +91,13 @@ class _BlockParser(HTMLParser):
 
     def _flush(self) -> None:
         if self._parts:
-            self.blocks.append(("".join(self._parts), self._link_chars,
-                                self._pruned))
+            self.events.append(("text", "".join(self._parts),
+                                self._link_chars, self._pruned))
         self._parts = []
         self._link_chars = 0
         self._pruned = self._prune_depth > 0
 
-    def handle_starttag(self, tag, attrs):  # noqa: ARG002
+    def handle_starttag(self, tag, attrs):
         if tag in BLOCK_TAGS:
             self._flush()
         if tag in PRUNE_TAGS:
@@ -101,6 +105,10 @@ class _BlockParser(HTMLParser):
             self._pruned = True
         elif tag == "a":
             self._link_depth += 1
+        elif tag == "img":
+            src = next((v for k, v in attrs if k == "src"), "")
+            self.events.append(("media", src, self._link_depth > 0,
+                                self._prune_depth > 0))
 
     def handle_endtag(self, tag):
         if tag in BLOCK_TAGS:
@@ -125,15 +133,22 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
+def parse_events(page: str) -> list[tuple]:
+    """One parser pass over a page: the ordered text-block / media-marker
+    event stream (see ``_BlockParser``)."""
+    p = _BlockParser()
+    p.feed(page)
+    p.close()
+    return p.events
+
+
 def parse_blocks(page: str) -> list[tuple[str, int, bool]]:
     """Segment an HTML page into (text, link_chars, in_pruned_container)
     blocks in document order.  Entities are decoded; whitespace inside
     text is preserved verbatim (no browser-style collapsing — the
     extractor's output must be byte-exact, not render-equivalent)."""
-    p = _BlockParser()
-    p.feed(page)
-    p.close()
-    return p.blocks
+    return [(t, lc, pr) for kind, t, lc, pr in parse_events(page)
+            if kind == "text"]
 
 
 def is_content(text: str, link_chars: int, pruned: bool) -> bool:
@@ -165,6 +180,27 @@ def extract_main_text(page: str) -> tuple[str, int, int]:
     return "".join(kept), len(kept), n_boiler
 
 
+def extract_spans(page: str) -> list[tuple[str, str, str]]:
+    """The interleaved-span view of a page: ordered (kind, text,
+    media_ref) tuples for the CONTENT spans only — text blocks by the
+    ``is_content`` heuristic; images by the media heuristics (an image
+    inside a pruned container is chrome, an image inside a link is an ad
+    or logo banner — both dropped; a bare image in the content flow is
+    kept).  This is the flagship span model's (kind, text, media_ref,
+    order) invariant recovered from markup instead of OCR."""
+    out: list[tuple[str, str, str]] = []
+    for ev in parse_events(page):
+        if ev[0] == "text":
+            _, text, link_chars, pruned = ev
+            if is_content(text, link_chars, pruned):
+                out.append(("text", text, ""))
+        else:
+            _, src, in_link, pruned = ev
+            if not pruned and not in_link:
+                out.append(("media", "", src))
+    return out
+
+
 # --------------------------------------------------------------- synthesis
 _NAV_ITEMS = ["Home", "Products", "Pricing", "Docs", "Blog", "About",
               "Careers", "Support", "Contact", "Login"]
@@ -179,7 +215,9 @@ def _nav(doc_id: int) -> str:
 
 
 def _header(doc_id: int) -> str:
-    return (f'<header><h1><a href="/">Example Site {doc_id % 7}</a></h1>'
+    # the logo image sits in a pruned container — chrome, not content
+    return (f'<header><img src="img://site{doc_id % 7}/logo" alt="">'
+            f'<h1><a href="/">Example Site {doc_id % 7}</a></h1>'
             f'{_nav(doc_id)}</header>')
 
 
@@ -216,14 +254,23 @@ def _related(doc_id: int) -> str:
 
 
 def _ad(doc_id: int) -> str:
-    return (f'<div class="ad"><p><a href="/buy/{doc_id % 11}">Great '
+    # the banner image is wrapped in the link — the ad heuristic's target
+    return (f'<div class="ad"><p><a href="/buy/{doc_id % 11}">'
+            f'<img src="img://ads/banner{doc_id % 11}" alt="">Great '
             f'deals on plan {doc_id % 11} — Buy now!</a></p></div>')
 
 
-def _article(text: str) -> str:
-    ps = "".join(f"<p>{_html.escape(chunk)}</p>"
-                 for chunk in content_chunks(text))
-    return f"<article>{ps}</article>"
+def _article(doc_id: int, text: str) -> str:
+    """Content chunks as paragraphs with a bare figure image between
+    every pair — the interleaved text+media document: chunk 1, img 1,
+    chunk 2, img 2, ..., chunk k (media_ref img://{doc_id}/{i})."""
+    parts: list[str] = []
+    chunks = content_chunks(text)
+    for i, chunk in enumerate(chunks, start=1):
+        parts.append(f"<p>{_html.escape(chunk)}</p>")
+        if i < len(chunks):
+            parts.append(f'<img src="img://{doc_id}/{i}" alt="">')
+    return f"<article>{''.join(parts)}</article>"
 
 
 def synth_page(doc_id: int, text: str) -> str:
@@ -233,7 +280,7 @@ def synth_page(doc_id: int, text: str) -> str:
     published heuristics target (and the reason they work on real
     pages)."""
     v = doc_id % 4
-    art = _article(text)
+    art = _article(doc_id, text)
     if v == 0:
         body = f"{_header(doc_id)}<main>{art}</main>{_footer(doc_id)}"
     elif v == 1:

@@ -101,6 +101,70 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_html_spans(sf_dir: str) -> rd.Dataset:
+    """Interleaved span recovery through the DOM path: every page yields
+    its ordered (kind, text, media_ref) content-span sequence — text
+    blocks by the density heuristic, figure images kept, logo (pruned
+    header) and ad-banner (inside-link) images dropped.  The flagship's
+    span-sequence invariant, recovered from markup instead of OCR.
+
+    Oracle: the synth places img i after content chunk i, so the whole
+    sequence is closed-form in (text, doc_id) — any dropped figure,
+    kept ad, or mis-ordered span fails the value hash."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, ords, kinds, texts, refs = [], [], [], [], []
+        for d, page in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("page").to_pylist()):
+            for o, (kind, text, ref) in enumerate(W.extract_spans(page)):
+                ids.append(d)
+                ords.append(o)
+                kinds.append(kind)
+                texts.append(text)
+                refs.append(ref)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "ord": pa.array(ords, type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+            "media_ref": pa.array(refs, type=pa.string()),
+        })
+
+    return (synth_pages(_docs(sf_dir))
+            .map_batches(fn, batch_format="pyarrow")
+            .sort(["doc_id", "ord"]))
+
+
+SQL_HTML_SPANS = r"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE greatest(1, (length(text) + 150) // 300) END AS k
+  FROM documents
+), spans AS (
+  SELECT doc_id, text, n, k,
+         unnest(generate_series(1, CASE WHEN k = 0 THEN 0
+                                        ELSE 2*k - 1 END)) AS j
+  FROM base
+)
+SELECT doc_id,
+       CAST(j - 1 AS BIGINT) AS ord,
+       CASE WHEN j % 2 = 1 THEN 'text' ELSE 'media' END AS kind,
+       CASE WHEN j % 2 = 1 THEN
+         substring(text,
+                   CAST(((j+1)//2 - 1) * (n // k)
+                        + least((j+1)//2 - 1, n % k) + 1 AS BIGINT),
+                   CAST(n // k + CASE WHEN (j+1)//2 <= n % k
+                                 THEN 1 ELSE 0 END AS BIGINT))
+       ELSE '' END AS text,
+       CASE WHEN j % 2 = 0
+            THEN 'img://' || doc_id || '/' || CAST(j//2 AS VARCHAR)
+            ELSE '' END AS media_ref
+FROM spans ORDER BY doc_id, ord
+"""
+
+
 WEB_QUERIES = {
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
+    "html_spans": (q_html_spans, SQL_HTML_SPANS),
 }

@@ -108,6 +108,49 @@ def web_sf(tmp_path_factory):
     return str(d)
 
 
+def test_span_extraction_media_heuristics():
+    """Figure images kept; logo (pruned header) and linked ad images
+    dropped — by heuristic, not by any marker on the img itself."""
+    page = (
+        '<html><body>'
+        '<header><img src="img://logo" alt=""><h1>Site</h1></header>'
+        '<article><p>First honest paragraph, long enough to be kept '
+        'by the density classifier for sure.</p>'
+        '<img src="img://fig/1" alt="">'
+        '<p>Second honest paragraph, also long enough to be kept by '
+        'the classifier without question.</p></article>'
+        '<div><p><a href="/buy"><img src="img://ad" alt="">Buy '
+        'now!</a></p></div>'
+        '</body></html>')
+    spans = W.extract_spans(page)
+    assert [s[0] for s in spans] == ["text", "media", "text"]
+    assert spans[1][2] == "img://fig/1"
+    refs = [s[2] for s in spans]
+    assert "img://logo" not in refs and "img://ad" not in refs
+
+
+def test_synth_span_sequence_alternates():
+    text = "z" * 700  # 2 chunks -> text, media, text
+    spans = W.extract_spans(W.synth_page(5, text))
+    assert [s[0] for s in spans] == ["text", "media", "text"]
+    assert spans[1][2] == "img://5/1"
+    assert spans[0][1] + spans[2][1] == text
+
+
+def test_html_spans_matches_oracle(ray_session, web_sf):
+    got = WX.q_html_spans(web_sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{web_sf}/documents.parquet')")
+    exp = con.execute(WX.SQL_HTML_SPANS).df()
+    got = got.reset_index(drop=True)[exp.columns.tolist()]
+    for c in ("ord",):
+        exp[c] = exp[c].astype(np.int64)
+        got[c] = got[c].astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_html_main_text_matches_oracle(ray_session, web_sf):
     got = WX.q_html_main_text(web_sf).to_pandas()
     con = duckdb.connect()
