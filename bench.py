@@ -173,6 +173,7 @@ def run_bench() -> dict:
     timed("repetition_stats", textstats.q_repetition_stats)
     timed("dup_passages", textstats.q_dup_passages)
     timed("html_main_text", webextract.q_html_main_text)
+    timed("html_spans", webextract.q_html_spans)
     timed("exact_dedup", dedup.q_exact_dedup)
     timed("jaccard_pairs", dedup.q_jaccard_pairs)
     timed("shingle_pairs", dedup.q_shingle_pairs)
