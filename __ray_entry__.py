@@ -336,7 +336,8 @@ _GATE_ORDER = [
     "top_orders", "fingerprint", "revenue_filter", "sample_docs",
     "doc_quality", "bpe_tokens", "token_histogram", "distinct_flags",
     "events_json", "pii_mask", "repetition_stats", "doc_tokens",
-    "stratified_sample", "lang_id", "html_main_text", "html_spans",
+    "stratified_sample", "source_quota", "lang_id", "html_main_text",
+    "html_spans",
     "embed_topk", "events_top3_per_type",
     "events_value_quantiles", "segment_sales", "pricing_summary",
     "part_brand_stats", "decontamination", "embed_neardup",

@@ -386,6 +386,58 @@ ORDER BY doc_id
 """
 
 
+QUOTA_CAP = 15       # absolute per-source cap
+
+
+def q_source_quota(sf_dir: str) -> rd.Dataset:
+    """Per-source quota capping — the mixture-control dual of
+    ``q_stratified_sample``: keep at most QUOTA_CAP docs per ``source``
+    (the smallest-md5(doc_id) ones), capping over-represented sources at
+    an absolute budget the way curation stacks rebalance crawl dumps.
+
+    Scale shape: each batch pre-selects its own QUOTA_CAP smallest
+    hashes per source (a semilattice combiner — the cap commutes with
+    union), so the source-bucketed shuffle moves at most
+    cap × sources × blocks partial rows, never the corpus."""
+    from .grouping import bucketed_group_apply
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_pylist()
+        hv = [int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+              for d in ids]
+        df = pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                           "source": batch.column("source").to_pylist(),
+                           "hv": pd.Series(hv, dtype=np.int64)})
+        df = df.sort_values(["hv", "doc_id"])
+        return df.groupby("source", as_index=False, sort=False).head(QUOTA_CAP)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["hv", "doc_id"])
+        out = df.groupby("source", as_index=False, sort=False).head(QUOTA_CAP)
+        return out[["doc_id", "source"]]
+
+    ds = (_docs(sf_dir, columns=("doc_id", "source"))
+          .map_batches(partial, batch_format="pyarrow"))
+    return bucketed_group_apply(ds, ["source"], per_bucket,
+                                num_buckets=16).sort("doc_id")
+
+
+SQL_SOURCE_QUOTA = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, source FROM r
+WHERE rn <= {QUOTA_CAP}
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------ tf-idf
 def q_tfidf_topk(sf_dir: str) -> rd.Dataset:
     """Top-3 distinguishing terms per doc by integer-ratio TF-IDF
@@ -1041,6 +1093,7 @@ TEXT_QUERIES = {
     "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "source_quota": (q_source_quota, SQL_SOURCE_QUOTA),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "ngram_hotspots": (q_ngram_hotspots, SQL_NGRAM_HOTSPOTS),
     "token_heavy_hitters": (q_token_heavy_hitters, SQL_TOKEN_HEAVY_HITTERS),
