@@ -166,6 +166,7 @@ def run_bench() -> dict:
     timed("parts_ordered_large", relational.q_parts_ordered_large)
     timed("length_quantiles", textstats.q_length_quantiles)
     timed("stratified_sample", textstats.q_stratified_sample)
+    timed("source_quota", textstats.q_source_quota)
     timed("tfidf_topk", textstats.q_tfidf_topk)
     timed("ngram_hotspots", textstats.q_ngram_hotspots)
     timed("token_heavy_hitters", textstats.q_token_heavy_hitters)
