@@ -1,0 +1,84 @@
+"""PDF content-stream layout parse (north_rule "PDF/layout parse").
+
+Pins: byte-exact reading-order recovery through the scrambled two-column
+synth, PDF string-escape round-trip, closed-form op/page counts, the
+scramble guarantee (no multi-op page is emitted in reading order), and
+the Ray pipeline end-to-end against the documents table.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+import pytest
+
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions import (
+    pdfparse as P,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("text", [
+    "",
+    "a",
+    "x" * P.LINE_CHARS,
+    "hello (world) \\ back\\slash (nested (parens)) )(",
+    "y" * (P.LINE_CHARS * P.OPS_PER_PAGE * 2 + 37),  # 3 pages
+])
+@pytest.mark.parametrize("doc_id", [0, 4, 7, 11, 9999])
+def test_roundtrip(doc_id: int, text: str) -> None:
+    t, ops, pages = P.parse_pdf(P.synth_pdf(doc_id, text))
+    assert t == text
+    assert ops == P.n_ops_for(len(text))
+    assert pages == P.n_pages_for(len(text))
+
+
+def test_scramble_never_reading_order() -> None:
+    """Every multi-op page must be emitted scrambled — a parser that
+    trusts stream order must fail (this is what makes the geometric sort
+    load-bearing rather than decorative)."""
+    text = "".join(c * P.LINE_CHARS for c in string.ascii_lowercase[:10])
+    op_re = re.compile(r"Tm \(((?:[^()\\]|\\.)*)\) Tj")
+    for doc_id in range(200):
+        raw = op_re.findall(P.synth_pdf(doc_id, text))
+        assert "".join(raw) != text, f"doc {doc_id} emitted in reading order"
+
+
+def test_parser_is_generic_not_synth_coupled() -> None:
+    """The parser sorts by clustered-x column then descending y; it must
+    handle layouts the synth never produces (three columns, negative y,
+    unsorted pages of differing widths)."""
+    pdf = (
+        "stream\n"
+        "1 0 0 1 400 700 Tm (C1) Tj\n"
+        "1 0 0 1 50 650 Tm (A2) Tj\n"
+        "1 0 0 1 200 700 Tm (B1) Tj\n"
+        "1 0 0 1 50 700 Tm (A1) Tj\n"
+        "1 0 0 1 400 -10 Tm (C2) Tj\n"
+        "endstream\n"
+        "stream\n1 0 0 1 72 720 Tm (P2) Tj\nendstream\n"
+    )
+    t, ops, pages = P.parse_pdf(pdf)
+    assert t == "A1A2B1C1C2P2"
+    assert ops == 6
+    assert pages == 2
+
+
+def test_pipeline_end_to_end(ray_session) -> None:
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.pdfextract import (
+        SQL_PDF_LAYOUT_TEXT,
+        q_pdf_layout_text,
+    )
+
+    got = q_pdf_layout_text(SF).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", pq.read_table(f"{SF}/documents.parquet"))
+    want = con.execute(SQL_PDF_LAYOUT_TEXT).df()
+    assert len(got) == len(want) > 0
+    for col in ("doc_id", "pdf_text", "n_text_ops", "n_pages"):
+        assert list(got[col]) == list(want[col]), col
