@@ -338,7 +338,7 @@ _GATE_ORDER = [
     "doc_quality", "bpe_tokens", "token_histogram", "distinct_flags",
     "events_json", "pii_mask", "repetition_stats", "doc_tokens",
     "stratified_sample", "source_quota", "lang_id", "html_main_text",
-    "html_spans", "pdf_layout_text",
+    "html_spans", "pdf_layout_text", "pdf_spans",
     "embed_topk", "events_top3_per_type",
     "events_value_quantiles", "segment_sales", "pricing_summary",
     "part_brand_stats", "decontamination", "embed_neardup",

@@ -108,6 +108,9 @@ def synth_pdf(doc_id: int, text: str) -> str:
 _OP_RE = re.compile(
     r"1 0 0 1 (-?\d+) (-?\d+) Tm \(((?:[^()\\]|\\.)*)\) Tj")
 
+# image XObject invocation (ISO 32000 §8.8/§8.10: q <cm> /Name Do Q)
+_IMG_RE = re.compile(r"q 1 0 0 1 (-?\d+) (-?\d+) cm /(\w+) Do Q")
+
 
 def parse_pdf(pdf: str) -> tuple[str, int, int]:
     """Recover reading-order text from a PDF's page content streams.
@@ -139,3 +142,73 @@ def parse_pdf(pdf: str) -> tuple[str, int, int]:
         ops.sort(key=lambda t: (col_of[t[0]], -t[1], t[0]))
         parts.extend(s for _, _, s in ops)
     return "".join(parts), n_ops, n_pages
+
+
+def synth_pdf_spans(doc_id: int, text: str, chunks: list[str]) -> str:
+    """Interleaved text+media PDF for one document: the span sequence
+    (chunk 0, img 0, chunk 1, img 1, ..., chunk k-1) laid out one
+    element per grid slot, image XObjects between the text runs, ops
+    scrambled per page exactly like ``synth_pdf``.  ``chunks`` is the
+    balanced content-chunk split shared with the HTML synth
+    (webparse.content_chunks) so both crawl formats carry the SAME span
+    model."""
+    elems: list[tuple[str, str]] = []
+    for i, chunk in enumerate(chunks):
+        elems.append(("text", chunk))
+        if i < len(chunks) - 1:
+            # 1-based like the HTML synth's img index (webparse), so both
+            # formats' oracles share the j//2 closed form
+            elems.append(("media", f"Img{i + 1}"))
+    pages: list[list[str]] = []
+    for i, (kind, payload) in enumerate(elems):
+        page, slot = divmod(i, OPS_PER_PAGE)
+        col, line = divmod(slot, LINES_PER_COL)
+        x = COL_XS[col]
+        y = Y_TOP - Y_STEP * line
+        if page == len(pages):
+            pages.append([])
+        if kind == "text":
+            pages[page].append(f"1 0 0 1 {x} {y} Tm ({_escape(payload)}) Tj")
+        else:
+            pages[page].append(f"q 1 0 0 1 {x} {y} cm /{payload} Do Q")
+    out = [f"%PDF-1.4\n% synthetic interleaved doc {doc_id}"]
+    if not pages:
+        pages = [[]]  # media-less empty doc still gets an (empty) page
+    for p, ops in enumerate(pages):
+        m = len(ops)
+        if m > 1:
+            stride = _perm_stride(doc_id + p, m)
+            offset = 1 + (doc_id + p) % (m - 1)
+            ops = [ops[(j * stride + offset) % m] for j in range(m)]
+        body = "\n".join(["BT", "/F1 10 Tf", *ops, "ET"])
+        out.append(f"stream\n{body}\nendstream")
+    out.append("%%EOF")
+    return "\n".join(out)
+
+
+def parse_pdf_spans(pdf: str) -> list[tuple[str, str, str]]:
+    """Recover the ordered (kind, text, xobject_name) span sequence from
+    a PDF's pages: collect text-show AND image-XObject ops with their
+    device coordinates, then read each page column-by-column, top-down —
+    the same geometric recovery as ``parse_pdf``, now over a
+    heterogeneous op stream."""
+    spans: list[tuple[str, str, str]] = []
+    pos = 0
+    while True:
+        start = pdf.find("stream\n", pos)
+        if start < 0:
+            break
+        end = pdf.find("endstream", start)
+        if end < 0:
+            end = len(pdf)
+        page = pdf[start:end]
+        pos = end + 9
+        ops: list[tuple[int, int, str, str, str]] = []
+        for x, y, s in _OP_RE.findall(page):
+            ops.append((int(x), int(y), "text", _unescape(s), ""))
+        for x, y, name in _IMG_RE.findall(page):
+            ops.append((int(x), int(y), "media", "", name))
+        col_of = {x: i for i, x in enumerate(sorted({o[0] for o in ops}))}
+        ops.sort(key=lambda t: (col_of[t[0]], -t[1], t[0]))
+        spans.extend((k, s, ref) for _, _, k, s, ref in ops)
+    return spans

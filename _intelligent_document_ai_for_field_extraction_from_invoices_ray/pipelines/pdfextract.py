@@ -87,6 +87,73 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_pdf_spans(sf_dir: str) -> rd.Dataset:
+    """Interleaved span recovery through the PDF path: synthesised PDFs
+    carry image XObjects between balanced text runs (the SAME chunk
+    model as the HTML synth — webparse.content_chunks), ops scrambled
+    per page; geometric recovery yields the flagship's ordered
+    (kind, text, media_ref) span sequence from the second crawl format.
+
+    Oracle: identical closed form to html_spans (generate_series +
+    balanced-chunk substring math) with the xobj:// ref scheme — any
+    dropped image, mis-ordered run, or chunk-boundary drift fails the
+    value hash."""
+    from ..functions import webparse as W
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, ords, kinds, texts, refs = [], [], [], [], []
+        for d, text in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("text").to_pylist()):
+            pdf = P.synth_pdf_spans(d, text, W.content_chunks(text))
+            for o, (kind, s, name) in enumerate(P.parse_pdf_spans(pdf)):
+                ids.append(d)
+                ords.append(o)
+                kinds.append(kind)
+                texts.append(s)
+                refs.append(f"xobj://{d}/{name[3:]}" if name else "")
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "ord": pa.array(ords, type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+            "media_ref": pa.array(refs, type=pa.string()),
+        })
+
+    return (_docs(sf_dir)
+            .map_batches(fn, batch_format="pyarrow")
+            .sort(["doc_id", "ord"]))
+
+
+SQL_PDF_SPANS = r"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE greatest(1, (length(text) + 150) // 300) END AS k
+  FROM documents
+), spans AS (
+  SELECT doc_id, text, n, k,
+         unnest(generate_series(1, CASE WHEN k = 0 THEN 0
+                                        ELSE 2*k - 1 END)) AS j
+  FROM base
+)
+SELECT doc_id,
+       CAST(j - 1 AS BIGINT) AS ord,
+       CASE WHEN j % 2 = 1 THEN 'text' ELSE 'media' END AS kind,
+       CASE WHEN j % 2 = 1 THEN
+         substring(text,
+                   CAST(((j+1)//2 - 1) * (n // k)
+                        + least((j+1)//2 - 1, n % k) + 1 AS BIGINT),
+                   CAST(n // k + CASE WHEN (j+1)//2 <= n % k
+                                 THEN 1 ELSE 0 END AS BIGINT))
+       ELSE '' END AS text,
+       CASE WHEN j % 2 = 0
+            THEN 'xobj://' || doc_id || '/' || CAST(j//2 AS VARCHAR)
+            ELSE '' END AS media_ref
+FROM spans ORDER BY doc_id, ord
+"""
+
+
 PDF_QUERIES = {
     "pdf_layout_text": (q_pdf_layout_text, SQL_PDF_LAYOUT_TEXT),
+    "pdf_spans": (q_pdf_spans, SQL_PDF_SPANS),
 }

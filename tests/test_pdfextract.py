@@ -66,6 +66,48 @@ def test_parser_is_generic_not_synth_coupled() -> None:
     assert pages == 2
 
 
+@pytest.mark.parametrize("doc_id,text", [
+    (0, ""),
+    (1, "a" * 47),
+    (3, "z" * 558),
+    (7, "(p)\\" * 120),
+    (11, "m" * 50_000),       # multi-page interleave
+])
+def test_spans_roundtrip(doc_id: int, text: str) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions import (
+        webparse as W,
+    )
+
+    chunks = W.content_chunks(text)
+    spans = P.parse_pdf_spans(P.synth_pdf_spans(doc_id, text, chunks))
+    expect = []
+    for i, c in enumerate(chunks):
+        expect.append(("text", c, ""))
+        if i < len(chunks) - 1:
+            expect.append(("media", "", f"Img{i + 1}"))
+    assert spans == expect
+
+
+def test_spans_match_html_spans_invariant(ray_session) -> None:
+    """The SAME (kind, text, order) span sequence must come out of both
+    crawl formats — DOM recovery and geometric PDF recovery agree on
+    every document (media_ref differs only in the ref scheme)."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.pdfextract import (
+        q_pdf_spans,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.webextract import (
+        q_html_spans,
+    )
+
+    pdf = q_pdf_spans(SF).to_pandas()
+    html = q_html_spans(SF).to_pandas()
+    assert len(pdf) == len(html) > 0
+    for col in ("doc_id", "ord", "kind", "text"):
+        assert list(pdf[col]) == list(html[col]), col
+    assert list(pdf["media_ref"].str.replace("xobj://", "img://")) == \
+        list(html["media_ref"])
+
+
 def test_pipeline_end_to_end(ray_session) -> None:
     import duckdb
     import pyarrow.parquet as pq
