@@ -312,7 +312,8 @@ def _query_banks() -> list[dict]:
                            ("dedup", "DEDUP_QUERIES"),
                            ("similarity", "SIM_QUERIES"),
                            ("webextract", "WEB_QUERIES"),
-                           ("pdfextract", "PDF_QUERIES")]:
+                           ("pdfextract", "PDF_QUERIES"),
+                           ("crawl", "CRAWL_QUERIES")]:
         try:
             mod = importlib.import_module(f"{pkg}.{mod_name}")
             banks.append(getattr(mod, attr))
@@ -338,7 +339,8 @@ _GATE_ORDER = [
     "doc_quality", "bpe_tokens", "token_histogram", "distinct_flags",
     "events_json", "pii_mask", "repetition_stats", "doc_tokens",
     "stratified_sample", "source_quota", "lang_id", "html_main_text",
-    "html_spans", "pdf_layout_text", "pdf_spans",
+    "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
+    "domain_stats", "warc_records",
     "embed_topk", "events_top3_per_type",
     "events_value_quantiles", "segment_sales", "pricing_summary",
     "part_brand_stats", "decontamination", "embed_neardup",
