@@ -1,0 +1,163 @@
+"""Distributed PageRank over a deterministic link graph — the canonical
+iterative shuffle algorithm a web-scale engine must run (host-graph
+ranking, crawl prioritization, spam-mass scoring).  No counterpart in
+the invoice reference; scope: the north-star's web-crawl corpus.
+
+Graph: node u (= doc_id, contiguous 0..N-1) links to the distinct
+targets ``(7u + 13j + 1) mod N`` for j in 0..3, self-loops removed —
+out-degree is 3 or 4, never 0 (no dangling mass), and the whole edge
+set is closed-form in (u, N), so edges are derived where needed instead
+of shipped.
+
+EXACT integer arithmetic (the oracle trick): with damping 17/20 and
+degrees in {3, 4}, scaling rank by ``N * 240^k`` makes every term
+integral — r0_num = 1, and
+
+    r_{k+1}_num(v) = 36 * 240^k  +  sum_{u->v} r_k_num(u) * (204 // d(u))
+
+since 204/3 = 68 and 204/4 = 51.  Floating-point summation order (the
+classic distributed-PageRank nondeterminism) never enters; the Ray
+result and the DuckDB oracle agree bit-for-bit.  int64 bound: ranks sum
+to N * 240^k total mass — at 240^3 this holds to N ~ 6e11; a larger
+corpus rebases the scale per iteration (documented limit, not a silent
+overflow: the sum aggregate would raise).
+
+Shape per iteration: ONE map_batches over the rank table (emits
+per-batch pre-aggregated (dst, contrib) partials + a presence row per
+node — the in-batch combiner) -> ONE groupby().sum() shuffle -> a
+stateless base-term add.  Three iterations = three bucketed shuffles
+over (node, int64) pairs only; the documents table is read once for its
+ids and never reshuffled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+DAMP_NUM, DAMP_DEN = 17, 20     # damping 0.85 as an exact rational
+N_ITERS = 3
+_FANOUT_J = np.arange(4)
+
+
+def _targets(nodes: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray,
+                                                 np.ndarray]:
+    """Vectorized edge derivation: returns (src_rep, dst, deg_per_node)
+    for the distinct non-self targets of each node."""
+    dst = (7 * nodes[:, None] + 13 * _FANOUT_J[None, :] + 1) % n
+    keep = dst != nodes[:, None]
+    deg = keep.sum(axis=1)
+    src_rep = np.repeat(nodes, deg)
+    return src_rep, dst[keep], deg
+
+
+def q_pagerank(sf_dir: str) -> rd.Dataset:
+    from ..sources.io import read_parquet_sized
+
+    import pyarrow.parquet as pq
+    import os
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    ranks = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"], rows_per_block=2000)
+
+    def init(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        return pa.table({
+            "node": pa.array(ids.to_numpy(zero_copy_only=False),
+                             type=pa.int64()),
+            "num": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    ranks = ranks.map_batches(init, batch_format="pyarrow")
+
+    for k in range(N_ITERS):
+        base = 36 * (240 ** k)
+
+        def contribs(batch: pa.Table, _base=base) -> pa.Table:
+            nodes = batch.column("node").to_numpy(zero_copy_only=False)
+            nums = batch.column("num").to_numpy(zero_copy_only=False)
+            src_rep, dst, deg = _targets(nodes, n)
+            per_edge = np.repeat(nums * (204 // deg).astype(np.int64),
+                                 deg)
+            # in-batch combiner: collapse to one partial per dst, then
+            # presence rows so in-linkless nodes survive the groupby
+            df = pd.DataFrame({"node": dst, "contrib": per_edge})
+            part = df.groupby("node", as_index=False)["contrib"].sum()
+            pres = pd.DataFrame({"node": nodes,
+                                 "contrib": np.zeros(len(nodes),
+                                                     dtype=np.int64)})
+            out = pd.concat([part, pres], ignore_index=True)
+            return pa.table({
+                "node": pa.array(out["node"].to_numpy(), type=pa.int64()),
+                "contrib": pa.array(out["contrib"].to_numpy(),
+                                    type=pa.int64()),
+            })
+
+        def add_base(batch: pa.Table, _base=base) -> pa.Table:
+            s = batch.column("sum(contrib)").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "node": pa.array(batch.column("node").to_numpy(
+                    zero_copy_only=False), type=pa.int64()),
+                "num": pa.array(s + _base, type=pa.int64()),
+            })
+
+        ranks = (ranks.map_batches(contribs, batch_format="pyarrow")
+                      .groupby("node").sum("contrib")
+                      .map_batches(add_base, batch_format="pyarrow"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("node").to_numpy(zero_copy_only=False)
+        _, _, deg = _targets(nodes, n)
+        return pa.table({
+            "node": pa.array(nodes, type=pa.int64()),
+            "out_degree": pa.array(deg.astype(np.int64)),
+            "rank_scaled": pa.array(batch.column("num").to_numpy(
+                zero_copy_only=False), type=pa.int64()),
+        })
+
+    return ranks.map_batches(finish, batch_format="pyarrow").sort("node")
+
+
+def _pagerank_sql() -> str:
+    """Unrolled 3-iteration exact-integer PageRank (aggregates are not
+    allowed in a recursive CTE's step, so levels unroll)."""
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        ("edges AS (SELECT node AS src, "
+         "(7*node + 13*j.j + 1) % (SELECT c FROM nn) AS dst "
+         "FROM nodes, (SELECT unnest(generate_series(0, 3)) AS j) j "
+         "WHERE (7*node + 13*j.j + 1) % (SELECT c FROM nn) <> node)"),
+        "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1 AS BIGINT) AS num FROM nodes)",
+    ]
+    for k in range(N_ITERS):
+        base = 36 * (240 ** k)
+        parts.append(
+            f"r{k + 1} AS (SELECT n.node, CAST({base} + COALESCE(SUM("
+            f"r{k}.num * (204 // deg.d)), 0) AS BIGINT) AS num "
+            f"FROM nodes n "
+            f"LEFT JOIN edges e ON e.dst = n.node "
+            f"LEFT JOIN deg ON deg.src = e.src "
+            f"LEFT JOIN r{k} ON r{k}.node = e.src "
+            f"GROUP BY n.node)")
+    return (", ".join(parts)
+            + f" SELECT n.node, CAST(deg2.d AS BIGINT) AS out_degree, "
+              f"r{N_ITERS}.num AS rank_scaled "
+              f"FROM nodes n JOIN deg deg2 ON deg2.src = n.node "
+              f"JOIN r{N_ITERS} ON r{N_ITERS}.node = n.node "
+              f"ORDER BY n.node")
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
+GRAPH_QUERIES = {
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+}
