@@ -80,7 +80,11 @@ def run_bench() -> dict:
     import ray.data as rd
 
     from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines import (
+        crawl,
         dedup,
+        graph,
+        indexing,
+        pdfextract,
         relational,
         similarity,
         textstats,
@@ -175,6 +179,13 @@ def run_bench() -> dict:
     timed("dup_passages", textstats.q_dup_passages)
     timed("html_main_text", webextract.q_html_main_text)
     timed("html_spans", webextract.q_html_spans)
+    timed("pdf_layout_text", pdfextract.q_pdf_layout_text)
+    timed("pdf_spans", pdfextract.q_pdf_spans)
+    timed("warc_records", crawl.q_warc_records)
+    timed("url_normalize", crawl.q_url_normalize)
+    timed("domain_stats", crawl.q_domain_stats)
+    timed("pagerank", graph.q_pagerank)
+    timed("inverted_index", indexing.q_inverted_index)
     timed("exact_dedup", dedup.q_exact_dedup)
     timed("jaccard_pairs", dedup.q_jaccard_pairs)
     timed("shingle_pairs", dedup.q_shingle_pairs)
