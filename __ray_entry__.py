@@ -343,6 +343,7 @@ _GATE_ORDER = [
     "stratified_sample", "source_quota", "lang_id", "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "warc_records", "pagerank", "inverted_index",
+    "span_consistency",
     "embed_topk", "events_top3_per_type",
     "events_value_quantiles", "segment_sales", "pricing_summary",
     "part_brand_stats", "decontamination", "embed_neardup",

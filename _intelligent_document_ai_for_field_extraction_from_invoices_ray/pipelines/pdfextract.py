@@ -153,7 +153,108 @@ FROM spans ORDER BY doc_id, ord
 """
 
 
+def compare_span_group(group):
+    """One doc's spans from both paths -> (1, n_spans, mismatch flag)."""
+    import pandas as pd
+
+    h = (group[group["path"] == "html"]
+         .sort_values("ord")[["ord", "kind", "text"]]
+         .reset_index(drop=True))
+    p = (group[group["path"] == "pdf"]
+         .sort_values("ord")[["ord", "kind", "text"]]
+         .reset_index(drop=True))
+    match = len(h) == len(p) and h.equals(p)
+    return pd.DataFrame({
+        "n_docs": [1],
+        "n_spans": [len(h)],
+        "n_mismatched_docs": [0 if match else 1],
+    })
+
+
+def q_span_consistency(sf_dir: str) -> rd.Dataset:
+    """The north-rule span-equality invariant as a driver-gated query:
+    the (kind, text, order) span sequence recovered from the HTML/DOM
+    path and from the PDF/geometry path must agree on EVERY document.
+    Implemented as a bucketed cogroup on doc_id (never a driver-side
+    collect): each group compares its two sequences and emits per-doc
+    match counts; one tiny global fold returns a single row.
+
+    Oracle: closed-form — n_docs documents, sum(2k-1) spans, zero
+    mismatches."""
+    import pandas as pd
+
+    from ..functions import webparse as W
+
+    def html_fn(batch: pa.Table) -> pa.Table:
+        from ..functions import webparse as WW
+        ids, ords, kinds, texts = [], [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            page = WW.synth_page(d, t)
+            for o, (kind, text, _ref) in enumerate(WW.extract_spans(page)):
+                ids.append(d); ords.append(o)
+                kinds.append(kind); texts.append(text)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "ord": pa.array(ords, type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+            "path": pa.array(["html"] * len(ids), type=pa.string()),
+        })
+
+    def pdf_fn(batch: pa.Table) -> pa.Table:
+        ids, ords, kinds, texts = [], [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            pdf = P.synth_pdf_spans(d, t, W.content_chunks(t))
+            for o, (kind, s, _name) in enumerate(P.parse_pdf_spans(pdf)):
+                ids.append(d); ords.append(o)
+                kinds.append(kind); texts.append(s)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "ord": pa.array(ords, type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+            "path": pa.array(["pdf"] * len(ids), type=pa.string()),
+        })
+
+    docs = _docs(sf_dir)
+    both = (docs.map_batches(html_fn, batch_format="pyarrow")
+                .union(docs.map_batches(pdf_fn, batch_format="pyarrow")))
+
+    per = both.groupby("doc_id").map_groups(compare_span_group,
+                                            batch_format="pandas")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "n_docs": pa.array([pc.sum(batch.column("n_docs")).as_py() or 0],
+                               type=pa.int64()),
+            "n_spans": pa.array([pc.sum(batch.column("n_spans")).as_py() or 0],
+                                type=pa.int64()),
+            "n_mismatched_docs": pa.array(
+                [pc.sum(batch.column("n_mismatched_docs")).as_py() or 0],
+                type=pa.int64()),
+        })
+
+    # two-level: per-block partial fold, then one final 1-row fold
+    return (per.map_batches(fold, batch_format="pyarrow")
+               .repartition(1)
+               .map_batches(fold, batch_format="pyarrow"))
+
+
+SQL_SPAN_CONSISTENCY = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN length(text) = 0 THEN 0
+                ELSE 2 * greatest(1, (length(text) + 150) // 300) - 1
+                END) AS BIGINT) AS n_spans,
+       CAST(0 AS BIGINT) AS n_mismatched_docs
+FROM documents
+"""
+
+
 PDF_QUERIES = {
     "pdf_layout_text": (q_pdf_layout_text, SQL_PDF_LAYOUT_TEXT),
     "pdf_spans": (q_pdf_spans, SQL_PDF_SPANS),
+    "span_consistency": (q_span_consistency, SQL_SPAN_CONSISTENCY),
 }

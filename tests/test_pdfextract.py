@@ -108,6 +108,39 @@ def test_spans_match_html_spans_invariant(ray_session) -> None:
         list(html["media_ref"])
 
 
+def test_span_consistency_detects_disagreement(ray_session) -> None:
+    """The consistency fold must actually catch a divergent document —
+    feed the per-doc comparator a group where the two paths disagree."""
+    import pandas as pd
+
+    # reach the per-doc comparator through a synthetic cogroup frame
+    group = pd.DataFrame({
+        "doc_id": [1] * 4,
+        "ord": [0, 1, 0, 1],
+        "kind": ["text", "media", "text", "media"],
+        "text": ["abc", "", "abX", ""],
+        "path": ["html", "html", "pdf", "pdf"],
+    })
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.pdfextract import (
+        compare_span_group,
+        q_span_consistency,
+    )
+
+    assert int(compare_span_group(group)["n_mismatched_docs"].iloc[0]) == 1
+    agree = group.copy()
+    agree.loc[agree["path"] == "pdf", "text"] = ["abc", ""]
+    assert int(compare_span_group(agree)["n_mismatched_docs"].iloc[0]) == 0
+    # a missing span is also a mismatch
+    short = group[:-1]
+    assert int(compare_span_group(short)["n_mismatched_docs"].iloc[0]) == 1
+
+    out = q_span_consistency(SF).to_pandas()
+    assert len(out) == 1
+    assert int(out["n_mismatched_docs"].iloc[0]) == 0
+    assert int(out["n_docs"].iloc[0]) > 0
+    assert int(out["n_spans"].iloc[0]) > int(out["n_docs"].iloc[0])
+
+
 def test_pipeline_end_to_end(ray_session) -> None:
     import duckdb
     import pyarrow.parquet as pq
