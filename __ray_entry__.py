@@ -315,7 +315,8 @@ def _query_banks() -> list[dict]:
                            ("pdfextract", "PDF_QUERIES"),
                            ("crawl", "CRAWL_QUERIES"),
                            ("graph", "GRAPH_QUERIES"),
-                           ("indexing", "INDEX_QUERIES")]:
+                           ("indexing", "INDEX_QUERIES"),
+                           ("lmscore", "LM_QUERIES")]:
         try:
             mod = importlib.import_module(f"{pkg}.{mod_name}")
             banks.append(getattr(mod, attr))
@@ -343,7 +344,7 @@ _GATE_ORDER = [
     "stratified_sample", "source_quota", "lang_id", "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "warc_records", "pagerank", "inverted_index",
-    "span_consistency",
+    "span_consistency", "lm_surprisal",
     "embed_topk", "events_top3_per_type",
     "events_value_quantiles", "segment_sales", "pricing_summary",
     "part_brand_stats", "decontamination", "embed_neardup",
