@@ -316,7 +316,8 @@ def _query_banks() -> list[dict]:
                            ("crawl", "CRAWL_QUERIES"),
                            ("graph", "GRAPH_QUERIES"),
                            ("indexing", "INDEX_QUERIES"),
-                           ("lmscore", "LM_QUERIES")]:
+                           ("lmscore", "LM_QUERIES"),
+                           ("packing", "PACK_QUERIES")]:
         try:
             mod = importlib.import_module(f"{pkg}.{mod_name}")
             banks.append(getattr(mod, attr))
@@ -343,8 +344,9 @@ _GATE_ORDER = [
     "events_json", "pii_mask", "repetition_stats", "doc_tokens",
     "stratified_sample", "source_quota", "lang_id", "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
-    "domain_stats", "warc_records", "pagerank", "inverted_index",
-    "span_consistency", "lm_surprisal",
+    "domain_stats", "warc_records", "pagerank", "anchor_text",
+    "inverted_index",
+    "span_consistency", "lm_surprisal", "lm_tier", "seq_pack",
     "embed_topk", "events_top3_per_type",
     "events_value_quantiles", "segment_sales", "pricing_summary",
     "part_brand_stats", "decontamination", "embed_neardup",

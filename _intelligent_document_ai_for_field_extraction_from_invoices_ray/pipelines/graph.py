@@ -158,6 +158,107 @@ def _pagerank_sql() -> str:
 SQL_PAGERANK = _pagerank_sql()
 
 
+def q_anchor_text(sf_dir: str) -> rd.Dataset:
+    """Anchor-text aggregation — the per-TARGET view of the link graph
+    a search/crawl pipeline builds (inbound-link counts, distinct
+    linking sources, lexicographic anchor extremes for index terms).
+
+    Anchor model: the anchor of edge ``(u, j)`` is source u's text at
+    codepoint window ``[7j, 7j+7)`` (Python slicing and SQL
+    ``substring`` both count codepoints) — closed-form in the row, so
+    anchors are
+    DERIVED inside the batch that holds u, never joined.  Every
+    aggregate is a per-batch combiner: counts and min/max are
+    semilattices, and ``n_src`` (distinct sources) sums exactly because
+    a source u lives in exactly ONE batch — per-batch dedup of (src,
+    dst) is globally exact with no distinct-shuffle.  One combiner pass
+    -> one bucketed (dst, partial) groupby; the documents table is
+    never reshuffled.  Output rows are the targets with >= 1 in-link
+    (matching the SQL GROUP BY over the edge set).
+
+    String order note: anchors are UTF-8; numpy/Python compare code
+    points and DuckDB compares UTF-8 bytes — identical total orders
+    (UTF-8 is order-preserving), so MIN/MAX agree byte-for-byte.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.io import read_parquet_sized
+    from .grouping import bucketed_group_apply
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"],
+                              rows_per_block=2000)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        nodes = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        src_rep, dst, deg = _targets(nodes, n)
+        # j index within each source's kept-edge run
+        j_all = np.tile(_FANOUT_J, len(nodes)).reshape(len(nodes), 4)
+        keep = ((7 * nodes[:, None] + 13 * _FANOUT_J[None, :] + 1) % n
+                != nodes[:, None])
+        j_kept = j_all[keep]
+        pos = {int(node): i for i, node in enumerate(nodes)}
+        anchors = [texts[pos[int(s)]][7 * int(j):7 * int(j) + 7]
+                   for s, j in zip(src_rep, j_kept)]
+        df = pd.DataFrame({"dst": dst, "src": src_rep, "anchor": anchors})
+        agg = df.groupby("dst", as_index=False).agg(
+            n_inlinks=("src", "size"),
+            n_src=("src", "nunique"),   # exact: src unique to this batch
+            min_anchor=("anchor", "min"),
+            max_anchor=("anchor", "max"))
+        return agg
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("dst", as_index=False).agg(
+            n_inlinks=("n_inlinks", "sum"),
+            n_src=("n_src", "sum"),
+            min_anchor=("min_anchor", "min"),
+            max_anchor=("max_anchor", "max"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "dst_id": pa.array(batch.column("dst").to_numpy(
+                zero_copy_only=False), type=pa.int64()),
+            "n_inlinks": pa.array(batch.column("n_inlinks").to_numpy(
+                zero_copy_only=False), type=pa.int64()),
+            "n_src": pa.array(batch.column("n_src").to_numpy(
+                zero_copy_only=False), type=pa.int64()),
+            "min_anchor": batch.column("min_anchor"),
+            "max_anchor": batch.column("max_anchor"),
+        })
+
+    return (bucketed_group_apply(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["dst"], merge, num_buckets=16)
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("dst_id"))
+
+
+SQL_ANCHOR_TEXT = """
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+e AS (
+  SELECT d.doc_id AS src,
+         (7*d.doc_id + 13*j.j + 1) % (SELECT c FROM nn) AS dst,
+         substring(d.text, 7*j.j + 1, 7) AS anchor
+  FROM documents d, (SELECT unnest(generate_series(0, 3)) AS j) j
+  WHERE (7*d.doc_id + 13*j.j + 1) % (SELECT c FROM nn) <> d.doc_id
+)
+SELECT dst AS dst_id,
+       COUNT(*) AS n_inlinks,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src,
+       MIN(anchor) AS min_anchor,
+       MAX(anchor) AS max_anchor
+FROM e GROUP BY dst ORDER BY dst
+"""
+
+
 GRAPH_QUERIES = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "anchor_text": (q_anchor_text, SQL_ANCHOR_TEXT),
 }

@@ -84,6 +84,8 @@ def run_bench() -> dict:
         dedup,
         graph,
         indexing,
+        lmscore,
+        packing,
         pdfextract,
         relational,
         similarity,
@@ -185,7 +187,11 @@ def run_bench() -> dict:
     timed("url_normalize", crawl.q_url_normalize)
     timed("domain_stats", crawl.q_domain_stats)
     timed("pagerank", graph.q_pagerank)
+    timed("anchor_text", graph.q_anchor_text)
     timed("inverted_index", indexing.q_inverted_index)
+    timed("lm_surprisal", lmscore.q_lm_surprisal)
+    timed("lm_tier", lmscore.q_lm_tier)
+    timed("seq_pack", packing.q_seq_pack)
     timed("exact_dedup", dedup.q_exact_dedup)
     timed("jaccard_pairs", dedup.q_jaccard_pairs)
     timed("shingle_pairs", dedup.q_shingle_pairs)

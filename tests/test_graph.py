@@ -52,3 +52,49 @@ def test_targets_closed_form() -> None:
     s2, d2, g2 = G._targets(np.arange(100, 200), n)
     mask = (src >= 100) & (src < 200)
     assert np.array_equal(d2, dst[mask])
+
+
+def test_anchor_text_matches_oracle(ray_session) -> None:
+    import duckdb
+    import pyarrow.parquet as pq
+
+    got = G.q_anchor_text(SF).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", pq.read_table(f"{SF}/documents.parquet"))
+    want = con.execute(G.SQL_ANCHOR_TEXT).df()
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        assert list(got[col]) == list(want[col]), col
+
+
+def test_anchor_text_brute_force(ray_session) -> None:
+    """Aggregates equal a single-process recomputation from the raw
+    edge list (catches combiner mistakes the oracle shares)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy()
+    texts = dict(zip(ids, t.column("text").to_pylist()))
+    n = len(ids)
+    agg: dict[int, list] = collections.defaultdict(
+        lambda: [0, set(), None, None])
+    for u in ids:
+        for j in range(4):
+            v = (7 * int(u) + 13 * j + 1) % n
+            if v == int(u):
+                continue
+            a = texts[int(u)][7 * j:7 * j + 7]
+            e = agg[v]
+            e[0] += 1
+            e[1].add(int(u))
+            e[2] = a if e[2] is None else min(e[2], a)
+            e[3] = a if e[3] is None else max(e[3], a)
+    got = G.q_anchor_text(SF).to_pandas().set_index("dst_id")
+    assert len(got) == len(agg)
+    for v, (cnt, srcs, lo, hi) in agg.items():
+        row = got.loc[v]
+        assert row["n_inlinks"] == cnt
+        assert row["n_src"] == len(srcs)
+        assert row["min_anchor"] == lo and row["max_anchor"] == hi
