@@ -37,6 +37,28 @@ def canonical_url(doc_id: int, source: str, lang: str) -> str:
     return f"https://{host}/{lang}/doc/{doc_id}?a=1&b=2"
 
 
+def robots_rules() -> list[tuple[int, str, bool]]:
+    """Deterministic per-host-number robots.txt rule set, ``(k, path,
+    allow)`` with ``k = doc_id % 13`` (the host-number in the synthetic
+    URL scheme).  Every host gets an explicit root rule so every URL has
+    at least one match; within any one URL's matching set the rule
+    LENGTHS are distinct by construction (a URL path starts with exactly
+    one language segment), so RFC 9309 longest-match needs no
+    allow-wins tie-break here.  The same list renders both the engine's
+    broadcast table and the SQL oracle's VALUES clause."""
+    rules: list[tuple[int, str, bool]] = []
+    for k in range(13):
+        rules.append((k, "/", k % 5 != 0))            # blanket policy
+        rules.append((k, "/en/", k % 2 == 0))         # language carve-out
+        if k % 3 == 0:
+            rules.append((k, "/de/doc/", False))      # section block
+        if k % 4 == 1:
+            rules.append((k, "/zh/", False))
+        if k % 4 == 2:
+            rules.append((k, "/en/doc/1", False))     # id-prefix block
+    return rules
+
+
 def registered_domain(host: str) -> str:
     """Effective registrable domain — last two labels (the public-suffix
     list is a data file, not an algorithm; two-label suffices for the

@@ -175,8 +175,83 @@ FROM documents GROUP BY 1 ORDER BY domain
 """
 
 
+def q_robots_filter(sf_dir: str) -> rd.Dataset:
+    """RFC 9309 robots.txt evaluation: per-URL crawl-allow decision by
+    LONGEST-matching path prefix over the host's rule set (the decision
+    every fetcher makes before touching a page).
+
+    Scale shape: the rule table is host-number-keyed and tiny (≤ 52
+    rows from :func:`functions.crawl.robots_rules` — real robots corpora
+    are host-bounded, not corpus-bounded), so it broadcasts by closure
+    into ONE stateless ``map_batches`` — no join, no shuffle.  Matching
+    is vectorized per rule: for each of the ≤4 rules of a host bucket,
+    one numpy ``startswith`` over the bucket's paths, keeping the
+    longest hit (lengths are distinct within any URL's matching set, so
+    no tie-break is exercised)."""
+    import numpy as np
+
+    rules_by_k: dict[int, list[tuple[str, bool]]] = {}
+    for k, path, allow in C.robots_rules():
+        rules_by_k.setdefault(k, []).append((path, allow))
+    for v in rules_by_k.values():           # longest first: first hit wins
+        v.sort(key=lambda r: -len(r[0]))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        langs = batch.column("lang").to_pylist()
+        paths = np.array([f"/{lg}/doc/{d}" for lg, d in zip(langs, ids)])
+        ks = ids % 13
+        allowed = np.zeros(len(ids), dtype=bool)
+        matched = np.empty(len(ids), dtype=object)
+        for k in np.unique(ks):
+            in_k = ks == k
+            undecided = in_k.copy()
+            for path, allow in rules_by_k[int(k)]:
+                hit = undecided & np.char.startswith(
+                    paths.astype(str), path)
+                allowed[hit] = allow
+                matched[hit] = path
+                undecided &= ~hit
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "path": pa.array(paths.tolist(), type=pa.string()),
+            "allowed": pa.array(allowed.tolist(), type=pa.bool_()),
+            "matched_rule": pa.array(matched.tolist(), type=pa.string()),
+        })
+
+    return (_docs(sf_dir, ["doc_id", "lang"])
+            .map_batches(fn, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+def _robots_sql() -> str:
+    vals = ", ".join(f"({k}, '{p}', {str(a).upper()})"
+                     for k, p, a in C.robots_rules())
+    return f"""
+WITH rules(k, rpath, allow) AS (VALUES {vals}),
+u AS (
+  SELECT doc_id, doc_id % 13 AS k,
+         '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+), m AS (
+  SELECT u.doc_id, u.path, r.allow, r.rpath,
+         ROW_NUMBER() OVER (PARTITION BY u.doc_id
+                            ORDER BY length(r.rpath) DESC) AS rn
+  FROM u JOIN rules r
+    ON u.k = r.k AND u.path LIKE r.rpath || '%'
+)
+SELECT doc_id, path, allow AS allowed, rpath AS matched_rule
+FROM m WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+SQL_ROBOTS_FILTER = _robots_sql()
+
+
 CRAWL_QUERIES = {
     "warc_records": (q_warc_records, SQL_WARC_RECORDS),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
+    "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
 }

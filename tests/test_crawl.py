@@ -68,8 +68,39 @@ def _oracle(sql: str):
     return con.execute(sql).df()
 
 
+def test_robots_longest_match_beats_shorter() -> None:
+    """The id-prefix block '/en/doc/1' (k=2 hosts) must out-rank the
+    shorter '/en/' allow for doc_ids 1, 1x, 1xx… on those hosts —
+    RFC 9309 is longest-match, not first-match or allow-wins."""
+    rules = {k: sorted([(p, a) for kk, p, a in C.robots_rules()
+                        if kk == k], key=lambda r: -len(r[0]))
+             for k in range(13)}
+    # k=2: rules are /en/doc/1 (deny), /en/ (allow), / (deny→k%5!=0 True)
+    by_path = dict(rules[2])
+    assert by_path["/en/doc/1"] is False and by_path["/en/"] is True
+    # longest-first ordering makes the deny win for /en/doc/15
+    for path, allow in rules[2]:
+        if "/en/doc/15".startswith(path):
+            assert path == "/en/doc/1" and allow is False
+            break
+
+
+def test_robots_match_lengths_distinct_per_url() -> None:
+    """Within any single URL's matching rule set the rule lengths are
+    distinct (the docstring's no-tie-break claim), for every (k, lang,
+    doc_id suffix) regime the synthetic scheme can produce."""
+    for k in range(13):
+        krules = [(p, a) for kk, p, a in C.robots_rules() if kk == k]
+        for lang in ["en", "de", "fr", "es", "zh"]:
+            for d in [0, 1, 7, 10, 15, 19, 100, 123]:
+                path = f"/{lang}/doc/{d}"
+                lens = [len(p) for p, _ in krules if path.startswith(p)]
+                assert len(lens) == len(set(lens)), (k, path)
+                assert lens, (k, path)     # root rule always matches
+
+
 @pytest.mark.parametrize("name", ["warc_records", "url_normalize",
-                                  "domain_stats"])
+                                  "domain_stats", "robots_filter"])
 def test_pipeline_matches_oracle(ray_session, name: str) -> None:
     from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.crawl import (
         CRAWL_QUERIES,
