@@ -344,7 +344,8 @@ _GATE_ORDER = [
     "events_json", "pii_mask", "repetition_stats", "doc_tokens",
     "stratified_sample", "source_quota", "lang_id", "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
-    "domain_stats", "robots_filter", "warc_records", "pagerank",
+    "domain_stats", "robots_filter", "crawl_schedule", "warc_records",
+    "pagerank",
     "anchor_text",
     "inverted_index",
     "span_consistency", "lm_surprisal", "lm_tier", "seq_pack",

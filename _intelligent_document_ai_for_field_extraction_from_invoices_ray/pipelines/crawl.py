@@ -16,6 +16,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -249,9 +250,66 @@ FROM m WHERE rn = 1 ORDER BY doc_id
 SQL_ROBOTS_FILTER = _robots_sql()
 
 
+def q_crawl_schedule(sf_dir: str) -> rd.Dataset:
+    """Per-host politeness scheduling — the crawl frontier's ordering
+    decision: each host serves its URLs strictly sequentially in doc_id
+    order with a per-host crawl-delay (RFC 9309 `Crawl-delay` analog,
+    here `500 + 250·(k % 4)` ms for host-number `k = doc_id % 13`), so
+    URL `i` of a host fetches at `slot·delay_ms`.
+
+    Scale shape: scheduling is per-host state, so the ONLY exchange is
+    one bucketed shuffle on ``host`` (hosts are the natural crawl
+    partitioning key — politeness makes per-host work inherently
+    serial, so a host never needs to span tasks); slot assignment
+    inside a bucket is a vectorized ``cumcount``.  At 100 TB the host
+    key space is millions of buckets and the same single shuffle
+    holds; no stage sees more than its bucket's URLs."""
+    from .grouping import bucketed_group_apply
+
+    def urls(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype=np.int64),
+            "host": [f"{s}.site{d % 13}.org" for d, s in zip(ids, srcs)],
+            "delay_ms": pd.Series([500 + 250 * ((d % 13) % 4)
+                                   for d in ids], dtype=np.int64),
+        })
+
+    def schedule(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["host", "doc_id"]).reset_index(drop=True)
+        slot = df.groupby("host").cumcount()
+        return df.assign(slot=slot.astype(np.int64),
+                         fetch_at_ms=(slot * df["delay_ms"])
+                         .astype(np.int64))
+
+    return (bucketed_group_apply(
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(urls, batch_format="pyarrow"),
+        ["host"], schedule, num_buckets=64).sort("doc_id"))
+
+
+SQL_CRAWL_SCHEDULE = """
+WITH u AS (
+  SELECT doc_id,
+         source || '.site' || CAST(doc_id % 13 AS VARCHAR) || '.org'
+             AS host,
+         CAST(500 + 250 * ((doc_id % 13) % 4) AS BIGINT) AS delay_ms
+  FROM documents
+)
+SELECT doc_id, host, delay_ms,
+       CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) - 1
+            AS BIGINT) AS slot,
+       CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+            * delay_ms AS BIGINT) AS fetch_at_ms
+FROM u ORDER BY doc_id
+"""
+
+
 CRAWL_QUERIES = {
     "warc_records": (q_warc_records, SQL_WARC_RECORDS),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
+    "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
 }

@@ -99,8 +99,24 @@ def test_robots_match_lengths_distinct_per_url() -> None:
                 assert lens, (k, path)     # root rule always matches
 
 
+def test_crawl_schedule_politeness_gap(ray_session) -> None:
+    """Within any host the fetch times are strictly spaced by exactly
+    that host's delay — the politeness invariant the scheduler exists
+    to enforce (slot order must follow doc_id order)."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.crawl import (
+        q_crawl_schedule,
+    )
+    df = q_crawl_schedule("/root/testdata/sf0.001").to_pandas()
+    for host, g in df.groupby("host"):
+        g = g.sort_values("slot")
+        assert (g["doc_id"].diff().dropna() > 0).all(), host
+        gaps = g["fetch_at_ms"].diff().dropna()
+        assert (gaps == g["delay_ms"].iloc[0]).all(), host
+
+
 @pytest.mark.parametrize("name", ["warc_records", "url_normalize",
-                                  "domain_stats", "robots_filter"])
+                                  "domain_stats", "robots_filter",
+                                  "crawl_schedule"])
 def test_pipeline_matches_oracle(ray_session, name: str) -> None:
     from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.crawl import (
         CRAWL_QUERIES,
