@@ -347,7 +347,7 @@ _GATE_ORDER = [
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",
     "pagerank",
     "anchor_text",
-    "inverted_index",
+    "inverted_index", "bm25_topk",
     "span_consistency", "lm_surprisal", "lm_tier", "seq_pack",
     "embed_topk", "events_top3_per_type",
     "events_value_quantiles", "segment_sales", "pricing_summary",

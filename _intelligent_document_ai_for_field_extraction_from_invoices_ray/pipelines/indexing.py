@@ -93,6 +93,155 @@ FROM posting GROUP BY token ORDER BY token
 """
 
 
+#: Fixed retrieval bank: (query_id, terms).  Small and static — the
+#: realistic regime for index-time evaluation queries; broadcast by
+#: closure, never joined.
+BM25_QUERIES: list[tuple[str, list[str]]] = [
+    ("q_hash_join", ["hash", "join"]),
+    ("q_stream_window", ["stream", "window"]),
+    ("q_sort_merge_scan", ["sort", "merge", "scan"]),
+    ("q_spark", ["spark"]),
+]
+
+#: BM25 constants k1=1.2, b=0.75 folded into integer arithmetic (see
+#: q_bm25_topk docstring).
+_BM25_TOPK = 5
+
+
+def _bm25_term_score(tf: int, dl: int, idf_s: int, n: int, total_len: int
+                     ) -> int:
+    """Integer BM25 term contribution.  With k1=6/5, b=3/4 and
+    avgdl=L/N, the textbook term  idf·tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl))
+    multiplied through by 10·L becomes the exact rational
+    22·L·tf·idf / (10·L·tf + 3·L + 9·dl·N); flooring each term (not the
+    sum) keeps every operation integer and SQL-reproducible.  idf is the
+    same integer surrogate as tfidf_topk: idf_s = 1000·N // df (ln-based
+    idf would hinge on libm equality between numpy and DuckDB)."""
+    return (22 * total_len * tf * idf_s) // (
+        10 * total_len * tf + 3 * total_len + 9 * dl * n)
+
+
+def q_bm25_topk(sf_dir: str) -> rd.Dataset:
+    """BM25 top-5 documents per retrieval query — the query-time half of
+    the search stack `inverted_index` builds the index-time half of.
+
+    Scale shape: two streaming passes, no corpus shuffle.  Pass 1
+    computes the global stats BM25 needs (N, total token length, df per
+    query term) as per-batch partials reduced by Ray's native tree
+    aggregate (`Dataset.sum` — never a driver-side concat).  Pass 2 is
+    stateless scoring: per-batch Counter tf → integer term scores →
+    per-block top-k partial (k·|queries| rows per block, so the final
+    exchange is block-count·20 tiny rows), finished by one
+    vocabulary-free groupby(query_id) rank.  The global top-k is a
+    subset of the union of per-block top-ks, so partial top-k is
+    lossless."""
+    from collections import Counter
+
+    terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    docs = _docs(sf_dir)
+
+    def stat_partial(batch: pa.Table) -> pd.DataFrame:
+        texts = batch.column("text").to_pylist()
+        toks = [t.lower().split() for t in texts]
+        row = {"n_part": np.int64(len(toks)),
+               "len_part": np.int64(sum(len(tk) for tk in toks))}
+        for t in terms:
+            row[f"df_{t}"] = np.int64(sum(1 for tk in toks if t in tk))
+        return pd.DataFrame([row])
+
+    stats = (docs.map_batches(stat_partial, batch_format="pyarrow")
+             .sum(on=["n_part", "len_part"] + [f"df_{t}" for t in terms]))
+    n = int(stats["sum(n_part)"])
+    total_len = int(stats["sum(len_part)"])
+    idf_s = {t: 1000 * n // max(1, int(stats[f"sum(df_{t})"]))
+             for t in terms}
+
+    def score_partial(batch: pa.Table) -> pd.DataFrame:
+        qids, dids, scores = [], [], []
+        for d, text in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("text").to_pylist()):
+            cnt = Counter(text.lower().split())
+            dl = sum(cnt.values())
+            for qid, qterms in BM25_QUERIES:
+                s = sum(_bm25_term_score(cnt[t], dl, idf_s[t], n,
+                                         total_len)
+                        for t in qterms if cnt[t])
+                if s > 0:
+                    qids.append(qid)
+                    dids.append(d)
+                    scores.append(s)
+        df = pd.DataFrame({"query_id": qids,
+                           "doc_id": pd.Series(dids, dtype=np.int64),
+                           "score_scaled": pd.Series(scores,
+                                                     dtype=np.int64)})
+        # lossless per-block prune: keep each query's block-local top-k
+        df = df.sort_values(["query_id", "score_scaled", "doc_id"],
+                            ascending=[True, False, True])
+        return df.groupby("query_id", as_index=False).head(_BM25_TOPK)
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score_scaled", "doc_id"],
+                              ascending=[False, True]).head(_BM25_TOPK)
+        g = g.reset_index(drop=True)
+        return g.assign(rank=pd.Series(np.arange(1, len(g) + 1),
+                                       dtype=np.int64))
+
+    return (docs.map_batches(score_partial, batch_format="pyarrow")
+            .groupby("query_id")
+            .map_groups(finish, batch_format="pandas")
+            .sort(["query_id", "rank"]))
+
+
+def _bm25_sql() -> str:
+    term_vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in BM25_QUERIES for t in ts)
+    return rf"""
+WITH stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN trim(lower(text)) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)),
+                                                 '\s+')) END)
+              AS BIGINT) AS total_len
+  FROM documents
+), qterms(query_id, term) AS (VALUES {term_vals}),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE trim(lower(text)) <> ''
+), dlen AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(SUM((22 * s.total_len * t.tf * (1000 * s.n // d.df))
+                  // (10 * s.total_len * t.tf + 3 * s.total_len
+                      + 9 * l.dl * s.n)) AS BIGINT) AS score_scaled
+  FROM qterms q
+  JOIN tf t ON t.token = q.term
+  JOIN dfreq d ON d.token = q.term
+  JOIN dlen l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score_scaled,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score_scaled DESC, doc_id)
+              AS BIGINT) AS rank
+  FROM scored WHERE score_scaled > 0
+)
+SELECT query_id, doc_id, score_scaled, rank
+FROM ranked WHERE rank <= {_BM25_TOPK} ORDER BY query_id, rank
+"""
+
+
+SQL_BM25_TOPK = _bm25_sql()
+
+
 INDEX_QUERIES = {
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
 }

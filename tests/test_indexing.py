@@ -50,3 +50,51 @@ def test_cross_block_merge_exact(ray_session) -> None:
     rare = out[out["token"] == "rare1"].iloc[0]
     assert (rare["df"], rare["total_tf"], rare["postings_sum"]) == (1, 1, 1)
     assert len(out) == 1 + n // 2
+
+
+def test_bm25_block_prune_lossless(ray_session) -> None:
+    """The per-block top-k prune must be lossless: the pipeline's top-5
+    per query equals an unpruned single-process recompute of the same
+    integer BM25 over the whole corpus, at an adversarial partitioning
+    (every doc its own block candidate)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.indexing import (
+        BM25_QUERIES,
+        _bm25_term_score,
+        q_bm25_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_bm25_topk(sf).to_pandas()
+
+    tbl = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+    toks = {d: t.lower().split()
+            for d, t in zip(tbl.column("doc_id").to_pylist(),
+                            tbl.column("text").to_pylist())}
+    n = len(toks)
+    total_len = sum(len(v) for v in toks.values())
+    want_rows = []
+    for qid, terms in BM25_QUERIES:
+        scores = []
+        for d, tk in toks.items():
+            cnt = Counter(tk)
+            df_scores = sum(
+                _bm25_term_score(
+                    cnt[t], len(tk),
+                    1000 * n // max(1, sum(1 for v in toks.values()
+                                           if t in v)),
+                    n, total_len)
+                for t in terms if cnt[t])
+            if df_scores > 0:
+                scores.append((df_scores, d))
+        scores.sort(key=lambda p: (-p[0], p[1]))
+        for r, (s, d) in enumerate(scores[:5], 1):
+            want_rows.append((qid, d, s, r))
+
+    got_rows = list(got[["query_id", "doc_id", "score_scaled", "rank"]]
+                    .itertuples(index=False, name=None))
+    assert sorted(got_rows) == sorted(want_rows)
