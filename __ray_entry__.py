@@ -350,7 +350,9 @@ _GATE_ORDER = [
     "inverted_index", "bm25_topk",
     "span_consistency", "lm_surprisal", "lm_tier", "seq_pack",
     "embed_topk", "events_top3_per_type",
-    "events_value_quantiles", "segment_sales", "pricing_summary",
+    "events_pivot", "nation_balance_outer",
+    "events_value_quantiles", "segment_sales", "segment_nation_rollup",
+    "pricing_summary",
     "part_brand_stats", "decontamination", "embed_neardup",
     "region_customers", "supplier_nation", "token_heavy_hitters",
     "length_quantiles", "ngram_hotspots", "exact_dedup",

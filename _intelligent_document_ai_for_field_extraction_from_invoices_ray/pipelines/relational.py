@@ -1051,6 +1051,188 @@ def q_events_hll_users(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+# ------------------------------------------------------------ rollup
+def q_segment_nation_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(segment, nation) over order revenue — grouping
+    sets computed the scale-correct way: ONLY the finest level
+    (segment × nationkey, ≤ 5×25 = 125 keys) ever touches the corpus
+    (per-batch combiner below the auto-routed orders ⋈ customer join,
+    then one bounded groupby); the coarser levels (per-segment
+    subtotals, grand total) are DERIVED from the finest aggregate —
+    re-aggregating 125 rows, never re-scanning orders.  Rolled-up
+    levels use the 'ALL' sentinel (COALESCE in the oracle); no real
+    segment or nation is named 'ALL'."""
+    cust = _pq(sf_dir, "customer",
+               ["c_custkey", "c_mktsegment", "c_nationkey"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    nation = _pq(sf_dir, "nation",
+                 ["n_nationkey", "n_name"]).to_pandas()  # fixed 25 rows
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["price_c"] = _cents(df.o_totalprice)
+        return df.groupby(["c_mktsegment", "c_nationkey"],
+                          as_index=False).agg(
+            n_orders=("price_c", "size"), total_cents=("price_c", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    finest = (auto_join(orders, cust, "o_custkey", "c_custkey")
+              .map_batches(partial, batch_format="pandas")
+              .groupby(["c_mktsegment", "c_nationkey"])
+              .aggregate(Sum("n_orders", alias_name="n_orders"),
+                         Sum("total_cents", alias_name="total_cents"))
+              .to_pandas())          # ≤ 125 rows by construction
+    finest = finest.merge(nation, left_on="c_nationkey",
+                          right_on="n_nationkey")
+    fine = finest[["c_mktsegment", "n_name", "n_orders", "total_cents"]]
+    seg = (fine.groupby("c_mktsegment", as_index=False)
+           .agg(n_orders=("n_orders", "sum"),
+                total_cents=("total_cents", "sum"))
+           .assign(n_name="ALL"))
+    grand = pd.DataFrame({"c_mktsegment": ["ALL"], "n_name": ["ALL"],
+                          "n_orders": [fine["n_orders"].sum()],
+                          "total_cents": [fine["total_cents"].sum()]})
+    out = pd.concat([fine, seg, grand], ignore_index=True)
+    out = out.astype({"n_orders": np.int64, "total_cents": np.int64})
+    return (out[["c_mktsegment", "n_name", "n_orders", "total_cents"]]
+            .sort_values(["c_mktsegment", "n_name"])
+            .reset_index(drop=True))
+
+
+SQL_SEGMENT_NATION_ROLLUP = """
+SELECT COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+       COALESCE(n_name, 'ALL') AS n_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(c_mktsegment, n_name)
+ORDER BY 1, 2
+"""
+
+
+# ------------------------------------------------------------ pivot
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str) -> rd.Dataset:
+    """Pivot events to a wide per-hour table (one count column per
+    event type + total) — the long→wide reshape every reporting stack
+    needs.  The pivoted column set must be FIXED for a stable schema
+    (here the closed 5-type vocabulary); a data-driven column set would
+    need a schema pre-pass.
+
+    Scale shape: per-batch crosstab partial (≤ hours-in-batch rows,
+    already wide) then one groupby(hour_bucket) sum over partials —
+    the exchange carries wide partial rows bounded by distinct hours
+    (~10⁵ for a decade), never raw events."""
+
+    ds = _pq(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df.ts.astype("datetime64[ns]").astype("int64")
+        hours = (ns // 3_600_000_000_000).astype(np.int64)
+        wide = pd.crosstab(hours, df.event_type)
+        for t in _EVENT_TYPES:
+            if t not in wide.columns:
+                wide[t] = 0
+        wide = wide[_EVENT_TYPES].astype(np.int64)
+        wide.columns = [f"n_{t}" for t in _EVENT_TYPES]
+        wide["n_total"] = wide.sum(axis=1).astype(np.int64)
+        return wide.rename_axis("hour_bucket").reset_index()
+
+    from ray.data.aggregate import Sum
+
+    cols = [f"n_{t}" for t in _EVENT_TYPES] + ["n_total"]
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("hour_bucket")
+            .aggregate(*[Sum(c, alias_name=c) for c in cols])
+            .sort("hour_bucket"))
+
+
+SQL_EVENTS_PIVOT = """
+SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       COUNT(*) AS n_total
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------------------ full outer join
+def q_nation_balance_outer(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER join of two per-nation aggregates (customer vs
+    supplier account balances).  Suppliers span only a subset of the
+    customer nations in the testdata, so both outer semantics are
+    exercised (customer-only nations must survive with zeroed supplier
+    columns).
+
+    Scale shape: the distributed full outer is a tagged UNION +
+    groupby — each side pre-aggregates per batch to its bounded key
+    space (≤25 nations), the tagged partials union through ONE
+    groupby(nationkey) exchange, and each group folds both sides'
+    partials with zero-fill for the absent side.  No broadcast, no
+    driver-side merge, and the same shape holds for an unbounded key
+    space (the exchange carries per-(batch, key) partials only)."""
+
+    cust = _pq(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    supp = _pq(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def c_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["bal"] = _cents(df.c_acctbal)
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            n_customers=("bal", "size"), cust_bal_cents=("bal", "sum"))
+        return g.rename(columns={"c_nationkey": "nationkey"}).assign(
+            n_suppliers=np.int64(0), supp_bal_cents=np.int64(0))
+
+    def s_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["bal"] = _cents(df.s_acctbal)
+        g = df.groupby("s_nationkey", as_index=False).agg(
+            n_suppliers=("bal", "size"), supp_bal_cents=("bal", "sum"))
+        return g.rename(columns={"s_nationkey": "nationkey"}).assign(
+            n_customers=np.int64(0), cust_bal_cents=np.int64(0))
+
+    cols = ["nationkey", "n_customers", "cust_bal_cents",
+            "n_suppliers", "supp_bal_cents"]
+    tagged = (cust.map_batches(c_part, batch_format="pandas")
+              .select_columns(cols)
+              .union(supp.map_batches(s_part, batch_format="pandas")
+                     .select_columns(cols)))
+
+    from ray.data.aggregate import Sum
+
+    return (tagged.groupby("nationkey")
+            .aggregate(*[Sum(c, alias_name=c) for c in cols[1:]])
+            .sort("nationkey"))
+
+
+SQL_NATION_BALANCE_OUTER = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers,
+         CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+             AS cust_bal_cents
+  FROM customer GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers,
+         CAST(SUM(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT)
+             AS supp_bal_cents
+  FROM supplier GROUP BY 1
+)
+SELECT CAST(COALESCE(c.nationkey, s.nationkey) AS BIGINT) AS nationkey,
+       COALESCE(c.n_customers, 0) AS n_customers,
+       COALESCE(c.cust_bal_cents, 0) AS cust_bal_cents,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers,
+       COALESCE(s.supp_bal_cents, 0) AS supp_bal_cents
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+ORDER BY nationkey
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE_FILTER),
@@ -1074,4 +1256,7 @@ QUERIES = {
     "supplier_nation": (q_supplier_nation, SQL_SUPPLIER_NATION),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "segment_status_native": (q_segment_status_native, SQL_SEGMENT_STATUS_NATIVE),
+    "segment_nation_rollup": (q_segment_nation_rollup, SQL_SEGMENT_NATION_ROLLUP),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "nation_balance_outer": (q_nation_balance_outer, SQL_NATION_BALANCE_OUTER),
 }
