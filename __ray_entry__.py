@@ -317,6 +317,7 @@ def _query_banks() -> list[dict]:
                            ("graph", "GRAPH_QUERIES"),
                            ("indexing", "INDEX_QUERIES"),
                            ("lmscore", "LM_QUERIES"),
+                           ("spellfix", "SPELL_QUERIES"),
                            ("packing", "PACK_QUERIES")]:
         try:
             mod = importlib.import_module(f"{pkg}.{mod_name}")
@@ -342,7 +343,8 @@ _GATE_ORDER = [
     "top_orders", "fingerprint", "revenue_filter", "sample_docs",
     "doc_quality", "bpe_tokens", "token_histogram", "distinct_flags",
     "events_json", "pii_mask", "repetition_stats", "doc_tokens",
-    "stratified_sample", "source_quota", "lang_id", "html_main_text",
+    "stratified_sample", "source_quota", "lang_id", "ocr_correct",
+    "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",
     "pagerank",
