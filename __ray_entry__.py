@@ -347,7 +347,7 @@ _GATE_ORDER = [
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",
-    "pagerank",
+    "pagerank", "triangle_count",
     "anchor_text",
     "inverted_index", "bm25_topk",
     "span_consistency", "lm_surprisal", "lm_tier", "seq_pack",

@@ -258,7 +258,164 @@ FROM e GROUP BY dst ORDER BY dst
 """
 
 
+def q_triangle_count(sf_dir: str) -> rd.Dataset:
+    """Per-node triangle counts over the UNDIRECTED link graph — the
+    classic graph-locality statistic (clustering coefficient numerator,
+    spam-farm detection) and the canonical E^{3/2}-bounded distributed
+    join.
+
+    Degree-ordered algorithm (Suri & Vassilvitskii's MapReduce shape):
+    1. canonical edges (min, max) derived closed-form per node block,
+       deduped by ONE groupby;
+    2. degrees by per-batch endpoint partials → groupby sum (node-sized
+       table, never driver-side);
+    3. each edge oriented from its (deg, id)-smaller endpoint — two
+       bucketed cogroups attach endpoint degrees (node-sized ⋈
+       edge-sized, neither broadcast);
+    4. wedges: per oriented-src group, all out-neighbor pairs in
+       (deg, id) order — orientation bounds out-degree by O(√E), so
+       wedge volume is O(E^{3/2}) worst case instead of Σdeg²;
+    5. ONE cogroup of wedges vs oriented edges on (b, c) closes
+       triangles; per-node counts flat-emit 3 rows per triangle into a
+       final bounded groupby.
+    Every stage is a bucketed exchange of (int64, int64) rows; nothing
+    corpus-sized is materialized or broadcast."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .grouping import bucketed_cogroup, bucketed_group_apply
+    from ..sources.io import read_parquet_sized
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    nodes = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"], rows_per_block=2000)
+
+    def edges_of(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src, dst, _ = _targets(np.asarray(ids, dtype=np.int64), n)
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        return pa.table({"a": pa.array(a, type=pa.int64()),
+                         "b": pa.array(b, type=pa.int64())})
+
+    raw = nodes.map_batches(edges_of, batch_format="pyarrow")
+    edges = (raw.groupby(["a", "b"]).count()
+             .select_columns(["a", "b"]))       # canonical dedup
+
+    def deg_partial(batch: pa.Table) -> pd.DataFrame:
+        ends = np.concatenate([
+            batch.column("a").to_numpy(zero_copy_only=False),
+            batch.column("b").to_numpy(zero_copy_only=False)])
+        node, cnt = np.unique(ends, return_counts=True)
+        return pd.DataFrame({"node": node.astype(np.int64),
+                             "dpart": cnt.astype(np.int64)})
+
+    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False).agg(deg=("dpart", "sum"))
+        return g.astype({"node": np.int64, "deg": np.int64})
+
+    degrees = bucketed_group_apply(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"], deg_merge, num_buckets=32)
+
+    def attach(col: str, out: str):
+        def fn(ef: pd.DataFrame, nf: pd.DataFrame) -> pd.DataFrame:
+            if ef.empty:
+                cols = {c: pd.Series(dtype=ef[c].dtype if c in ef
+                                     else np.int64)
+                        for c in list(ef.columns) + [out]}
+                return pd.DataFrame(cols)
+            m = ef.merge(nf.rename(columns={"node": col,
+                                            "deg": out}), on=col)
+            return m.astype({out: np.int64})
+        return fn
+
+    e1 = bucketed_cogroup(edges, degrees, ["a"], ["node"],
+                          attach("a", "deg_a"))
+    e2 = bucketed_cogroup(e1, degrees, ["b"], ["node"],
+                          attach("b", "deg_b"))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        a_first = (df.deg_a < df.deg_b) | (
+            (df.deg_a == df.deg_b) & (df.a < df.b))
+        src = np.where(a_first, df.a, df.b).astype(np.int64)
+        dst = np.where(a_first, df.b, df.a).astype(np.int64)
+        sdeg = np.where(a_first, df.deg_a, df.deg_b).astype(np.int64)
+        ddeg = np.where(a_first, df.deg_b, df.deg_a).astype(np.int64)
+        return pa.table({"src": src, "dst": dst,
+                         "sdeg": sdeg, "ddeg": ddeg})
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow")
+
+    def wedges_of(df: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, rows_c = [], [], []
+        for src, g in df.groupby("src"):
+            nbrs = sorted(zip(g.ddeg, g.dst))
+            for i in range(len(nbrs)):
+                for j in range(i + 1, len(nbrs)):
+                    rows_a.append(src)
+                    rows_b.append(nbrs[i][1])
+                    rows_c.append(nbrs[j][1])
+        return pd.DataFrame({
+            "wa": pd.Series(rows_a, dtype=np.int64),
+            "wb": pd.Series(rows_b, dtype=np.int64),
+            "wc": pd.Series(rows_c, dtype=np.int64)})
+
+    wedges = bucketed_group_apply(oriented, ["src"], wedges_of,
+                                  num_buckets=32)
+
+    def close(wf: pd.DataFrame, ef: pd.DataFrame) -> pd.DataFrame:
+        if wf.empty or ef.empty:
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "tpart": pd.Series(dtype=np.int64)})
+        m = wf.merge(ef.rename(columns={"src": "wb", "dst": "wc"}),
+                     on=["wb", "wc"])
+        nodes_flat = np.concatenate([m.wa.to_numpy(), m.wb.to_numpy(),
+                                     m.wc.to_numpy()]).astype(np.int64)
+        node, cnt = np.unique(nodes_flat, return_counts=True)
+        return pd.DataFrame({"node": node.astype(np.int64),
+                             "tpart": cnt.astype(np.int64)})
+
+    closed = bucketed_cogroup(wedges,
+                              oriented.select_columns(["src", "dst"]),
+                              ["wb", "wc"], ["src", "dst"], close)
+
+    def tri_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False).agg(
+            n_triangles=("tpart", "sum"))
+        return g.astype({"node": np.int64, "n_triangles": np.int64})
+
+    return bucketed_group_apply(closed, ["node"], tri_merge,
+                                num_buckets=16).sort("node")
+
+
+SQL_TRIANGLE_COUNT = """
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+raw AS (
+  SELECT d.doc_id AS u,
+         (7*d.doc_id + 13*j.j + 1) % (SELECT c FROM nn) AS v
+  FROM documents d, (SELECT unnest(generate_series(0, 3)) AS j) j
+  WHERE (7*d.doc_id + 13*j.j + 1) % (SELECT c FROM nn) <> d.doc_id
+), e AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), tn AS (
+  SELECT unnest([x, y, z]) AS node FROM tri
+)
+SELECT CAST(node AS BIGINT) AS node, COUNT(*) AS n_triangles
+FROM tn GROUP BY 1 ORDER BY 1
+"""
+
+
 GRAPH_QUERIES = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "anchor_text": (q_anchor_text, SQL_ANCHOR_TEXT),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
 }

@@ -98,3 +98,39 @@ def test_anchor_text_brute_force(ray_session) -> None:
         assert row["n_inlinks"] == cnt
         assert row["n_src"] == len(srcs)
         assert row["min_anchor"] == lo and row["max_anchor"] == hi
+
+
+def test_triangle_count_brute_force(ray_session) -> None:
+    """Per-node counts must equal a brute-force adjacency-set count of
+    the same undirected graph, and the global invariant Σ n_triangles =
+    3 · #triangles must hold (each triangle touches 3 nodes)."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.graph import (
+        q_triangle_count,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+    edges = set()
+    for u in range(n):
+        for j in range(4):
+            v = (7 * u + 13 * j + 1) % n
+            if v != u:
+                edges.add((min(u, v), max(u, v)))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    per_node: dict[int, int] = {}
+    n_tri = 0
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                n_tri += 1
+                for x in (a, b, c):
+                    per_node[x] = per_node.get(x, 0) + 1
+
+    got = q_triangle_count(sf).to_pandas()
+    assert dict(zip(got.node, got.n_triangles)) == per_node
+    assert int(got.n_triangles.sum()) == 3 * n_tri
