@@ -318,6 +318,7 @@ def _query_banks() -> list[dict]:
                            ("indexing", "INDEX_QUERIES"),
                            ("lmscore", "LM_QUERIES"),
                            ("spellfix", "SPELL_QUERIES"),
+                           ("bpe", "BPE_QUERIES"),
                            ("packing", "PACK_QUERIES")]:
         try:
             mod = importlib.import_module(f"{pkg}.{mod_name}")
@@ -349,7 +350,7 @@ _GATE_ORDER = [
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",
     "pagerank", "triangle_count",
     "anchor_text",
-    "inverted_index", "bm25_topk",
+    "inverted_index", "bm25_topk", "bpe_learn",
     "span_consistency", "lm_surprisal", "lm_tier", "seq_pack",
     "embed_topk", "events_top3_per_type",
     "events_pivot", "nation_balance_outer",
