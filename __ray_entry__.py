@@ -353,7 +353,8 @@ _GATE_ORDER = [
     "inverted_index", "bm25_topk", "bpe_learn",
     "span_consistency", "lm_surprisal", "lm_tier", "seq_pack",
     "embed_topk", "events_top3_per_type",
-    "events_pivot", "nation_balance_outer",
+    "events_pivot", "nation_balance_outer", "event_funnel",
+    "events_dense_hours",
     "events_value_quantiles", "segment_sales", "segment_nation_rollup",
     "pricing_summary",
     "part_brand_stats", "decontamination", "embed_neardup",

@@ -1233,6 +1233,139 @@ ORDER BY nationkey
 """
 
 
+# ------------------------------------------------------------ funnel
+_FUNNEL = ["signup", "click", "purchase"]
+
+
+def q_event_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered-sequence funnel: how many users did signup → click →
+    purchase IN ORDER (each stage strictly after the previous stage's
+    first completion) — the event-sequence analytic no plain groupby
+    expresses.
+
+    Scale shape: funnel state is per-user, so ONE bucketed shuffle on
+    user_id; inside a bucket the stage times are vectorized
+    first-match folds (min ts of stage k events after the user's
+    stage-k−1 time), and each bucket emits one 3-int partial row.  The
+    driver merges buckets × 1 row."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df.ts.astype("datetime64[ns]").astype("int64")
+        df = pd.DataFrame({"user_id": df.user_id, "ns": ns,
+                           "et": df.event_type})
+        counts = np.zeros(len(_FUNNEL), dtype=np.int64)
+        # vectorized stage fold: prev maps user -> first completion time
+        # of the previous stage; each stage is one filter + merge + min
+        prev = None
+        for k, stage in enumerate(_FUNNEL):
+            ev = df[df.et == stage]
+            if prev is not None:
+                ev = ev.merge(prev, on="user_id")
+                ev = ev[ev.ns > ev.prev_ns]
+            cur = (ev.groupby("user_id", as_index=False)
+                   .agg(prev_ns=("ns", "min")))
+            counts[k] = len(cur)
+            prev = cur
+        return pd.DataFrame({"stage_idx": np.arange(
+            1, len(_FUNNEL) + 1, dtype=np.int64),
+            "npart": counts})
+
+    parts = bucketed_group_apply(ds, ["user_id"], fold,
+                                 num_buckets=32).to_pandas()
+    out = (parts.groupby("stage_idx", as_index=False)
+           .agg(n_users=("npart", "sum")))
+    out["stage"] = [_FUNNEL[i - 1] for i in out.stage_idx]
+    return (out[["stage_idx", "stage", "n_users"]]
+            .astype({"stage_idx": np.int64, "n_users": np.int64})
+            .sort_values("stage_idx").reset_index(drop=True))
+
+
+SQL_EVENT_FUNNEL = """
+WITH u1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), u2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1
+), u3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN u2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+         (SELECT COUNT(*) FROM u1) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT COUNT(*) FROM u2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT COUNT(*) FROM u3)
+) ORDER BY stage_idx
+"""
+
+
+# ------------------------------------------------------------ gap fill
+def q_events_dense_hours(sf_dir: str) -> rd.Dataset:
+    """Sparse → dense time series: total events per hour INCLUDING
+    empty hours (zero-filled) between the global min and max hour —
+    the densification every downstream window/forecast stage assumes.
+
+    Scale shape: per-batch hour-count partials → one bounded
+    groupby(hour) (cardinality = distinct hours, ~10⁵ for a decade);
+    the dense axis comes from a GENERATED `ray.data.range` source (no
+    driver-side list) unioned as zero rows into the same groupby, so
+    gap filling adds no extra shuffle and nothing corpus-sized moves."""
+
+    ds = _pq(sf_dir, "events", ["ts"])
+
+    def hour_part(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df.ts.astype("datetime64[ns]").astype("int64")
+        hours = (ns // 3_600_000_000_000).astype(np.int64)
+        h, c = np.unique(hours, return_counts=True)
+        return pd.DataFrame({"hour_bucket": h.astype(np.int64),
+                             "n_events": c.astype(np.int64)})
+
+    parts = ds.map_batches(hour_part, batch_format="pandas")
+    bounds = parts.to_pandas()  # hours-sized partials (bounded), reused
+    h_min, h_max = int(bounds.hour_bucket.min()), int(
+        bounds.hour_bucket.max())
+
+    def to_zero_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour_bucket": (batch["id"] + h_min).astype(np.int64),
+            "n_events": np.zeros(len(batch), dtype=np.int64)})
+
+    dense = (rd.range(h_max - h_min + 1)
+             .map_batches(to_zero_rows, batch_format="pandas"))
+
+    from ray.data.aggregate import Sum
+
+    return (parts.union(dense)
+            .groupby("hour_bucket")
+            .aggregate(Sum("n_events", alias_name="n_events"))
+            .sort("hour_bucket"))
+
+
+SQL_EVENTS_DENSE_HOURS = """
+WITH c AS (
+  SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), axis AS (
+  SELECT unnest(generate_series((SELECT MIN(hour_bucket) FROM c),
+                                (SELECT MAX(hour_bucket) FROM c)))
+      AS hour_bucket
+)
+SELECT axis.hour_bucket,
+       CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+FROM axis LEFT JOIN c USING (hour_bucket)
+ORDER BY hour_bucket
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE_FILTER),
@@ -1259,4 +1392,6 @@ QUERIES = {
     "segment_nation_rollup": (q_segment_nation_rollup, SQL_SEGMENT_NATION_ROLLUP),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "nation_balance_outer": (q_nation_balance_outer, SQL_NATION_BALANCE_OUTER),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
+    "events_dense_hours": (q_events_dense_hours, SQL_EVENTS_DENSE_HOURS),
 }

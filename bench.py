@@ -80,6 +80,7 @@ def run_bench() -> dict:
     import ray.data as rd
 
     from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines import (
+        bpe,
         crawl,
         dedup,
         graph,
@@ -89,6 +90,7 @@ def run_bench() -> dict:
         pdfextract,
         relational,
         similarity,
+        spellfix,
         textstats,
         webextract,
     )
@@ -186,9 +188,20 @@ def run_bench() -> dict:
     timed("warc_records", crawl.q_warc_records)
     timed("url_normalize", crawl.q_url_normalize)
     timed("domain_stats", crawl.q_domain_stats)
+    timed("robots_filter", crawl.q_robots_filter)
+    timed("crawl_schedule", crawl.q_crawl_schedule)
     timed("pagerank", graph.q_pagerank)
     timed("anchor_text", graph.q_anchor_text)
+    timed("triangle_count", graph.q_triangle_count)
     timed("inverted_index", indexing.q_inverted_index)
+    timed("bm25_topk", indexing.q_bm25_topk)
+    timed("bpe_learn", bpe.q_bpe_learn)
+    timed("ocr_correct", spellfix.q_ocr_correct)
+    timed("segment_nation_rollup", relational.q_segment_nation_rollup)
+    timed("events_pivot", relational.q_events_pivot)
+    timed("nation_balance_outer", relational.q_nation_balance_outer)
+    timed("event_funnel", relational.q_event_funnel)
+    timed("events_dense_hours", relational.q_events_dense_hours)
     timed("lm_surprisal", lmscore.q_lm_surprisal)
     timed("lm_tier", lmscore.q_lm_tier)
     timed("seq_pack", packing.q_seq_pack)

