@@ -1366,6 +1366,196 @@ ORDER BY hour_bucket
 """
 
 
+# ------------------------------------------------ decorrelated subquery
+def q_customers_above_nation_avg(sf_dir: str) -> rd.Dataset:
+    """Customers with balance above their own nation's average — the
+    canonical correlated subquery, DECORRELATED the distributed way:
+    the per-nation average is a bounded aggregate (per-batch partials →
+    one ≤25-row groupby) broadcast by closure into a stateless filter
+    pass; the customer table streams twice and never shuffles.
+
+    Exactness: `bal > avg` is evaluated as the integer cross-product
+    `bal_cents · n_nation > sum_cents_nation` — no float division on
+    either side (the oracle compares the same products)."""
+
+    cust = _pq(sf_dir, "customer",
+               ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def avg_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["bal"] = _cents(df.c_acctbal)
+        return df.groupby("c_nationkey", as_index=False).agg(
+            n=("bal", "size"), s=("bal", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    stats = (cust.map_batches(avg_part, batch_format="pandas")
+             .groupby("c_nationkey")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("s", alias_name="s"))
+             .to_pandas())            # ≤ 25 rows
+    n_by = dict(zip(stats.c_nationkey, stats.n))
+    s_by = dict(zip(stats.c_nationkey, stats.s))
+
+    def above(df: pd.DataFrame) -> pd.DataFrame:
+        bal = _cents(df.c_acctbal)
+        n = df.c_nationkey.map(n_by).to_numpy(dtype=np.int64)
+        s = df.c_nationkey.map(s_by).to_numpy(dtype=np.int64)
+        keep = bal * n > s
+        out = pd.DataFrame({
+            "c_custkey": df.c_custkey[keep].astype(np.int64),
+            "c_nationkey": df.c_nationkey[keep].astype(np.int64),
+            "bal_cents": pd.Series(bal[keep], dtype=np.int64,
+                                   index=df.index[keep])})
+        return out
+
+    return (cust.map_batches(above, batch_format="pandas")
+            .sort("c_custkey"))
+
+
+SQL_CUSTOMERS_ABOVE_NATION_AVG = """
+WITH b AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal*100) AS BIGINT) AS bal FROM customer
+), s AS (
+  SELECT c_nationkey, COUNT(*) AS n, SUM(bal) AS tot
+  FROM b GROUP BY 1
+)
+SELECT CAST(b.c_custkey AS BIGINT) AS c_custkey,
+       CAST(b.c_nationkey AS BIGINT) AS c_nationkey,
+       b.bal AS bal_cents
+FROM b JOIN s USING (c_nationkey)
+WHERE b.bal * s.n > s.tot
+ORDER BY c_custkey
+"""
+
+
+# ------------------------------------------------------------ argmax
+def q_nation_top_customer(sf_dir: str) -> rd.Dataset:
+    """Per-nation argmax: the customer with the highest balance (ties →
+    smallest custkey) — the arg-max AGGREGATE, reduced as a semilattice:
+    each batch emits one candidate per nation seen, one bounded groupby
+    folds candidates with the same (max-bal, min-key) rule.  Unlike a
+    sort-based top-1, nothing rank-shuffles; the exchange is ≤ one row
+    per (batch, nation)."""
+
+    cust = _pq(sf_dir, "customer",
+               ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(bal_cents=_cents(df.c_acctbal))
+        df = df.sort_values(["c_nationkey", "bal_cents", "c_custkey"],
+                            ascending=[True, False, True])
+        top = df.groupby("c_nationkey", as_index=False).head(1)
+        return top[["c_nationkey", "c_custkey", "bal_cents"]].astype(
+            {"c_nationkey": np.int64, "c_custkey": np.int64,
+             "bal_cents": np.int64})
+
+    # candidate partials already carry bal_cents; fold re-applies the
+    # same (bal desc, key asc) head-1 rule per nation
+    def fold2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c_nationkey", "bal_cents", "c_custkey"],
+                            ascending=[True, False, True])
+        top = df.groupby("c_nationkey", as_index=False).head(1)
+        return top.astype({"c_nationkey": np.int64,
+                           "c_custkey": np.int64,
+                           "bal_cents": np.int64})
+
+    from .grouping import bucketed_group_apply
+
+    return bucketed_group_apply(
+        cust.map_batches(cand, batch_format="pandas"),
+        ["c_nationkey"], fold2, num_buckets=16).sort("c_nationkey")
+
+
+SQL_NATION_TOP_CUSTOMER = """
+WITH b AS (
+  SELECT c_nationkey, c_custkey,
+         CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+  FROM customer
+), r AS (
+  SELECT c_nationkey, c_custkey, bal_cents,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY bal_cents DESC, c_custkey) AS rn
+  FROM b
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(c_custkey AS BIGINT) AS c_custkey, bal_cents
+FROM r WHERE rn = 1 ORDER BY c_nationkey
+"""
+
+
+# ------------------------------------------------ correlation stats
+def q_order_value_corr_stats(sf_dir: str) -> pd.DataFrame:
+    """Sufficient statistics for corr(order value, line count) —
+    distributed statistics the numerically honest way: the five power
+    sums are EXACT integers (cents / counts), merged associatively
+    (per-batch partials → one tiny fold), and any float (Pearson r,
+    slope) is derived downstream from the one exact row.  Avoids the
+    classic distributed-variance cancellation bug by never subtracting
+    running means in the reduce.  x is whole FLOORED dollars
+    (cents // 100, identical integer division both sides) so sum_x2
+    stays inside int64 to ~10⁸ orders; beyond that the stat needs a
+    per-partition rebase (documented limit, not a silent overflow —
+    the int sums below are unbounded Python ints until the final
+    cast, which would raise).
+
+    Join shape: line counts per order come from a per-batch lineitem
+    combiner co-grouped with orders on the key buckets (aggregation
+    below the join, as priority_revenue)."""
+    from .grouping import bucketed_cogroup
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def li_part(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("l_orderkey", as_index=False)
+                .agg(n_lines=("l_orderkey", "size")))
+
+    lp = li.map_batches(li_part, batch_format="pandas")
+
+    def per_bucket(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
+        if lf.empty or rf.empty:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in cols})
+        lines = (lf.groupby("l_orderkey", as_index=False)
+                 .agg(n_lines=("n_lines", "sum")))
+        m = lines.merge(rf.rename(columns={"o_orderkey": "l_orderkey"}),
+                        on="l_orderkey")
+        x = (_cents(m.o_totalprice) // 100).astype(object)  # floored $
+        y = m.n_lines.to_numpy().astype(object)
+        return pd.DataFrame([{
+            "n": np.int64(len(m)),
+            "sum_x": int(sum(x)), "sum_y": int(sum(y)),
+            "sum_xy": int(sum(x * y)),
+            "sum_x2": int(sum(x * x)), "sum_y2": int(sum(y * y))}])
+
+    parts = bucketed_cogroup(lp, orders, ["l_orderkey"], ["o_orderkey"],
+                             per_bucket).to_pandas()
+    out = pd.DataFrame([{c: int(parts[c].sum())
+                         for c in ["n", "sum_x", "sum_y", "sum_xy",
+                                   "sum_x2", "sum_y2"]}])
+    return out.astype({c: np.int64 for c in out.columns})
+
+
+SQL_ORDER_VALUE_CORR_STATS = """
+WITH l AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1
+), m AS (
+  SELECT CAST(round(o_totalprice*100) AS BIGINT) // 100 AS x,
+         CAST(n_lines AS BIGINT) AS y
+  FROM orders JOIN l ON o_orderkey = l_orderkey
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x*y) AS BIGINT) AS sum_xy,
+       CAST(SUM(x*x) AS BIGINT) AS sum_x2,
+       CAST(SUM(y*y) AS BIGINT) AS sum_y2
+FROM m
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE_FILTER),
@@ -1394,4 +1584,10 @@ QUERIES = {
     "nation_balance_outer": (q_nation_balance_outer, SQL_NATION_BALANCE_OUTER),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "events_dense_hours": (q_events_dense_hours, SQL_EVENTS_DENSE_HOURS),
+    "customers_above_nation_avg": (q_customers_above_nation_avg,
+                                   SQL_CUSTOMERS_ABOVE_NATION_AVG),
+    "nation_top_customer": (q_nation_top_customer,
+                            SQL_NATION_TOP_CUSTOMER),
+    "order_value_corr_stats": (q_order_value_corr_stats,
+                               SQL_ORDER_VALUE_CORR_STATS),
 }

@@ -202,6 +202,10 @@ def run_bench() -> dict:
     timed("nation_balance_outer", relational.q_nation_balance_outer)
     timed("event_funnel", relational.q_event_funnel)
     timed("events_dense_hours", relational.q_events_dense_hours)
+    timed("customers_above_nation_avg",
+          relational.q_customers_above_nation_avg)
+    timed("nation_top_customer", relational.q_nation_top_customer)
+    timed("order_value_corr_stats", relational.q_order_value_corr_stats)
     timed("lm_surprisal", lmscore.q_lm_surprisal)
     timed("lm_tier", lmscore.q_lm_tier)
     timed("seq_pack", packing.q_seq_pack)

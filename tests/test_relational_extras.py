@@ -96,3 +96,72 @@ def test_dense_hours_axis_contiguous(ray_session) -> None:
     assert (hours[1:] - hours[:-1] == 1).all()
     n_events = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
     assert int(df.n_events.sum()) == n_events
+
+
+def test_above_nation_avg_integer_predicate(ray_session) -> None:
+    """The integer cross-product predicate must agree with the naive
+    float comparison on this data AND pick strictly-above only (a
+    customer exactly at the mean is excluded)."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
+        q_customers_above_nation_avg,
+    )
+    got = q_customers_above_nation_avg(SF).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    cust["bal"] = (cust.c_acctbal * 100).round().astype("int64")
+    stats = cust.groupby("c_nationkey")["bal"].agg(["count", "sum"])
+    want = set()
+    for r in cust.itertuples(index=False):
+        n, s = stats.loc[r.c_nationkey]
+        if r.bal * n > s:
+            want.add(r.c_custkey)
+    assert set(got.c_custkey) == want
+    assert 0 < len(got) < len(cust)
+
+
+def test_nation_top_customer_is_argmax(ray_session) -> None:
+    """Per nation: max balance, smallest key on ties, exactly one row
+    per nation present in customer."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
+        q_nation_top_customer,
+    )
+    got = q_nation_top_customer(SF).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    cust["bal"] = (cust.c_acctbal * 100).round().astype("int64")
+    for nk, g in cust.groupby("c_nationkey"):
+        best = g.sort_values(["bal", "c_custkey"],
+                             ascending=[False, True]).iloc[0]
+        row = got[got.c_nationkey == nk]
+        assert len(row) == 1
+        assert row.c_custkey.iloc[0] == best.c_custkey
+        assert row.bal_cents.iloc[0] == best.bal
+    assert len(got) == cust.c_nationkey.nunique()
+
+
+def test_corr_stats_derive_valid_pearson(ray_session) -> None:
+    """The exact integer sufficient statistics must reproduce numpy's
+    Pearson r on the joined data to float precision."""
+    import duckdb
+    import numpy as np
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
+        q_order_value_corr_stats,
+    )
+    st = q_order_value_corr_stats(SF).iloc[0]
+    df = duckdb.sql(f"""
+        SELECT CAST(round(o_totalprice*100) AS BIGINT) // 100 AS x,
+               COUNT(*) OVER () AS _n, l.n AS y
+        FROM '{SF}/orders.parquet'
+        JOIN (SELECT l_orderkey, COUNT(*) AS n
+              FROM '{SF}/lineitem.parquet' GROUP BY 1) l
+          ON o_orderkey = l_orderkey""").df()
+    x, y = df.x.to_numpy(float), df.y.to_numpy(float)
+    r_np = np.corrcoef(x, y)[0, 1]
+    n = float(st.n)
+    num = n * st.sum_xy - st.sum_x * st.sum_y
+    den = np.sqrt(n * st.sum_x2 - st.sum_x ** 2) * np.sqrt(
+        n * st.sum_y2 - st.sum_y ** 2)
+    assert abs(num / den - r_np) < 1e-9
