@@ -355,7 +355,7 @@ _GATE_ORDER = [
     "embed_topk", "events_top3_per_type",
     "events_pivot", "nation_balance_outer", "event_funnel",
     "nation_top_customer", "customers_above_nation_avg",
-    "order_value_corr_stats",
+    "order_value_corr_stats", "order_skyline",
     "events_dense_hours",
     "events_value_quantiles", "segment_sales", "segment_nation_rollup",
     "pricing_summary",

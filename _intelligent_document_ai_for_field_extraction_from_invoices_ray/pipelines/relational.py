@@ -1556,6 +1556,82 @@ FROM m
 """
 
 
+# ------------------------------------------------------------ skyline
+def q_order_skyline(sf_dir: str) -> rd.Dataset:
+    """2-D skyline (Pareto frontier) of orders: not dominated on
+    (totalprice max, orderdate min) — i.e. no other order is both ≥ on
+    price and ≤ on date with one strict.  The multi-objective "best
+    orders" frontier no single ORDER BY expresses.
+
+    Scale shape: the 2-D skyline REDUCES to per-date max + strict
+    prefix max — so instead of the quadratic dominance join, the
+    pipeline is (1) per-batch per-date price-max partials → one
+    date-cardinality groupby (bounded: ~2.4k distinct dates for 7
+    years; ~10⁵ for three centuries), (2) a date-sized prefix-max
+    scan on the driver (bounded by the same cardinality, documented),
+    (3) thresholds broadcast by closure into a stateless filter pass:
+    keep rows with price = their date's max AND price > every earlier
+    date's max.  Orders stream twice, shuffle never."""
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def date_max(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(price_cents=_cents(df.o_totalprice))
+        return (df.groupby("o_orderdate", as_index=False)
+                .agg(pmax=("price_cents", "max")))
+
+    from ray.data.aggregate import Max
+
+    dm = (orders.map_batches(date_max, batch_format="pandas")
+          .groupby("o_orderdate")
+          .aggregate(Max("pmax", alias_name="pmax"))
+          .to_pandas())                     # date-cardinality, bounded
+    dm = dm.sort_values("o_orderdate").reset_index(drop=True)
+    dm["prev_max"] = dm.pmax.cummax().shift(1).fillna(-1).astype(np.int64)
+    pmax_by = dict(zip(dm.o_orderdate, dm.pmax))
+    prev_by = dict(zip(dm.o_orderdate, dm.prev_max))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        price = _cents(df.o_totalprice)
+        pm = df.o_orderdate.map(pmax_by).to_numpy(dtype=np.int64)
+        pv = df.o_orderdate.map(prev_by).to_numpy(dtype=np.int64)
+        mask = (price == pm) & (price > pv)
+        out = pd.DataFrame({
+            "o_orderkey": df.o_orderkey[mask].astype(np.int64),
+            "o_orderdate": df.o_orderdate[mask].dt.strftime(
+                "%Y-%m-%d"),
+            "price_cents": pd.Series(price[mask], dtype=np.int64,
+                                     index=df.index[mask])})
+        return out
+
+    return (orders.map_batches(keep, batch_format="pandas")
+            .sort("o_orderkey"))
+
+
+SQL_ORDER_SKYLINE = """
+WITH p AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+  FROM orders
+), d AS (
+  SELECT o_orderdate, MAX(price_cents) AS pmax FROM p GROUP BY 1
+), dd AS (
+  SELECT o_orderdate, pmax,
+         COALESCE(MAX(pmax) OVER (ORDER BY o_orderdate
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), -1) AS prev_max
+  FROM d
+)
+SELECT CAST(p.o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(p.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       p.price_cents
+FROM p JOIN dd USING (o_orderdate)
+WHERE p.price_cents = dd.pmax AND p.price_cents > dd.prev_max
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE_FILTER),
@@ -1590,4 +1666,5 @@ QUERIES = {
                             SQL_NATION_TOP_CUSTOMER),
     "order_value_corr_stats": (q_order_value_corr_stats,
                                SQL_ORDER_VALUE_CORR_STATS),
+    "order_skyline": (q_order_skyline, SQL_ORDER_SKYLINE),
 }

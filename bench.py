@@ -206,6 +206,7 @@ def run_bench() -> dict:
           relational.q_customers_above_nation_avg)
     timed("nation_top_customer", relational.q_nation_top_customer)
     timed("order_value_corr_stats", relational.q_order_value_corr_stats)
+    timed("order_skyline", relational.q_order_skyline)
     timed("lm_surprisal", lmscore.q_lm_surprisal)
     timed("lm_tier", lmscore.q_lm_tier)
     timed("seq_pack", packing.q_seq_pack)

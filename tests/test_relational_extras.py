@@ -165,3 +165,25 @@ def test_corr_stats_derive_valid_pearson(ray_session) -> None:
     den = np.sqrt(n * st.sum_x2 - st.sum_x ** 2) * np.sqrt(
         n * st.sum_y2 - st.sum_y ** 2)
     assert abs(num / den - r_np) < 1e-9
+
+
+def test_skyline_dominance_definition(ray_session) -> None:
+    """Every returned order must be undominated, and every omitted
+    order dominated, under the quadratic definition the prefix-max
+    reduction replaces (brute force at sf0.001)."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
+        q_order_skyline,
+    )
+    got = set(q_order_skyline(SF).to_pandas().o_orderkey)
+    df = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"]).to_pandas()
+    df["p"] = (df.o_totalprice * 100).round().astype("int64")
+    pts = list(zip(df.o_orderkey, df.o_orderdate, df.p))
+    for k, d, p in pts:
+        dominated = any(
+            (p2 >= p and d2 <= d and (p2 > p or d2 < d))
+            for _, d2, p2 in pts)
+        assert (k in got) == (not dominated), k
