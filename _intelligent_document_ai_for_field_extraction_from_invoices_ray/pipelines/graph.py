@@ -301,8 +301,18 @@ def q_triangle_count(sf_dir: str) -> rd.Dataset:
                          "b": pa.array(b, type=pa.int64())})
 
     raw = nodes.map_batches(edges_of, batch_format="pyarrow")
-    edges = (raw.groupby(["a", "b"]).count()
-             .select_columns(["a", "b"]))       # canonical dedup
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"]).astype(
+            {"a": np.int64, "b": np.int64})
+
+    # hash-bucketed dedup (native sort-groupby costs ~4 s of fixed
+    # shuffle overhead at this size); edges and oriented are each
+    # consumed by MULTIPLE downstream stages, so both materialize —
+    # edge-sized tables, the documented residency trade (same caveat
+    # as the dedup family's memoized hash sets)
+    edges = bucketed_group_apply(raw, ["a", "b"], dedup,
+                                 num_buckets=16).materialize()
 
     def deg_partial(batch: pa.Table) -> pd.DataFrame:
         ends = np.concatenate([
@@ -318,7 +328,7 @@ def q_triangle_count(sf_dir: str) -> rd.Dataset:
 
     degrees = bucketed_group_apply(
         edges.map_batches(deg_partial, batch_format="pyarrow"),
-        ["node"], deg_merge, num_buckets=32)
+        ["node"], deg_merge, num_buckets=16)
 
     def attach(col: str, out: str):
         def fn(ef: pd.DataFrame, nf: pd.DataFrame) -> pd.DataFrame:
@@ -333,9 +343,9 @@ def q_triangle_count(sf_dir: str) -> rd.Dataset:
         return fn
 
     e1 = bucketed_cogroup(edges, degrees, ["a"], ["node"],
-                          attach("a", "deg_a"))
+                          attach("a", "deg_a"), num_buckets=16)
     e2 = bucketed_cogroup(e1, degrees, ["b"], ["node"],
-                          attach("b", "deg_b"))
+                          attach("b", "deg_b"), num_buckets=16)
 
     def orient(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -348,7 +358,8 @@ def q_triangle_count(sf_dir: str) -> rd.Dataset:
         return pa.table({"src": src, "dst": dst,
                          "sdeg": sdeg, "ddeg": ddeg})
 
-    oriented = e2.map_batches(orient, batch_format="pyarrow")
+    oriented = e2.map_batches(orient,
+                              batch_format="pyarrow").materialize()
 
     def wedges_of(df: pd.DataFrame) -> pd.DataFrame:
         rows_a, rows_b, rows_c = [], [], []
@@ -365,7 +376,7 @@ def q_triangle_count(sf_dir: str) -> rd.Dataset:
             "wc": pd.Series(rows_c, dtype=np.int64)})
 
     wedges = bucketed_group_apply(oriented, ["src"], wedges_of,
-                                  num_buckets=32)
+                                  num_buckets=16)
 
     def close(wf: pd.DataFrame, ef: pd.DataFrame) -> pd.DataFrame:
         if wf.empty or ef.empty:
@@ -381,7 +392,8 @@ def q_triangle_count(sf_dir: str) -> rd.Dataset:
 
     closed = bucketed_cogroup(wedges,
                               oriented.select_columns(["src", "dst"]),
-                              ["wb", "wc"], ["src", "dst"], close)
+                              ["wb", "wc"], ["src", "dst"], close,
+                              num_buckets=16)
 
     def tri_merge(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("node", as_index=False).agg(

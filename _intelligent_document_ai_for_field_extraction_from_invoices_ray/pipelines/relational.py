@@ -1143,13 +1143,18 @@ def q_events_pivot(sf_dir: str) -> rd.Dataset:
         wide["n_total"] = wide.sum(axis=1).astype(np.int64)
         return wide.rename_axis("hour_bucket").reset_index()
 
-    from ray.data.aggregate import Sum
+    from .grouping import bucketed_group_apply
 
     cols = [f"n_{t}" for t in _EVENT_TYPES] + ["n_total"]
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby("hour_bucket")
-            .aggregate(*[Sum(c, alias_name=c) for c in cols])
-            .sort("hour_bucket"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("hour_bucket", as_index=False)[cols].sum()
+        return g.astype({c: np.int64 for c in ["hour_bucket"] + cols})
+
+    return (bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["hour_bucket"], merge, num_buckets=16)
+        .sort("hour_bucket"))
 
 
 SQL_EVENTS_PIVOT = """
@@ -1328,24 +1333,33 @@ def q_events_dense_hours(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({"hour_bucket": h.astype(np.int64),
                              "n_events": c.astype(np.int64)})
 
-    parts = ds.map_batches(hour_part, batch_format="pandas")
-    bounds = parts.to_pandas()  # hours-sized partials (bounded), reused
-    h_min, h_max = int(bounds.hour_bucket.min()), int(
-        bounds.hour_bucket.max())
+    from .grouping import bucketed_group_apply
+
+    def hour_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("hour_bucket", as_index=False)
+             .agg(n_events=("n_events", "sum")))
+        return g.astype({"hour_bucket": np.int64, "n_events": np.int64})
+
+    # hash-bucketed merges (native sort-groupby costs seconds of fixed
+    # shuffle overhead at this size); counts materialized once — it is
+    # the hours-sized table both the bounds probe and the final union
+    # consume, so its lineage must not re-execute per consumer
+    counts = bucketed_group_apply(
+        ds.map_batches(hour_part, batch_format="pandas"),
+        ["hour_bucket"], hour_merge, num_buckets=16).materialize()
+    h_min = int(counts.min("hour_bucket"))
+    h_max = int(counts.max("hour_bucket"))
 
     def to_zero_rows(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "hour_bucket": (batch["id"] + h_min).astype(np.int64),
             "n_events": np.zeros(len(batch), dtype=np.int64)})
 
-    dense = (rd.range(h_max - h_min + 1)
+    dense = (rd.range(h_max - h_min + 1, override_num_blocks=4)
              .map_batches(to_zero_rows, batch_format="pandas"))
 
-    from ray.data.aggregate import Sum
-
-    return (parts.union(dense)
-            .groupby("hour_bucket")
-            .aggregate(Sum("n_events", alias_name="n_events"))
+    return (bucketed_group_apply(counts.union(dense), ["hour_bucket"],
+                                 hour_merge, num_buckets=8)
             .sort("hour_bucket"))
 
 
@@ -1581,12 +1595,19 @@ def q_order_skyline(sf_dir: str) -> rd.Dataset:
         return (df.groupby("o_orderdate", as_index=False)
                 .agg(pmax=("price_cents", "max")))
 
-    from ray.data.aggregate import Max
+    def date_max_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("o_orderdate", as_index=False)
+                .agg(pmax=("pmax", "max")))
 
-    dm = (orders.map_batches(date_max, batch_format="pandas")
-          .groupby("o_orderdate")
-          .aggregate(Max("pmax", alias_name="pmax"))
-          .to_pandas())                     # date-cardinality, bounded
+    from .grouping import bucketed_group_apply
+
+    # hash-bucketed merge, not native groupby().aggregate(): Ray's
+    # sort-based groupby costs ~12 s on this timestamp key at sf0.1
+    # where 16 hash buckets cost 0.6 s (measured; same result)
+    dm = (bucketed_group_apply(
+        orders.map_batches(date_max, batch_format="pandas"),
+        ["o_orderdate"], date_max_merge, num_buckets=16)
+        .to_pandas())                       # date-cardinality, bounded
     dm = dm.sort_values("o_orderdate").reset_index(drop=True)
     dm["prev_max"] = dm.pmax.cummax().shift(1).fillna(-1).astype(np.int64)
     pmax_by = dict(zip(dm.o_orderdate, dm.pmax))
