@@ -350,7 +350,7 @@ _GATE_ORDER = [
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",
     "pagerank", "triangle_count",
     "anchor_text",
-    "inverted_index", "bm25_topk", "bpe_learn",
+    "inverted_index", "bm25_topk", "bpe_learn", "bpe_vocab_apply",
     "span_consistency", "lm_surprisal", "lm_tier", "seq_pack",
     "embed_topk", "events_top3_per_type",
     "events_pivot", "nation_balance_outer", "event_funnel",

@@ -69,10 +69,11 @@ def word_counts(docs: rd.Dataset) -> rd.Dataset:
         ["word"], merge, num_buckets=32)
 
 
-def learn_merges(words: rd.Dataset, n_merges: int = N_MERGES
-                 ) -> list[tuple[str, str, int]]:
+def learn_merges(words: rd.Dataset, n_merges: int = N_MERGES,
+                 return_words: bool = False):
     """T rounds of weighted pair-count → argmax → merge-apply over the
-    materialized word table.  Returns [(lsym, rsym, pair_count)]."""
+    materialized word table.  Returns [(lsym, rsym, pair_count)] (and,
+    with ``return_words``, the final re-segmented word table too)."""
     words = words.materialize()
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -114,6 +115,8 @@ def learn_merges(words: rd.Dataset, n_merges: int = N_MERGES
 
         words = words.map_batches(apply,
                                   batch_format="pyarrow").materialize()
+    if return_words:
+        return merges, words
     return merges
 
 
@@ -171,6 +174,47 @@ p{k} AS (
 SQL_BPE_LEARN = _bpe_sql()
 
 
+def q_bpe_vocab_apply(sf_dir: str) -> rd.Dataset:
+    """The re-segmented vocabulary AFTER the T learned merges — per
+    word: its count, symbol count, and the full symbol-sequence string.
+    Byte-pins the entire merge APPLICATION (not just the learned table)
+    against the oracle's unrolled CTE chain: both sides must produce
+    the identical double-separator string for every word."""
+
+    _, words = learn_merges(word_counts(_docs(sf_dir)),
+                            return_words=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        seqs = batch.column("seq").to_pylist()
+        n_syms = [len(s.strip("|").split("||")) for s in seqs]
+        return pa.table({
+            "word": batch.column("word"),
+            "cnt": batch.column("cnt"),
+            "n_syms": pa.array(n_syms, type=pa.int64()),
+            "seq": batch.column("seq"),
+        })
+
+    return (words.map_batches(finish, batch_format="pyarrow")
+            .sort("word"))
+
+
+def _bpe_vocab_sql(n_merges: int = N_MERGES) -> str:
+    chain = _bpe_sql(n_merges)
+    # reuse the learn chain's CTEs, select the final word table instead
+    head = chain[:chain.rindex("\nSELECT * FROM (")]
+    return head + f"""
+SELECT word, cnt,
+       CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT)
+           AS n_syms,
+       seq
+FROM w{n_merges} ORDER BY word
+"""
+
+
+SQL_BPE_VOCAB_APPLY = _bpe_vocab_sql()
+
+
 BPE_QUERIES = {
     "bpe_learn": (q_bpe_learn, SQL_BPE_LEARN),
+    "bpe_vocab_apply": (q_bpe_vocab_apply, SQL_BPE_VOCAB_APPLY),
 }

@@ -70,3 +70,45 @@ def test_bpe_learn_matches_list_reference(ray_session) -> None:
                     .itertuples(index=False, name=None))
     assert got_rows == want
     assert list(got["rank"]) == list(range(1, len(want) + 1))
+
+
+def test_bpe_vocab_apply_matches_list_reference(ray_session) -> None:
+    """Final segmentation (not just the merge table) must equal the
+    independent list-based reference for every vocabulary word."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.bpe import (
+        N_MERGES,
+        q_bpe_vocab_apply,
+    )
+
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(t.lower().split())
+
+    # independent application: learn with the list reference, then
+    # re-segment each word with the learned merges greedily
+    merges = _ref_bpe(dict(wc), N_MERGES)
+    def segment(word: str) -> list[str]:
+        syms = list(word)
+        for l, r, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i+1] == r:
+                    out.append(l + r); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+
+    got = q_bpe_vocab_apply(SF).to_pandas()
+    assert set(got.word) == set(wc)
+    for row in got.itertuples(index=False):
+        want = segment(row.word)
+        assert row.seq == "||" + "||".join(want) + "||", row.word
+        assert row.n_syms == len(want)
+        assert row.cnt == wc[row.word]
