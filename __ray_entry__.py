@@ -351,6 +351,7 @@ _GATE_ORDER = [
     "pagerank", "triangle_count",
     "anchor_text",
     "inverted_index", "bm25_topk", "bpe_learn", "bpe_vocab_apply",
+    "token_pmi",
     "span_consistency", "lm_surprisal", "lm_tier", "seq_pack",
     "embed_topk", "events_top3_per_type",
     "events_pivot", "nation_balance_outer", "event_funnel",

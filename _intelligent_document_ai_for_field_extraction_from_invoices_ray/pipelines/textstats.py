@@ -1083,6 +1083,141 @@ ORDER BY d.doc_id
 """
 
 
+# ------------------------------------------------------------ PMI
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+def q_token_pmi(sf_dir: str) -> pd.DataFrame:
+    """Top-50 adjacent-bigram collocations by pointwise mutual
+    information — the association statistic (Church & Hanks 1990)
+    behind phrase mining and collocation extraction.
+
+    Integer PMI surrogate (the repo's libm-avoidance discipline): the
+    probability ratio  P(a,b)/(P(a)P(b)) = c₂·N₁²/(N₂·c₁ₐ·c₁ᵦ)  is
+    emitted as the two-step floor  ((1000·c₂·N₁ // c₁ₐ) · N₁) //
+    (c₁ᵦ·N₂)  — each step stays under int64 because c₂ ≤ c₁ₐ (holds to
+    N₁ ~ 10¹³ tokens; beyond that the scale rebases — a raise, not a
+    silent wrap), and the identical expression runs in DuckDB.
+
+    Scale shape: bigram-count partials → one bucketed merge; unigram
+    counts the same; then TWO bucketed cogroups attach c₁ₐ and c₁ᵦ to
+    the bigram table (vocabulary-sized ⋈ bigram-vocabulary-sized —
+    neither corpus-sized, neither broadcast); distributed
+    sort-desc + limit picks the top-50, so only 50 rows ever reach the
+    driver."""
+    from .grouping import bucketed_cogroup, bucketed_group_apply
+
+    docs = _docs(sf_dir, ("text",))
+
+    def bigram_part(batch: pa.Table) -> pd.DataFrame:
+        agg: dict[tuple[str, str], int] = {}
+        n_tok = 0
+        for t in batch.column("text").to_pylist():
+            toks = t.lower().split()
+            n_tok += len(toks)
+            for i in range(len(toks) - 1):
+                k = (toks[i], toks[i + 1])
+                agg[k] = agg.get(k, 0) + 1
+        return pd.DataFrame({
+            "a": [k[0] for k in agg], "b": [k[1] for k in agg],
+            "c2": pd.Series(list(agg.values()), dtype=np.int64)})
+
+    def uni_part(batch: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.lower().split())
+        return pd.DataFrame({"tok": list(c.keys()),
+                             "c1": pd.Series(list(c.values()),
+                                             dtype=np.int64)})
+
+    def merge_bi(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], as_index=False).agg(c2=("c2", "sum"))
+        return g.astype({"c2": np.int64})
+
+    def merge_uni(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False).agg(c1=("c1", "sum"))
+        return g.astype({"c1": np.int64})
+
+    bi = bucketed_group_apply(
+        docs.map_batches(bigram_part, batch_format="pyarrow"),
+        ["a", "b"], merge_bi, num_buckets=16)
+    uni = bucketed_group_apply(
+        docs.map_batches(uni_part, batch_format="pyarrow"),
+        ["tok"], merge_uni, num_buckets=16).materialize()
+
+    # exact global totals from the unigram/bigram tables
+    n1 = int(uni.sum("c1"))
+    bi = bi.materialize()
+    n2 = int(bi.sum("c2"))
+
+    def attach(col: str, out: str):
+        def fn(bf: pd.DataFrame, uf: pd.DataFrame) -> pd.DataFrame:
+            if bf.empty:
+                cols = {c: pd.Series(dtype=np.int64
+                                     if c != "a" and c != "b" else object)
+                        for c in list(bf.columns) + [out]}
+                return pd.DataFrame(cols)
+            m = bf.merge(uf.rename(columns={"tok": col, "c1": out}),
+                         on=col)
+            return m.astype({out: np.int64})
+        return fn
+
+    j1 = bucketed_cogroup(bi, uni, ["a"], ["tok"], attach("a", "c1a"),
+                          num_buckets=16)
+    j2 = bucketed_cogroup(j1, uni, ["b"], ["tok"], attach("b", "c1b"),
+                          num_buckets=16)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df.c2 >= _PMI_MIN_COUNT]
+        step1 = (1000 * df.c2.to_numpy() * n1) // df.c1a.to_numpy()
+        pmi = (step1 * n1) // (df.c1b.to_numpy() * n2)
+        out = df.assign(pmi_scaled=pmi.astype(np.int64))
+        return out[["a", "b", "c2", "pmi_scaled"]]
+
+    top = (j2.map_batches(score, batch_format="pyarrow")
+           .sort(["pmi_scaled", "a", "b"],
+                 descending=[True, False, False])
+           .limit(_PMI_TOPK).to_pandas())
+    top = top.astype({"c2": np.int64, "pmi_scaled": np.int64})
+    top["rank"] = pd.Series(np.arange(1, len(top) + 1), dtype=np.int64)
+    return top[["rank", "a", "b", "c2", "pmi_scaled"]]
+
+
+SQL_TOKEN_PMI = rf"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents WHERE trim(lower(text)) <> ''
+), uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+    SELECT unnest(arr) AS tok FROM toks) GROUP BY tok
+), bi AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+    SELECT arr[i] AS a, arr[i+1] AS b
+    FROM toks, unnest(generate_series(1, len(arr)-1)) AS t(i)
+  ) GROUP BY a, b
+), tot AS (
+  SELECT (SELECT SUM(c1) FROM uni) AS n1,
+         (SELECT SUM(c2) FROM bi) AS n2
+), scored AS (
+  SELECT bi.a, bi.b, bi.c2,
+         CAST(((1000 * bi.c2 * t.n1 // ua.c1) * t.n1)
+              // (ub.c1 * t.n2) AS BIGINT) AS pmi_scaled
+  FROM bi
+  JOIN uni ua ON ua.tok = bi.a
+  JOIN uni ub ON ub.tok = bi.b
+  CROSS JOIN tot t
+  WHERE bi.c2 >= {_PMI_MIN_COUNT}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi_scaled DESC, a, b)
+            AS BIGINT) AS rank,
+       a, b, c2, pmi_scaled
+FROM scored ORDER BY pmi_scaled DESC, a, b LIMIT {_PMI_TOPK}
+"""
+
+
 TEXT_QUERIES = {
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
@@ -1101,4 +1236,5 @@ TEXT_QUERIES = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),
+    "token_pmi": (q_token_pmi, SQL_TOKEN_PMI),
 }

@@ -197,6 +197,7 @@ def run_bench() -> dict:
     timed("bm25_topk", indexing.q_bm25_topk)
     timed("bpe_learn", bpe.q_bpe_learn)
     timed("bpe_vocab_apply", bpe.q_bpe_vocab_apply)
+    timed("token_pmi", textstats.q_token_pmi)
     timed("ocr_correct", spellfix.q_ocr_correct)
     timed("segment_nation_rollup", relational.q_segment_nation_rollup)
     timed("events_pivot", relational.q_events_pivot)
