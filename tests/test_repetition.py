@@ -191,3 +191,40 @@ def test_repetition_stats_vs_oracle(rep_sf):
     # all-unique: no duplicate mass anywhere
     assert by.loc[5, "dup_bigram_milli"] == 0
     assert by.loc[5, "distinct_tokens"] == by.loc[5, "n_tokens"]
+
+
+def test_token_pmi_brute_force(ray_session) -> None:
+    """Top-50 PMI rows must equal a single-process brute-force of the
+    identical integer formula (two-step floor), same ordering."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import (
+        _PMI_MIN_COUNT,
+        _PMI_TOPK,
+        q_token_pmi,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    texts = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    from collections import Counter
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in texts:
+        toks = t.lower().split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n1, n2 = sum(uni.values()), sum(bi.values())
+    rows = []
+    for (a, b), c2 in bi.items():
+        if c2 < _PMI_MIN_COUNT:
+            continue
+        pmi = ((1000 * c2 * n1 // uni[a]) * n1) // (uni[b] * n2)
+        rows.append((pmi, a, b, c2))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    want = [(i + 1, a, b, c2, pmi)
+            for i, (pmi, a, b, c2) in enumerate(rows[:_PMI_TOPK])]
+
+    got = list(q_token_pmi(sf)[["rank", "a", "b", "c2", "pmi_scaled"]]
+               .itertuples(index=False, name=None))
+    assert got == want
