@@ -319,6 +319,7 @@ def _query_banks() -> list[dict]:
                            ("lmscore", "LM_QUERIES"),
                            ("spellfix", "SPELL_QUERIES"),
                            ("bpe", "BPE_QUERIES"),
+                           ("altsource", "ALT_QUERIES"),
                            ("packing", "PACK_QUERIES")]:
         try:
             mod = importlib.import_module(f"{pkg}.{mod_name}")
@@ -351,7 +352,7 @@ _GATE_ORDER = [
     "pagerank", "triangle_count",
     "anchor_text",
     "inverted_index", "bm25_topk", "bpe_learn", "bpe_vocab_apply",
-    "token_pmi",
+    "token_pmi", "csv_source_stats", "jsonl_source_stats",
     "span_consistency", "lm_surprisal", "lm_tier", "seq_pack",
     "embed_topk", "events_top3_per_type",
     "events_pivot", "nation_balance_outer", "event_funnel",

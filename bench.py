@@ -80,6 +80,7 @@ def run_bench() -> dict:
     import ray.data as rd
 
     from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines import (
+        altsource,
         bpe,
         crawl,
         dedup,
@@ -198,6 +199,8 @@ def run_bench() -> dict:
     timed("bpe_learn", bpe.q_bpe_learn)
     timed("bpe_vocab_apply", bpe.q_bpe_vocab_apply)
     timed("token_pmi", textstats.q_token_pmi)
+    timed("csv_source_stats", altsource.q_csv_source_stats)
+    timed("jsonl_source_stats", altsource.q_jsonl_source_stats)
     timed("ocr_correct", spellfix.q_ocr_correct)
     timed("segment_nation_rollup", relational.q_segment_nation_rollup)
     timed("events_pivot", relational.q_events_pivot)
