@@ -1653,6 +1653,83 @@ ORDER BY o_orderkey
 """
 
 
+# ------------------------------------------------------------ anomaly
+def q_events_rate_anomaly(sf_dir: str) -> rd.Dataset:
+    """Hours whose event rate deviates ≥3σ from the corpus mean — rate
+    anomaly detection with the z-test done in EXACT integers: with n
+    hours, S = Σc, SS = Σc², hour h is anomalous iff
+    (n·c_h − S)² > 9·(n·SS − S²)  — the 3σ rule cleared of divisions,
+    so both engines compare the same int64s (no float mean/variance,
+    no distributed-variance cancellation).
+
+    Scale shape: per-batch hour-count partials → one bounded
+    groupby(hour) merge (distinct-hours cardinality); S/SS via the
+    native tree aggregate over the merged counts; thresholds broadcast
+    by closure into a stateless filter over the counts table."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["ts"])
+
+    def hour_part(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df.ts.astype("datetime64[ns]").astype("int64")
+        hours = (ns // 3_600_000_000_000).astype(np.int64)
+        h, c = np.unique(hours, return_counts=True)
+        return pd.DataFrame({"hour_bucket": h.astype(np.int64),
+                             "n_events": c.astype(np.int64)})
+
+    def hour_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("hour_bucket", as_index=False)
+             .agg(n_events=("n_events", "sum")))
+        return g.astype({"hour_bucket": np.int64, "n_events": np.int64})
+
+    counts = bucketed_group_apply(
+        ds.map_batches(hour_part, batch_format="pandas"),
+        ["hour_bucket"], hour_merge, num_buckets=16).materialize()
+
+    def sq(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(sq=(df.n_events * df.n_events).astype(np.int64))
+
+    stats = counts.map_batches(sq, batch_format="pandas").sum(
+        on=["n_events", "sq"])
+    n = int(counts.count())
+    s = int(stats["sum(n_events)"])
+    ss = int(stats["sum(sq)"])
+    thr = 9 * (n * ss - s * s)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        dev = n * df.n_events.to_numpy(dtype=np.int64) - s
+        keep = dev * dev > thr
+        out = df[keep].assign(
+            dev_sq=pd.Series(dev[keep] ** 2, dtype=np.int64,
+                             index=df.index[keep]),
+            threshold=np.int64(thr))
+        return out.astype({"dev_sq": np.int64, "threshold": np.int64})
+
+    return (counts.map_batches(flag, batch_format="pandas")
+            .sort("hour_bucket"))
+
+
+SQL_EVENTS_RATE_ANOMALY = """
+WITH c AS (
+  SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), st AS (
+  SELECT COUNT(*) AS n, CAST(SUM(n_events) AS BIGINT) AS s,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS ss
+  FROM c
+)
+SELECT c.hour_bucket, c.n_events,
+       CAST((st.n * c.n_events - st.s) * (st.n * c.n_events - st.s)
+            AS BIGINT) AS dev_sq,
+       CAST(9 * (st.n * st.ss - st.s * st.s) AS BIGINT) AS threshold
+FROM c CROSS JOIN st
+WHERE (st.n * c.n_events - st.s) * (st.n * c.n_events - st.s)
+      > 9 * (st.n * st.ss - st.s * st.s)
+ORDER BY hour_bucket
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE_FILTER),
@@ -1688,4 +1765,6 @@ QUERIES = {
     "order_value_corr_stats": (q_order_value_corr_stats,
                                SQL_ORDER_VALUE_CORR_STATS),
     "order_skyline": (q_order_skyline, SQL_ORDER_SKYLINE),
+    "events_rate_anomaly": (q_events_rate_anomaly,
+                            SQL_EVENTS_RATE_ANOMALY),
 }

@@ -187,3 +187,25 @@ def test_skyline_dominance_definition(ray_session) -> None:
             (p2 >= p and d2 <= d and (p2 > p or d2 < d))
             for _, d2, p2 in pts)
         assert (k in got) == (not dominated), k
+
+
+def test_rate_anomaly_integer_z_rule(ray_session) -> None:
+    """Flagged hours must match a float z-score recompute at the 3σ
+    boundary (population variance), and every unflagged hour must sit
+    at |z| ≤ 3 — the integer rule is the exact float rule."""
+    import duckdb
+    import numpy as np
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
+        q_events_rate_anomaly,
+    )
+    got = q_events_rate_anomaly(SF).to_pandas()
+    counts = duckdb.sql(f"""
+        SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS h, COUNT(*) AS c
+        FROM '{SF}/events.parquet' GROUP BY 1""").df()
+    mu = counts.c.mean()
+    sigma = counts.c.std(ddof=0)
+    z = (counts.c - mu) / sigma
+    want = set(counts.h[np.abs(z) > 3])
+    assert set(got.hour_bucket) == want
+    assert (got.dev_sq > got.threshold).all()
