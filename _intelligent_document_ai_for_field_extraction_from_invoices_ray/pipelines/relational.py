@@ -1730,6 +1730,58 @@ ORDER BY hour_bucket
 """
 
 
+# ------------------------------------------------------- transitions
+def q_event_transitions(sf_dir: str) -> rd.Dataset:
+    """Markov transition counts between consecutive events of each
+    user (ts order, event_id tie-break): the (from_type, to_type)
+    matrix behind clickstream path analysis — the event-stream analog
+    of token bigrams.
+
+    Scale shape: transitions are per-user state, so ONE bucketed
+    shuffle on user_id; inside a bucket a vectorized sort + shift
+    produces consecutive pairs, pre-reduced to per-bucket (from, to)
+    partials; the final 5×5-bounded merge folds partials.  The events
+    table never shuffles twice."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["ts", "event_id", "user_id",
+                                "event_type"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        same_user = df.user_id.eq(df.user_id.shift(-1))
+        out = pd.DataFrame({
+            "from_type": df.event_type[same_user],
+            "to_type": df.event_type.shift(-1)[same_user]})
+        g = (out.groupby(["from_type", "to_type"], as_index=False)
+             .agg(n=("from_type", "size")))
+        return g.astype({"n": np.int64})
+
+    parts = bucketed_group_apply(ds, ["user_id"], fold, num_buckets=32)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["from_type", "to_type"], as_index=False)
+             .agg(n=("n", "sum")))
+        return g.astype({"n": np.int64})
+
+    return bucketed_group_apply(parts, ["from_type", "to_type"], merge,
+                                num_buckets=4).sort(["from_type",
+                                                     "to_type"])
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+FROM s WHERE next_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE_FILTER),
@@ -1767,4 +1819,5 @@ QUERIES = {
     "order_skyline": (q_order_skyline, SQL_ORDER_SKYLINE),
     "events_rate_anomaly": (q_events_rate_anomaly,
                             SQL_EVENTS_RATE_ANOMALY),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
 }

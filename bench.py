@@ -213,6 +213,7 @@ def run_bench() -> dict:
     timed("order_value_corr_stats", relational.q_order_value_corr_stats)
     timed("order_skyline", relational.q_order_skyline)
     timed("events_rate_anomaly", relational.q_events_rate_anomaly)
+    timed("event_transitions", relational.q_event_transitions)
     timed("lm_surprisal", lmscore.q_lm_surprisal)
     timed("lm_tier", lmscore.q_lm_tier)
     timed("seq_pack", packing.q_seq_pack)

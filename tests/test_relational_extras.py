@@ -209,3 +209,28 @@ def test_rate_anomaly_integer_z_rule(ray_session) -> None:
     want = set(counts.h[np.abs(z) > 3])
     assert set(got.hour_bucket) == want
     assert (got.dev_sq > got.threshold).all()
+
+
+def test_event_transitions_brute_force(ray_session) -> None:
+    """Transition counts must equal a single-process recompute, and
+    total transitions = total events − distinct users (each user's
+    chain has length n_u − 1)."""
+    import duckdb
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
+        q_event_transitions,
+    )
+    got = q_event_transitions(SF).to_pandas()
+    ev = duckdb.sql(f"""
+        SELECT user_id, event_type FROM '{SF}/events.parquet'
+        ORDER BY user_id, ts, event_id""").df()
+    from collections import Counter
+    want: Counter = Counter()
+    for _, g in ev.groupby("user_id"):
+        types = list(g.event_type)
+        want.update(zip(types, types[1:]))
+    assert {(r.from_type, r.to_type): r.n
+            for r in got.itertuples(index=False)} == dict(want)
+    n_events = len(ev)
+    n_users = ev.user_id.nunique()
+    assert int(got.n.sum()) == n_events - n_users
