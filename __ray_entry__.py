@@ -353,6 +353,7 @@ _GATE_ORDER = [
     "anchor_text",
     "inverted_index", "bm25_topk", "bpe_learn", "bpe_vocab_apply",
     "token_pmi", "csv_source_stats", "jsonl_source_stats",
+    "hybrid_search_rrf",
     "span_consistency", "lm_surprisal", "lm_tier", "seq_pack",
     "embed_topk", "events_top3_per_type",
     "events_pivot", "nation_balance_outer", "event_funnel",

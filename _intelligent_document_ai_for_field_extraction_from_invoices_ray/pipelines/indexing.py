@@ -241,7 +241,83 @@ FROM ranked WHERE rank <= {_BM25_TOPK} ORDER BY query_id, rank
 SQL_BM25_TOPK = _bm25_sql()
 
 
+#: lexical query ↔ embedding query pairing for hybrid fusion (the
+#: embedding side uses vec_id < TOPK_QUERIES as its query set)
+_HYBRID_PAIRS = [("q_hash_join", 0), ("q_stream_window", 1),
+                 ("q_sort_merge_scan", 2), ("q_spark", 3)]
+_RRF_K = 60
+_HYBRID_TOPK = 5
+
+
+def q_hybrid_search_rrf(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval: BM25 (lexical) and cosine top-k (dense)
+    result lists fused by Reciprocal Rank Fusion (Cormack et al. 2009)
+    — `rrf_milli = Σ 1000 // (60 + rank)` over the lists a candidate
+    appears in.  RRF is rank-only, so the fusion is exact integer
+    arithmetic and the oracle composes the two already-gated SQL
+    chains verbatim.
+
+    Scale shape: the heavy work is the two underlying gated queries
+    (each distributed, each bounded top-k output); fusion itself
+    touches only |queries| × (k_lex + k_dense) rows — inherently
+    driver-scale."""
+    from .similarity import q_embed_topk
+
+    lex = q_bm25_topk(sf_dir).to_pandas()      # ≤ 4×5 rows
+    den = q_embed_topk(sf_dir)
+    den = den.to_pandas() if hasattr(den, "to_pandas") else den
+
+    rows = []
+    for lex_q, den_q in _HYBRID_PAIRS:
+        cand: dict[int, int] = {}
+        for r in lex[lex.query_id == lex_q].itertuples(index=False):
+            cand[int(r.doc_id)] = (cand.get(int(r.doc_id), 0)
+                                   + 1000 // (_RRF_K + int(r.rank)))
+        for r in den[den.query_id == den_q].itertuples(index=False):
+            nid = int(r.neighbor_id)
+            cand[nid] = cand.get(nid, 0) + 1000 // (_RRF_K + int(r.rank))
+        fused = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))
+        for i, (doc, s) in enumerate(fused[:_HYBRID_TOPK], 1):
+            rows.append((lex_q, i, doc, s))
+    return pd.DataFrame({
+        "query_id": [r[0] for r in rows],
+        "rank": pd.Series([r[1] for r in rows], dtype=np.int64),
+        "doc_id": pd.Series([r[2] for r in rows], dtype=np.int64),
+        "rrf_milli": pd.Series([r[3] for r in rows], dtype=np.int64)})
+
+
+def _hybrid_sql() -> str:
+    from .similarity import SQL_EMBED_TOPK
+
+    pairs = ", ".join(f"('{lq}', {dq})" for lq, dq in _HYBRID_PAIRS)
+    return f"""
+WITH lex AS (SELECT * FROM ({SQL_BM25_TOPK.rstrip()}) ),
+den AS (SELECT * FROM ({SQL_EMBED_TOPK.rstrip()}) ),
+qmap(lex_q, den_q) AS (VALUES {pairs}),
+scores AS (
+  SELECT m.lex_q AS query_id, l.doc_id,
+         CAST(1000 // ({_RRF_K} + l.rank) AS BIGINT) AS part
+  FROM qmap m JOIN lex l ON l.query_id = m.lex_q
+  UNION ALL
+  SELECT m.lex_q, d.neighbor_id,
+         CAST(1000 // ({_RRF_K} + d.rank) AS BIGINT)
+  FROM qmap m JOIN den d ON d.query_id = m.den_q
+), fused AS (
+  SELECT query_id, doc_id, CAST(SUM(part) AS BIGINT) AS rrf_milli
+  FROM scores GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, rrf_milli FROM (
+  SELECT query_id, doc_id, rrf_milli,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_milli DESC, doc_id)
+              AS BIGINT) AS rank
+  FROM fused) WHERE rank <= {_HYBRID_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 INDEX_QUERIES = {
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "hybrid_search_rrf": (q_hybrid_search_rrf, _hybrid_sql()),
 }

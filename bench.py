@@ -196,6 +196,7 @@ def run_bench() -> dict:
     timed("triangle_count", graph.q_triangle_count)
     timed("inverted_index", indexing.q_inverted_index)
     timed("bm25_topk", indexing.q_bm25_topk)
+    timed("hybrid_search_rrf", indexing.q_hybrid_search_rrf)
     timed("bpe_learn", bpe.q_bpe_learn)
     timed("bpe_vocab_apply", bpe.q_bpe_vocab_apply)
     timed("token_pmi", textstats.q_token_pmi)

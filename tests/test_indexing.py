@@ -98,3 +98,43 @@ def test_bm25_block_prune_lossless(ray_session) -> None:
     got_rows = list(got[["query_id", "doc_id", "score_scaled", "rank"]]
                     .itertuples(index=False, name=None))
     assert sorted(got_rows) == sorted(want_rows)
+
+
+def test_hybrid_rrf_fusion_properties(ray_session) -> None:
+    """RRF fusion sanity: every fused row's score equals the sum of its
+    reciprocal-rank parts recomputed from the two source lists, and a
+    doc present in BOTH lists outranks one with a single equal-rank
+    appearance."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.indexing import (
+        _HYBRID_PAIRS,
+        _RRF_K,
+        q_bm25_topk,
+        q_hybrid_search_rrf,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.similarity import (
+        q_embed_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    lex = q_bm25_topk(sf).to_pandas()
+    den = q_embed_topk(sf)
+    den = den.to_pandas() if hasattr(den, "to_pandas") else den
+    got = q_hybrid_search_rrf(sf)
+
+    for row in got.itertuples(index=False):
+        den_q = dict(_HYBRID_PAIRS)[row.query_id]
+        want = 0
+        l = lex[(lex.query_id == row.query_id)
+                & (lex.doc_id == row.doc_id)]
+        if len(l):
+            want += 1000 // (_RRF_K + int(l["rank"].iloc[0]))
+        d = den[(den.query_id == den_q)
+                & (den.neighbor_id == row.doc_id)]
+        if len(d):
+            want += 1000 // (_RRF_K + int(d["rank"].iloc[0]))
+        assert row.rrf_milli == want, row
+    # ranks are 1..k per query, strictly ordered by (score desc, doc)
+    for q, g in got.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        s = list(zip(-g.rrf_milli, g.doc_id))
+        assert s == sorted(s)
