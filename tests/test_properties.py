@@ -173,3 +173,41 @@ df.to_csv(sys.argv[1], index=False)
                        cwd="/root/repo", check=True, timeout=240)
         outs.append(out.read_bytes())
     assert outs[0] == outs[1]
+
+
+def test_session3_ops_identical_across_hash_seeds(tmp_path):
+    """The dict/set-heavy session-3 operators (BPE learning, FastSS OCR
+    correction, PMI mining) must be bit-identical across
+    PYTHONHASHSEED values — their internal dict/set iteration orders
+    must never leak into results (everything flows through explicit
+    sorts/groupbys)."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.bpe import q_bpe_learn
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.spellfix import q_ocr_correct
+from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import q_token_pmi
+sf = "/root/testdata/sf0.001"
+parts = []
+parts.append(q_bpe_learn(sf).to_csv(index=False))
+parts.append(q_ocr_correct(sf).to_pandas().to_csv(index=False))
+parts.append(q_token_pmi(sf).to_csv(index=False))
+with open(sys.argv[1], "w", encoding="utf-8") as f:
+    f.write("\n====\n".join(parts))
+ray.shutdown()
+"""
+    outs = []
+    for seed in ("1", "31337"):
+        out = tmp_path / f"s3seed{seed}.txt"
+        subprocess.run([sys.executable, "-c", script, str(out)],
+                       env={"PYTHONHASHSEED": seed,
+                            "PATH": "/usr/bin:/bin", "HOME": "/root",
+                            "RAY_ADDRESS": "local"},
+                       cwd="/root/repo", check=True, timeout=420)
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1]
