@@ -1782,6 +1782,66 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ------------------------------------------------------- log compaction
+def q_user_latest_event(sf_dir: str) -> rd.Dataset:
+    """Latest-wins compaction: each user's most recent event ((ts,
+    event_id) max — event_id breaks exact-ts ties deterministically) —
+    the merge-on-read/CDC upsert semantics every mutable-table layer
+    compacts to, at REAL key cardinality (one state row per user, not
+    a 25-key dimension).
+
+    Scale shape: the same semilattice argmax as nation_top_customer —
+    per-batch one candidate per user seen (bounded by users-in-batch),
+    ONE bucketed fold re-applying the identical (ts, event_id)-max
+    rule — but exercised at a key space that scales with the corpus,
+    so the exchange is ≤ one row per (batch, user) and no task ever
+    holds more than its bucket's users."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["ts", "event_id", "user_id",
+                                "event_type", "value"])
+
+    def cand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            ns=df.ts.astype("datetime64[ns]").astype("int64"),
+            value_cents=_cents(df.value))
+        df = df.sort_values(["user_id", "ns", "event_id"],
+                            ascending=[True, False, False])
+        top = df.groupby("user_id", as_index=False).head(1)
+        return top[["user_id", "ns", "event_id", "event_type",
+                    "value_cents"]].astype(
+            {"user_id": np.int64, "ns": np.int64,
+             "event_id": np.int64, "value_cents": np.int64})
+
+    def refold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ns", "event_id"],
+                            ascending=[True, False, False])
+        top = df.groupby("user_id", as_index=False).head(1)
+        return top.astype({"user_id": np.int64, "ns": np.int64,
+                           "event_id": np.int64,
+                           "value_cents": np.int64})
+
+    return (bucketed_group_apply(
+        ds.map_batches(cand, batch_format="pandas"),
+        ["user_id"], refold, num_buckets=32)
+        .sort("user_id"))
+
+
+SQL_USER_LATEST_EVENT = """
+WITH r AS (
+  SELECT user_id,
+         CAST(epoch_ns(ts) AS BIGINT) AS ns,
+         event_id, event_type,
+         CAST(round(value*100) AS BIGINT) AS value_cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ns, event_id, event_type, value_cents
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE_FILTER),
@@ -1820,4 +1880,5 @@ QUERIES = {
     "events_rate_anomaly": (q_events_rate_anomaly,
                             SQL_EVENTS_RATE_ANOMALY),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "user_latest_event": (q_user_latest_event, SQL_USER_LATEST_EVENT),
 }

@@ -215,6 +215,7 @@ def run_bench() -> dict:
     timed("order_skyline", relational.q_order_skyline)
     timed("events_rate_anomaly", relational.q_events_rate_anomaly)
     timed("event_transitions", relational.q_event_transitions)
+    timed("user_latest_event", relational.q_user_latest_event)
     timed("lm_surprisal", lmscore.q_lm_surprisal)
     timed("lm_tier", lmscore.q_lm_tier)
     timed("seq_pack", packing.q_seq_pack)

@@ -234,3 +234,24 @@ def test_event_transitions_brute_force(ray_session) -> None:
     n_events = len(ev)
     n_users = ev.user_id.nunique()
     assert int(got.n.sum()) == n_events - n_users
+
+
+def test_latest_event_is_per_user_max(ray_session) -> None:
+    """One row per user; each is that user's (ts, event_id)-max event;
+    a shuffled/odd-partitioned input gives the same answer (the
+    semilattice fold is order-free)."""
+    import duckdb
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
+        q_user_latest_event,
+    )
+    got = q_user_latest_event(SF).to_pandas()
+    ev = duckdb.sql(f"""
+        SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ns, event_id
+        FROM '{SF}/events.parquet'""").df()
+    assert len(got) == ev.user_id.nunique()
+    best = (ev.sort_values(["user_id", "ns", "event_id"],
+                           ascending=[True, False, False])
+            .groupby("user_id").head(1))
+    assert dict(zip(got.user_id, zip(got.ns, got.event_id))) == \
+        dict(zip(best.user_id, zip(best.ns, best.event_id)))
