@@ -359,7 +359,7 @@ _GATE_ORDER = [
     "events_pivot", "nation_balance_outer", "event_funnel",
     "nation_top_customer", "customers_above_nation_avg",
     "order_value_corr_stats", "order_skyline",
-    "events_dense_hours", "events_rate_anomaly", "event_transitions", "user_latest_event",
+    "events_dense_hours", "events_rate_anomaly", "event_transitions", "user_latest_event", "bloom_semi_join",
     "events_value_quantiles", "segment_sales", "segment_nation_rollup",
     "pricing_summary",
     "part_brand_stats", "decontamination", "embed_neardup",

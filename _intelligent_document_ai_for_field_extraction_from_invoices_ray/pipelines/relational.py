@@ -1842,6 +1842,135 @@ FROM r WHERE rn = 1 ORDER BY user_id
 """
 
 
+# ------------------------------------------------------- bloom semi-join
+_BLOOM_BITS = 1 << 20       # 1 Mib filter; build side scales the pattern
+_BLOOM_HASHES = ((2654435761, 0x9E3779B1), (40503, 0x85EBCA6B))
+
+
+def _bloom_positions(keys: np.ndarray) -> list[np.ndarray]:
+    """k=2 multiplicative hashes → bit positions (identical arithmetic
+    wherever the filter is built or probed; int64 keys, uint64 mixing)."""
+    out = []
+    k = keys.astype(np.uint64)
+    for mult, xorc in _BLOOM_HASHES:
+        h = (k * np.uint64(mult)) ^ np.uint64(xorc)
+        h ^= h >> np.uint64(31)
+        out.append((h % np.uint64(_BLOOM_BITS)).astype(np.int64))
+    return out
+
+
+def q_bloom_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Revenue of lineitems whose order is URGENT — computed through a
+    BLOOM-PREFILTERED semi-join, the standard 100-TB join-pruning
+    pattern: a compact bit filter of the build side (urgent orderkeys)
+    broadcasts to every probe task and discards most non-matching rows
+    BEFORE the shuffle; survivors (matches + Bloom false positives)
+    then verify EXACTLY against the real key set in the bucketed
+    cogroup, so the filter only prunes — the result is bit-identical
+    to the exact semi-join, which is what the oracle computes.
+
+    Scale shape: the filter is built distributively (per-batch bitmap
+    partials OR-folded — each partial is the fixed 1 Mib bitmap, so
+    the reduce is block-count × 128 KiB, key-count-independent),
+    broadcast once via ray.put; probe is stateless; only survivors
+    enter the verify cogroup.  The output records the pruning
+    telemetry (probed/survived) alongside the aggregate so the
+    false-positive behavior is observable — but only the exact
+    aggregate columns are oracle-checked semantics; probed == total
+    lineitems and survived ≥ matched are pinned by pytest."""
+    import ray
+
+    from .grouping import bucketed_cogroup
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def bitmap_part(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.o_orderkey[df.o_orderpriority == "1-URGENT"] \
+            .to_numpy(dtype=np.int64)
+        bits = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+        for pos in _bloom_positions(keys):
+            np.bitwise_or.at(bits, pos // 64,
+                             np.uint64(1) << (pos % 64).astype(np.uint64))
+        return pd.DataFrame([{"bits": bits.tobytes()}])
+
+    parts = (orders.map_batches(bitmap_part, batch_format="pandas")
+             .take_all())        # block-count × 128 KiB, bounded
+    bloom = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+    for r in parts:
+        bloom |= np.frombuffer(r["bits"], dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    class Probe:
+        def __init__(self, ref) -> None:
+            self.bloom = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            keys = df.l_orderkey.to_numpy(dtype=np.int64)
+            hit = np.ones(len(keys), dtype=bool)
+            for pos in _bloom_positions(keys):
+                word = self.bloom[pos // 64]
+                hit &= (word >> (pos % 64).astype(np.uint64)
+                        ) & np.uint64(1) > 0
+            out = df[hit]
+            return pa.table({
+                "l_orderkey": pa.array(out.l_orderkey, type=pa.int64()),
+                "rev": pa.array(
+                    _cents(out.l_extendedprice)
+                    * (100 - _cents(out.l_discount)), type=pa.int64()),
+                "probed": pa.array(
+                    np.full(len(out), 0, dtype=np.int64)),
+            }).replace_schema_metadata(None)
+
+    n_probed = int(li.count())
+    survivors = li.map_batches(Probe, fn_constructor_args=(bloom_ref,),
+                               concurrency=(1, 4),
+                               batch_format="pyarrow").materialize()
+    n_survived = int(survivors.count())
+
+    urgent = (orders.map_batches(
+        lambda df: df[df.o_orderpriority == "1-URGENT"]
+        [["o_orderkey"]], batch_format="pandas"))
+
+    def verify(sf: pd.DataFrame, of: pd.DataFrame) -> pd.DataFrame:
+        if sf.empty or of.empty:
+            return pd.DataFrame({"n": pd.Series(dtype=np.int64),
+                                 "rev": pd.Series(dtype=np.int64)})
+        m = sf.merge(of.drop_duplicates()
+                     .rename(columns={"o_orderkey": "l_orderkey"}),
+                     on="l_orderkey")
+        return pd.DataFrame([{"n": np.int64(len(m)),
+                              "rev": np.int64(m.rev.sum())}])
+
+    agg = bucketed_cogroup(survivors.select_columns(["l_orderkey",
+                                                     "rev"]),
+                           urgent, ["l_orderkey"], ["o_orderkey"],
+                           verify).to_pandas()
+    # telemetry (probed / survived / matched) is pytest-pinned via
+    # bloom_semi_join_stats — Bloom FP counts depend on uint64
+    # wrap-around arithmetic SQL can't reproduce, so the oracle checks
+    # only the exact-semantics aggregate
+    q_bloom_semi_join.last_stats = {  # type: ignore[attr-defined]
+        "probed": n_probed, "survived": n_survived,
+        "matched": int(agg.n.sum())}
+    return pd.DataFrame([{
+        "n_items": np.int64(agg.n.sum()),
+        "revenue_scaled": np.int64(agg.rev.sum())}])
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT)))
+            AS BIGINT) AS revenue_scaled
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE_FILTER),
@@ -1881,4 +2010,5 @@ QUERIES = {
                             SQL_EVENTS_RATE_ANOMALY),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "user_latest_event": (q_user_latest_event, SQL_USER_LATEST_EVENT),
+    "bloom_semi_join": (q_bloom_semi_join, SQL_BLOOM_SEMI_JOIN),
 }

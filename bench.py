@@ -216,6 +216,7 @@ def run_bench() -> dict:
     timed("events_rate_anomaly", relational.q_events_rate_anomaly)
     timed("event_transitions", relational.q_event_transitions)
     timed("user_latest_event", relational.q_user_latest_event)
+    timed("bloom_semi_join", relational.q_bloom_semi_join)
     timed("lm_surprisal", lmscore.q_lm_surprisal)
     timed("lm_tier", lmscore.q_lm_tier)
     timed("seq_pack", packing.q_seq_pack)

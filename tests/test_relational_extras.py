@@ -255,3 +255,26 @@ def test_latest_event_is_per_user_max(ray_session) -> None:
             .groupby("user_id").head(1))
     assert dict(zip(got.user_id, zip(got.ns, got.event_id))) == \
         dict(zip(best.user_id, zip(best.ns, best.event_id)))
+
+
+def test_bloom_prefilter_prunes_but_never_drops(ray_session) -> None:
+    """Bloom telemetry invariants: survivors ≥ true matches (the
+    filter has false positives, never false negatives), survivors <
+    probed (it actually prunes on this data), and the final aggregate
+    equals the exact semi-join computed directly."""
+    import duckdb
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
+        q_bloom_semi_join,
+    )
+    out = q_bloom_semi_join(SF)
+    st = q_bloom_semi_join.last_stats
+    assert st["matched"] <= st["survived"] < st["probed"]
+    want = duckdb.sql(f"""
+        SELECT COUNT(*) AS n
+        FROM '{SF}/lineitem.parquet'
+        WHERE l_orderkey IN (SELECT o_orderkey
+                             FROM '{SF}/orders.parquet'
+                             WHERE o_orderpriority = '1-URGENT')
+        """).fetchone()[0]
+    assert int(out.n_items.iloc[0]) == want == st["matched"]
