@@ -320,7 +320,8 @@ def _query_banks() -> list[dict]:
                            ("spellfix", "SPELL_QUERIES"),
                            ("bpe", "BPE_QUERIES"),
                            ("altsource", "ALT_QUERIES"),
-                           ("packing", "PACK_QUERIES")]:
+                           ("packing", "PACK_QUERIES"),
+                           ("analytics", "ANALYTICS_QUERIES")]:
         try:
             mod = importlib.import_module(f"{pkg}.{mod_name}")
             banks.append(getattr(mod, attr))
@@ -346,6 +347,9 @@ _GATE_ORDER = [
     "doc_quality", "bpe_tokens", "token_histogram", "distinct_flags",
     "events_json", "pii_mask", "repetition_stats", "doc_tokens",
     "stratified_sample", "source_quota", "lang_id", "ocr_correct",
+    "doc_sentences", "weighted_sample", "k_anonymity", "event_gaps",
+    "user_scd2", "customer_quartiles", "nation_top_names",
+    "parts_coordered", "bfs_hops",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",

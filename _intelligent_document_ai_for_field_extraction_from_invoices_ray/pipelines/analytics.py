@@ -1,0 +1,475 @@
+"""Analytics operator suite — the classic distributed patterns the other
+banks don't yet cover, each with an exact DuckDB oracle:
+
+- market-basket co-occurrence (``parts_coordered``): the frequent-pair
+  mining shape — per-group pair expansion bounded by group size, then a
+  pair-keyed count shuffle.
+- window LAG deltas (``event_gaps``): per-key inter-event time gaps.
+- SCD type-2 compaction (``user_scd2``): CDC log -> validity intervals
+  via gaps-and-islands on value CHANGE (complements ``user_latest_event``
+  = type-1 latest-wins in relational.py).
+- exact global NTILE (``customer_quartiles``): the distributed total-rank
+  primitive — range-partition by value histogram, driver-side prefix
+  offsets (bounded by bucket count), per-bucket local rank.
+- ordered string_agg of a per-group top-k (``nation_top_names``).
+- flat_map explode (``doc_sentences``): one row per sentence with its
+  ordinal — no shuffle at all, pure per-batch expansion.
+- weighted bottom-k sampling (``weighted_sample``): A-Res-style
+  deterministic priorities h(doc)/weight; semilattice per-block bottom-k
+  so the exchange is k rows per block.
+- k-anonymity audit (``k_anonymity``): privacy QA over quasi-identifier
+  groups (complements the PII masker in functions/textnorm.py).
+
+Float discipline matches relational.py: money in exact cents, time in
+floored epoch seconds, and the one float column (sampling priority) is a
+single IEEE division of two exactly-represented integers — bit-identical
+in numpy and DuckDB.
+
+Scale notes are per-operator in the docstrings; nothing here
+materializes an unbounded table on the driver — driver-side merges are
+bounded by (k x buckets) or fixed key cardinality.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+
+def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    from ..sources.io import read_parquet_sized
+    return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr) -> np.ndarray:
+    return np.round(np.asarray(arr, dtype=np.float64) * 100).astype(np.int64)
+
+
+def _epoch_s(ts: pd.Series) -> pd.Series:
+    """Floored epoch seconds from a timestamp column (matches DuckDB's
+    ``CAST(floor(epoch(ts)) AS BIGINT)``)."""
+    ns = ts.astype("datetime64[ns]").astype("int64")
+    return ns // 1_000_000_000
+
+
+# --------------------------------------------------- market-basket pairs
+def q_parts_coordered(sf_dir: str) -> pd.DataFrame:
+    """Frequent part PAIRS across orders (market-basket co-occurrence).
+
+    Shape at scale: pair expansion happens inside an orderkey-bucketed
+    group apply, so the emitted exchange is O(sum_g C(|g|, 2)) — bounded
+    by per-order line counts (<= 7 in TPC-H), never |parts|^2.  Each
+    bucket pre-counts its pairs before the second (pair-keyed) shuffle;
+    the final top-100 is a semilattice (per-bucket top-100, <=100 x 16
+    rows merged on the driver)."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m.l_partkey_a < m.l_partkey_b]
+        out = m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).agg(
+            n_orders=("l_orderkey", "size"))
+        return out.rename(columns={"l_partkey_a": "part_a",
+                                   "l_partkey_b": "part_b"})
+
+    def top100(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["part_a", "part_b"], as_index=False).agg(
+            n_orders=("n_orders", "sum"))
+        out = out[out.n_orders >= 2]
+        return out.sort_values(["n_orders", "part_a", "part_b"],
+                               ascending=[False, True, True]).head(100)
+
+    partial = bucketed_group_apply(ds, ["l_orderkey"], pairs,
+                                   num_buckets=16)
+    merged = bucketed_group_apply(partial, ["part_a", "part_b"], top100,
+                                  num_buckets=16).to_pandas()
+    return (merged.sort_values(["n_orders", "part_a", "part_b"],
+                               ascending=[False, True, True])
+            .head(100).reset_index(drop=True))
+
+
+SQL_PARTS_COORDERED = """
+WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS n_orders
+FROM dp a JOIN dp b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY n_orders DESC, part_a, part_b LIMIT 100
+"""
+
+
+# ------------------------------------------------------- window LAG gaps
+def q_event_gaps(sf_dir: str) -> rd.Dataset:
+    """Per-user inter-event gap statistics (windowed LAG).
+
+    One user-bucketed shuffle; the gap computation is a vectorized shift
+    per bucket.  Output is one row per user with >= 2 events."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        df["_s"] = _epoch_s(df.ts)
+        gap = df._s - df._s.shift()
+        gap[df.user_id != df.user_id.shift()] = np.nan
+        df["gap_s"] = gap
+        df = df[df.gap_s.notna()]
+        out = df.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap_s", "size"), max_gap_s=("gap_s", "max"),
+            sum_gap_s=("gap_s", "sum"))
+        out["max_gap_s"] = out.max_gap_s.astype(np.int64)
+        out["sum_gap_s"] = out.sum_gap_s.astype(np.int64)
+        return out
+
+    return bucketed_group_apply(ds, ["user_id"], gaps).sort("user_id")
+
+
+SQL_EVENT_GAPS = """
+WITH g AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events)
+SELECT user_id, COUNT(*) AS n_gaps,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+       CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ------------------------------------------------------ SCD2 compaction
+def q_user_scd2(sf_dir: str) -> rd.Dataset:
+    """Slowly-changing-dimension type-2 compaction of the event log:
+    consecutive runs of the same event_type per user become ONE validity
+    interval [valid_from_s, valid_to_s) (-1 = still open).  The type-1
+    counterpart (latest value wins) is ``user_latest_event``.
+
+    One user-bucketed shuffle; islands, interval bounds and the LEAD to
+    the next interval are all vectorized per bucket."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def scd2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        df["_s"] = _epoch_s(df.ts)
+        chg = (df.user_id != df.user_id.shift()) | \
+              (df.event_type != df.event_type.shift())
+        # global cumsum: chg is True at every user boundary, so islands
+        # are unique within the bucket; per-user ordinals re-derived below
+        df["island"] = chg.cumsum()
+        out = df.groupby(["user_id", "island"], as_index=False).agg(
+            event_type=("event_type", "first"),
+            valid_from_s=("_s", "min"), n_events=("_s", "size"))
+        # per-user 1-based island ordinal + LEAD(valid_from) as valid_to
+        out = out.sort_values(["user_id", "valid_from_s", "island"])
+        out["island"] = out.groupby("user_id").cumcount() + 1
+        nxt = out.groupby("user_id").valid_from_s.shift(-1)
+        out["valid_to_s"] = nxt.fillna(-1).astype(np.int64)
+        return out[["user_id", "island", "event_type", "valid_from_s",
+                    "valid_to_s", "n_events"]]
+
+    return bucketed_group_apply(ds, ["user_id"], scd2).sort(
+        ["user_id", "island"])
+
+
+SQL_USER_SCD2 = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM e),
+c AS (
+  SELECT user_id, CAST(island AS BIGINT) AS island,
+         MIN(event_type) AS event_type,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS valid_from_s,
+         COUNT(*) AS n_events
+  FROM s GROUP BY user_id, island)
+SELECT user_id, island, event_type, valid_from_s,
+       CAST(COALESCE(LEAD(valid_from_s)
+              OVER (PARTITION BY user_id ORDER BY island), -1) AS BIGINT)
+         AS valid_to_s,
+       n_events
+FROM c ORDER BY user_id, island
+"""
+
+
+# -------------------------------------------------- exact global NTILE
+def q_customer_quartiles(sf_dir: str) -> rd.Dataset:
+    """Exact global NTILE(4) over (c_acctbal, c_custkey) — the
+    distributed total-order rank primitive.
+
+    Two passes, no global sort: (1) one map_batches computes per-block
+    counts + min/max into 64 VALUE-RANGE buckets (driver merge is
+    64 x blocks ints); (2) rows route to their range bucket, each bucket
+    sorts locally and adds its driver-computed prefix offset — global
+    rank without a global sort, then NTILE arithmetic.  Equal values
+    land in one bucket by construction so local sort order == global."""
+    from .grouping import bucketed_group_apply
+
+    NB = 64
+    ds = _pq(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_custkey": df.c_custkey,
+                             "bal_cents": _cents(df.c_acctbal)})
+
+    prepped = ds.map_batches(prep, batch_format="pandas").materialize()
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lo": [int(df.bal_cents.min())],
+                             "hi": [int(df.bal_cents.max())],
+                             "n": [len(df)]})
+
+    parts = prepped.map_batches(hist, batch_format="pandas").to_pandas()
+    lo, hi = int(parts.lo.min()), int(parts.hi.max())
+    width = max(1, (hi - lo + NB) // NB)
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.minimum((v - lo) // width, NB - 1).astype(np.int64)
+
+    def bcounts(df: pd.DataFrame) -> pd.DataFrame:
+        b = bucket_of(df.bal_cents.to_numpy())
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"b": u, "n": c})
+
+    bc = prepped.map_batches(bcounts, batch_format="pandas").to_pandas()
+    counts = np.zeros(NB, dtype=np.int64)
+    agg = bc.groupby("b").n.sum()
+    counts[agg.index.to_numpy()] = agg.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n_total = int(counts.sum())
+    size, rem = divmod(n_total, 4)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_rb=bucket_of(df.bal_cents.to_numpy()))
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # several range buckets may hash-collide into one exchange bucket;
+        # rank each range bucket independently (<= 64 groups total)
+        outs = []
+        cut = rem * (size + 1)
+        for rb, g in df.groupby("_rb"):
+            g = g.sort_values(["bal_cents", "c_custkey"])
+            r = offsets[int(rb)] + np.arange(len(g), dtype=np.int64)
+            quart = np.where(r < cut, r // (size + 1),
+                             rem + (r - cut) // max(size, 1)) + 1
+            outs.append(pd.DataFrame({"c_custkey": g.c_custkey,
+                                      "bal_cents": g.bal_cents,
+                                      "quartile": quart.astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_apply(
+        prepped.map_batches(tag, batch_format="pandas"), ["_rb"],
+        rank_bucket, num_buckets=NB).sort("c_custkey")
+
+
+SQL_CUSTOMER_QUARTILES = """
+SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents,
+       CAST(NTILE(4) OVER (ORDER BY CAST(round(c_acctbal*100) AS BIGINT),
+                           c_custkey) AS BIGINT) AS quartile
+FROM customer ORDER BY c_custkey
+"""
+
+
+# --------------------------------------- ordered string_agg of top-k
+def q_nation_top_names(sf_dir: str) -> pd.DataFrame:
+    """Per-nation comma-joined names of the top-3 customers by balance —
+    ordered string aggregation over a per-group top-k.
+
+    Top-3 is a semilattice: each batch keeps <= 3 rows per nation before
+    the (25-key) merge, so the exchange is 3 x 25 x blocks rows; the
+    nation-name join is a 25-row broadcast dict."""
+    import pyarrow.parquet as pq
+
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey",
+                                  "c_acctbal"])
+
+    def top3(df: pd.DataFrame) -> pd.DataFrame:
+        if "bal_cents" not in df.columns:
+            df = df.assign(bal_cents=_cents(df.c_acctbal))
+        df = df.sort_values(["c_nationkey", "bal_cents", "c_custkey"],
+                            ascending=[True, False, True])
+        keep = df.groupby("c_nationkey").cumcount() < 3
+        return df.loc[keep, ["c_nationkey", "c_custkey", "c_name",
+                             "bal_cents"]]
+
+    merged = bucketed_group_apply(
+        ds.map_batches(top3, batch_format="pandas"), ["c_nationkey"],
+        top3, num_buckets=8).to_pandas()
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    merged = merged.sort_values(["c_nationkey", "bal_cents", "c_custkey"],
+                                ascending=[True, False, True])
+    agg = merged.groupby("c_nationkey", as_index=False).agg(
+        top_names=("c_name", lambda s: ",".join(s)))
+    out = agg.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    return (out[["n_name", "top_names"]]
+            .sort_values("n_name").reset_index(drop=True))
+
+
+SQL_NATION_TOP_NAMES = """
+WITH r AS (
+  SELECT c_nationkey, c_name,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY CAST(round(c_acctbal*100) AS BIGINT)
+                                     DESC, c_custkey) AS rn
+  FROM customer)
+SELECT n_name, string_agg(c_name, ',' ORDER BY rn) AS top_names
+FROM r JOIN nation ON n_nationkey = c_nationkey
+WHERE rn <= 3 GROUP BY n_name ORDER BY n_name
+"""
+
+
+# ------------------------------------------------------ flat_map explode
+def q_doc_sentences(sf_dir: str) -> rd.Dataset:
+    """Sentence explode: one output row per delimited piece with its
+    1-based ordinal — the flat_map expansion shape.  Zero shuffle: the
+    explode is a per-batch vectorized operation and output blocks stay
+    proportional to input blocks.  The synthetic corpus has no
+    punctuation, so the word ``the`` serves as the deterministic
+    pseudo-sentence boundary (~2.5 pieces per doc)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df[["doc_id"]].assign(sent=df.text.str.split(" the "))
+               .explode("sent"))
+        out["sent_idx"] = (out.groupby("doc_id").cumcount() + 1
+                           ).astype(np.int64)
+        out = out[out.sent.str.len() > 0]
+        out["sent_len"] = out.sent.str.len().astype(np.int64)
+        return out[["doc_id", "sent_idx", "sent", "sent_len"]]
+
+    return ds.map_batches(explode, batch_format="pandas").sort(
+        ["doc_id", "sent_idx"])
+
+
+SQL_DOC_SENTENCES = """
+SELECT doc_id, CAST(i AS BIGINT) AS sent_idx, sent,
+       CAST(len(sent) AS BIGINT) AS sent_len
+FROM (SELECT doc_id, unnest(parts) AS sent,
+             generate_subscripts(parts, 1) AS i
+      FROM (SELECT doc_id, string_split(text, ' the ') AS parts
+            FROM documents))
+WHERE len(sent) > 0 ORDER BY doc_id, sent_idx
+"""
+
+
+# --------------------------------------------- weighted bottom-k sample
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted sampling (A-Res shape): priority =
+    hash(doc_id)/weight, keep the 20 smallest — longer docs (weight =
+    n_chars) are proportionally likelier to be kept.  The hash is the
+    first 60 bits of md5 (exactly representable in a double) and the
+    priority is ONE IEEE division of two exact integers, so numpy and
+    DuckDB agree bit-for-bit.
+
+    Per-block bottom-20 semilattice, then one single-bucket merge — the
+    exchange is 20 rows per block, block-count-independent driver load."""
+    from .grouping import bucketed_group_apply
+
+    K = 20
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        if "prio" not in df.columns:
+            hv = np.array([int(hashlib.md5(str(d).encode()).hexdigest()[:15],
+                               16) for d in df.doc_id], dtype=np.int64)
+            df = df.assign(hv=hv,
+                           prio=hv.astype(np.float64)
+                           / df.n_chars.to_numpy(np.float64))
+        df = df.assign(_k=np.int64(0))
+        return df.sort_values(["prio", "doc_id"]).head(K)
+
+    out = bucketed_group_apply(
+        ds.map_batches(bottomk, batch_format="pandas"), ["_k"], bottomk,
+        num_buckets=1).to_pandas()
+    return (out.sort_values(["prio", "doc_id"]).head(K)
+            [["doc_id", "n_chars", "hv", "prio"]].reset_index(drop=True))
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars, hv, CAST(hv AS DOUBLE) / n_chars AS prio
+FROM (SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM documents)
+ORDER BY prio, doc_id LIMIT 20
+"""
+
+
+# ------------------------------------------------------ k-anonymity audit
+def q_k_anonymity(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity audit over the quasi-identifier (segment, nation,
+    $1000-balance bucket): every group with its size and whether it
+    meets k=8 — the aggregate privacy QA a PII pipeline runs before
+    release (the row-level masker is ``pii_mask``).
+
+    Key cardinality is fixed (5 x 25 x 11), so a per-batch combiner +
+    one tiny groupby suffices; output size is data-independent."""
+    from .grouping import bucketed_group_apply
+
+    K = 8
+    ds = _pq(sf_dir, "customer", ["c_mktsegment", "c_nationkey",
+                                  "c_acctbal"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(bal_bucket=_cents(df.c_acctbal) // 100_000)
+        out = g.groupby(["c_mktsegment", "c_nationkey", "bal_bucket"],
+                        as_index=False).agg(cnt=("c_acctbal", "size"))
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["c_mktsegment", "c_nationkey", "bal_bucket"],
+                         as_index=False).agg(cnt=("cnt", "sum"))
+        out["k_anonymous"] = (out.cnt >= K).astype(np.int64)
+        return out
+
+    out = bucketed_group_apply(
+        ds.map_batches(part, batch_format="pandas"),
+        ["c_mktsegment", "c_nationkey", "bal_bucket"], merge,
+        num_buckets=8).to_pandas()
+    return (out.sort_values(["c_mktsegment", "c_nationkey", "bal_bucket"])
+            .reset_index(drop=True))
+
+
+SQL_K_ANONYMITY = """
+SELECT c_mktsegment, c_nationkey,
+       CAST(floor(CAST(round(c_acctbal*100) AS BIGINT) / 100000)
+            AS BIGINT) AS bal_bucket,
+       COUNT(*) AS cnt,
+       CAST(CASE WHEN COUNT(*) >= 8 THEN 1 ELSE 0 END AS BIGINT)
+         AS k_anonymous
+FROM customer GROUP BY 1, 2, 3
+ORDER BY c_mktsegment, c_nationkey, bal_bucket
+"""
+
+
+ANALYTICS_QUERIES = {
+    "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
+    "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
+    "user_scd2": (q_user_scd2, SQL_USER_SCD2),
+    "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
+    "nation_top_names": (q_nation_top_names, SQL_NATION_TOP_NAMES),
+    "doc_sentences": (q_doc_sentences, SQL_DOC_SENTENCES),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+}

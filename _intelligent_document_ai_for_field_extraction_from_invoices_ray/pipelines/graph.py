@@ -426,8 +426,93 @@ FROM tn GROUP BY 1 ORDER BY 1
 """
 
 
+# ------------------------------------------------------------ BFS hops
+BFS_HOPS = 3
+BFS_SOURCE_MOD = 100
+
+
+def q_bfs_hops(sf_dir: str) -> rd.Dataset:
+    """Multi-source BFS: min-hop labels within 3 hops of the seed set
+    {node : node % 100 == 0} (~1% of the corpus) over the closed-form
+    link graph — the bounded-depth frontier-expansion iteration
+    (crawl-depth / contamination-spread labeling; unbounded-depth
+    connected components live in dedup.py).
+
+    Per iteration: ONE map_batches over the distance table passes
+    existing labels through and derives hop+1 candidates closed-form
+    from frontier nodes (no edge table is ever shipped), with an
+    in-batch min combiner, then one node-bucketed min merge.  Three
+    iterations = three bucketed shuffles over (node, hop) int64 pairs;
+    the table is bounded by |reached|, never |V| x iterations."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.io import read_parquet_sized
+    from .grouping import bucketed_group_apply
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"], rows_per_block=2000)
+
+    def seeds(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = ids[ids % BFS_SOURCE_MOD == 0].astype(np.int64)
+        return pa.table({"node": pa.array(src, type=pa.int64()),
+                         "hop": pa.array(np.zeros(len(src), np.int64))})
+
+    dist = ds.map_batches(seeds, batch_format="pyarrow")
+
+    def minmerge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False).hop.min()
+
+    for k in range(BFS_HOPS):
+
+        def expand(batch: pa.Table, _k=k) -> pa.Table:
+            nodes = batch.column("node").to_numpy(zero_copy_only=False)
+            hops = batch.column("hop").to_numpy(zero_copy_only=False)
+            frontier = nodes[hops == _k]
+            _, dst, _deg = _targets(frontier, n)
+            df = pd.DataFrame({
+                "node": np.concatenate([nodes, dst]),
+                "hop": np.concatenate(
+                    [hops, np.full(len(dst), _k + 1, dtype=np.int64)]),
+            })
+            part = df.groupby("node", as_index=False).hop.min()
+            return pa.table({
+                "node": pa.array(part.node.to_numpy(), type=pa.int64()),
+                "hop": pa.array(part.hop.to_numpy(), type=pa.int64()),
+            })
+
+        dist = bucketed_group_apply(
+            dist.map_batches(expand, batch_format="pyarrow"),
+            ["node"], minmerge, num_buckets=16)
+
+    return dist.sort("node")
+
+
+SQL_BFS_HOPS = f"""
+WITH RECURSIVE bfs(node, hop) AS (
+    SELECT doc_id AS node, CAST(0 AS BIGINT) AS hop
+    FROM documents WHERE doc_id % {BFS_SOURCE_MOD} = 0
+  UNION ALL
+    SELECT (7*b.node + 13*j.j + 1) % (SELECT COUNT(*) FROM documents),
+           b.hop + 1
+    FROM bfs b, (SELECT unnest(generate_series(0, 3)) AS j) j
+    WHERE b.hop < {BFS_HOPS}
+      AND (7*b.node + 13*j.j + 1) % (SELECT COUNT(*) FROM documents)
+          <> b.node
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+FROM bfs GROUP BY node ORDER BY node
+"""
+
+
 GRAPH_QUERIES = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "anchor_text": (q_anchor_text, SQL_ANCHOR_TEXT),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),
 }

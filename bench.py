@@ -81,6 +81,7 @@ def run_bench() -> dict:
 
     from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines import (
         altsource,
+        analytics,
         bpe,
         crawl,
         dedup,
@@ -233,6 +234,15 @@ def run_bench() -> dict:
     timed("embed_ann_ivfpq", similarity.q_embed_ann_ivfpq)
     timed("embed_kmeans", similarity.q_embed_kmeans)
     timed("embed_semantic_dedup", similarity.q_embed_semantic_dedup)
+    timed("parts_coordered", analytics.q_parts_coordered)
+    timed("event_gaps", analytics.q_event_gaps)
+    timed("user_scd2", analytics.q_user_scd2)
+    timed("customer_quartiles", analytics.q_customer_quartiles)
+    timed("nation_top_names", analytics.q_nation_top_names)
+    timed("doc_sentences", analytics.q_doc_sentences)
+    timed("weighted_sample", analytics.q_weighted_sample)
+    timed("k_anonymity", analytics.q_k_anonymity)
+    timed("bfs_hops", graph.q_bfs_hops)
 
     result = {
         "metric": "end-to-end extraction sec (flagship interleaved-doc pipeline) + per-query sec",
