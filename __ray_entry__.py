@@ -350,6 +350,7 @@ _GATE_ORDER = [
     "doc_sentences", "weighted_sample", "k_anonymity", "event_gaps",
     "user_scd2", "customer_quartiles", "nation_top_names",
     "parts_coordered", "bfs_hops",
+    "orders_moving_sum", "session_overlap", "snapshot_diff",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",
@@ -371,7 +372,8 @@ _GATE_ORDER = [
     "length_quantiles", "ngram_hotspots", "exact_dedup",
     "customers_without_orders", "running_spend", "event_followers",
     "events_hourly", "events_sliding", "parts_ordered_large", "tfidf_topk",
-    "priority_revenue", "user_sessions", "asof_latest_order",
+    "priority_revenue", "regional_revenue", "user_sessions",
+    "asof_latest_order",
     "shingle_pairs", "dup_passages", "jaccard_pairs",
     "segment_status_native", "dedup_clusters",
     # --- tier 2: rows-only, ordered by information value (flagship

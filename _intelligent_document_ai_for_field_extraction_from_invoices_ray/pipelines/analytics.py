@@ -463,6 +463,316 @@ ORDER BY c_mktsegment, c_nationkey, bal_bucket
 """
 
 
+# ------------------------------------------------- deep multi-join (Q5)
+REV_REGION = "ASIA"
+REV_FROM = "1997-01-01"
+REV_TO = "1998-01-01"
+
+
+def q_regional_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5-shaped deep join: revenue per nation for one region where
+    the supplying nation equals the customer nation —
+    lineitem ⋈ orders ⋈ customer ⋈ supplier (+ broadcast nation/region).
+
+    Distributed shape: the two FIXED-cardinality dims (region 5 rows,
+    nation 25 — constants of the schema, not the scale factor) are read
+    driver-side and broadcast as a nationkey set / name map; customer
+    rows prune to the region's nations at the scan.  The three
+    SCALE-side joins are each a :func:`bucketed_cogroup` (orders×customer
+    on custkey, lineitem×that on orderkey, result×supplier on suppkey) —
+    neither side of any of them ever lands on the driver.  The final
+    exchange is per-bucket (nationkey, n, rev) partials: the driver
+    merge is ≤ |region's nations| × buckets rows."""
+    import pyarrow.parquet as pq
+
+    from .grouping import bucketed_cogroup
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = int(reg.loc[reg.r_name == REV_REGION, "r_regionkey"].iloc[0])
+    nat = nat[nat.n_regionkey == rkey]
+    nation_keys = np.sort(nat.n_nationkey.to_numpy().astype(np.int64))
+    name_of = dict(zip(nat.n_nationkey.astype(np.int64), nat.n_name))
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def prune_cust(df: pd.DataFrame) -> pd.DataFrame:
+        nk = df.c_nationkey.to_numpy().astype(np.int64)
+        keep = np.isin(nk, nation_keys)
+        return pd.DataFrame({"c_custkey": df.c_custkey.to_numpy()[keep],
+                             "c_nationkey": nk[keep]})
+
+    cust = cust.map_batches(prune_cust, batch_format="pandas")
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    lo = np.datetime64(REV_FROM)
+    hi = np.datetime64(REV_TO)
+
+    def prune_orders(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.o_orderdate.to_numpy().astype("datetime64[ns]")
+        keep = (d >= lo) & (d < hi)
+        return pd.DataFrame({"o_orderkey": df.o_orderkey.to_numpy()[keep],
+                             "o_custkey": df.o_custkey.to_numpy()[keep]})
+
+    orders = orders.map_batches(prune_orders, batch_format="pandas")
+
+    def join_oc(o: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        return m[["o_orderkey", "c_nationkey"]]
+
+    oc = bucketed_cogroup(orders, cust, ["o_custkey"], ["c_custkey"],
+                          join_oc, num_buckets=16)
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep_li(df: pd.DataFrame) -> pd.DataFrame:
+        rev = _cents(df.l_extendedprice) * (100 - _cents(df.l_discount))
+        return pd.DataFrame({"l_orderkey": df.l_orderkey,
+                             "l_suppkey": df.l_suppkey, "rev": rev})
+
+    def join_lo(l: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        m = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        return m[["l_suppkey", "c_nationkey", "rev"]]
+
+    los = bucketed_cogroup(li.map_batches(prep_li, batch_format="pandas"),
+                           oc, ["l_orderkey"], ["o_orderkey"],
+                           join_lo, num_buckets=16)
+
+    sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def join_ls(l: pd.DataFrame, s: pd.DataFrame) -> pd.DataFrame:
+        m = l.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        m = m[m.c_nationkey.to_numpy().astype(np.int64)
+              == m.s_nationkey.to_numpy().astype(np.int64)]
+        out = m.groupby("c_nationkey", as_index=False).agg(
+            n_items=("rev", "size"), revenue_scaled=("rev", "sum"))
+        return pd.DataFrame({
+            "nationkey": out.c_nationkey.to_numpy().astype(np.int64),
+            "n_items": out.n_items.to_numpy().astype(np.int64),
+            "revenue_scaled": out.revenue_scaled.to_numpy().astype(np.int64)})
+
+    parts = bucketed_cogroup(los, sup, ["l_suppkey"], ["s_suppkey"],
+                             join_ls, num_buckets=16).to_pandas()
+    merged = parts.groupby("nationkey", as_index=False).agg(
+        n_items=("n_items", "sum"), revenue_scaled=("revenue_scaled", "sum"))
+    merged["n_name"] = merged.nationkey.map(name_of)
+    merged = merged.sort_values(["revenue_scaled", "n_name"],
+                                ascending=[False, True])
+    return merged[["n_name", "revenue_scaled",
+                   "n_items"]].reset_index(drop=True)
+
+
+SQL_REGIONAL_REVENUE = f"""
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT)))
+            AS BIGINT) AS revenue_scaled,
+       COUNT(*) AS n_items
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{REV_REGION}'
+  AND o_orderdate >= DATE '{REV_FROM}' AND o_orderdate < DATE '{REV_TO}'
+GROUP BY n_name ORDER BY revenue_scaled DESC, n_name
+"""
+
+
+# ------------------------------------------- window-frame moving sum
+def q_orders_moving_sum(sf_dir: str) -> rd.Dataset:
+    """Per-customer 3-order moving spend (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW over (o_orderdate, o_orderkey)) — the bounded-frame
+    window-function shape, complementing the unbounded running sum
+    (``running_spend``) and LAG (``event_gaps``).
+
+    One custkey-bucketed shuffle; the rolling sum is one vectorized
+    pandas pass per bucket (a frame of width k never needs more than the
+    bucket's own rows — no cross-bucket carry exists because a customer
+    never straddles buckets)."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "orders",
+             ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]).copy()
+        df["price_cents"] = _cents(df.o_totalprice)
+        mov = (df.groupby("o_custkey").price_cents
+               .rolling(3, min_periods=1).sum()
+               .reset_index(level=0, drop=True))
+        df["moving3_cents"] = mov.astype(np.int64)
+        return df[["o_custkey", "o_orderkey", "price_cents",
+                   "moving3_cents"]]
+
+    return bucketed_group_apply(ds, ["o_custkey"], win).sort(
+        ["o_custkey", "o_orderkey"])
+
+
+SQL_ORDERS_MOVING_SUM = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS moving3_cents
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+
+# ------------------------------------------- interval-overlap counting
+def q_session_overlap(sf_dir: str) -> rd.Dataset:
+    """Hourly session concurrency: how many user sessions (30-min
+    inactivity gap, same boundary rule as ``user_sessions``) are ACTIVE
+    in each hour bucket — the interval-overlap / range-count shape
+    (intervals × time grid), done as bounded replication instead of an
+    interval join.
+
+    Stage 1 (user-bucketed): gaps-and-islands sessionization, then each
+    session expands to its covered hour buckets with ``np.repeat`` —
+    replication is bounded by session duration / 1 h + 1 — and
+    pre-counts within the bucket.  Stage 2: ONE hour-bucketed shuffle
+    sums the partials.  No interval ever meets another interval."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap_ns = 30 * 60 * 1_000_000_000
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        ns = df.ts.astype("datetime64[ns]").astype("int64")
+        df["_ns"] = ns
+        brk = (df.user_id != df.user_id.shift()) | \
+              (df._ns - df._ns.shift() > gap_ns)
+        df["_sid"] = brk.cumsum()
+        sess = df.groupby("_sid").agg(lo=("_ns", "min"), hi=("_ns", "max"))
+        h0 = (sess.lo.to_numpy() // 1_000_000_000) // 3600
+        h1 = (sess.hi.to_numpy() // 1_000_000_000) // 3600
+        reps = (h1 - h0 + 1).astype(np.int64)
+        starts = np.repeat(h0, reps)
+        offs = np.arange(int(reps.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        hours = starts + offs
+        u, c = np.unique(hours, return_counts=True)
+        return pd.DataFrame({"hour_bucket": u,
+                             "n_sessions": c.astype(np.int64)})
+
+    partial = bucketed_group_apply(ds, ["user_id"], expand, num_buckets=16)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("hour_bucket", as_index=False).agg(
+            n_sessions=("n_sessions", "sum"))
+
+    return bucketed_group_apply(partial, ["hour_bucket"], total,
+                                num_buckets=8).sort("hour_bucket")
+
+
+SQL_SESSION_OVERLAP = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), sess AS (
+  SELECT user_id, sid,
+         CAST(floor(epoch(MIN(ts))/3600) AS BIGINT) AS h0,
+         CAST(floor(epoch(MAX(ts))/3600) AS BIGINT) AS h1
+  FROM s GROUP BY user_id, sid
+), hours AS (
+  SELECT unnest(generate_series(h0, h1)) AS hour_bucket FROM sess
+)
+SELECT hour_bucket, COUNT(*) AS n_sessions
+FROM hours GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------- snapshot reconciliation
+def q_snapshot_diff(sf_dir: str) -> rd.Dataset:
+    """Snapshot diff / reconciliation: latest event_type per user at the
+    corpus MIDPOINT vs at the END, emitting added / changed users — the
+    table-compare shape (CDC backfill audits, replica reconciliation).
+    Latest-wins tie-break is (ts, event_id), same as
+    ``user_latest_event``.
+
+    Pass 1 computes the midpoint cutoff from per-block (min, max) epoch
+    partials (driver merge = 2 ints × blocks).  Pass 2 is ONE
+    user-bucketed shuffle where each bucket derives both snapshots
+    vectorized and diffs them locally — a user's entire history is in
+    one bucket, so no cross-snapshot join ever shuffles.  Emits Arrow
+    directly with a typed nullable ``old_type`` so empty/all-added
+    buckets cannot fork the union schema."""
+    import pyarrow as pa
+
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def mm(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()  # epoch µs
+        s = us // 1_000_000
+        return pa.table({"lo": pa.array([int(s.min())], pa.int64()),
+                         "hi": pa.array([int(s.max())], pa.int64())})
+
+    parts = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    # epochs are positive, so integer // == floor on both sides
+    cutoff = (int(parts.lo.min()) + int(parts.hi.max())) // 2
+
+    def diff(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        df["_s"] = _epoch_s(df.ts)
+        new = df.groupby("user_id").event_type.last()
+        old = df[df._s <= cutoff].groupby("user_id").event_type.last()
+        out = new.to_frame("new_type").join(old.to_frame("old_type"),
+                                            how="left")
+        added = out.old_type.isna()
+        keep = added | (out.old_type != out.new_type)
+        out = out[keep]
+        old_vals = [None if pd.isna(v) else str(v) for v in out.old_type]
+        return pa.table({
+            "user_id": pa.array(out.index.to_numpy().astype(np.int64),
+                                pa.int64()),
+            "old_type": pa.array(old_vals, pa.string()),
+            "new_type": pa.array([str(v) for v in out.new_type],
+                                 pa.string()),
+            "change": pa.array(["added" if a else "changed"
+                                for a in added[keep]], pa.string())})
+
+    return bucketed_group_apply(ds, ["user_id"], diff).sort("user_id")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), b AS (
+  SELECT (MIN(es) + MAX(es)) // 2 AS cutoff FROM s
+), old AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM s, b WHERE es <= cutoff) WHERE rn = 1
+), new AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM s) WHERE rn = 1
+)
+SELECT n.user_id, o.event_type AS old_type, n.event_type AS new_type,
+       CASE WHEN o.user_id IS NULL THEN 'added' ELSE 'changed' END AS change
+FROM new n LEFT JOIN old o USING (user_id)
+WHERE o.user_id IS NULL OR o.event_type <> n.event_type
+ORDER BY user_id
+"""
+
+
 ANALYTICS_QUERIES = {
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
@@ -472,4 +782,8 @@ ANALYTICS_QUERIES = {
     "doc_sentences": (q_doc_sentences, SQL_DOC_SENTENCES),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
+    "orders_moving_sum": (q_orders_moving_sum, SQL_ORDERS_MOVING_SUM),
+    "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
 }

@@ -243,6 +243,10 @@ def run_bench() -> dict:
     timed("weighted_sample", analytics.q_weighted_sample)
     timed("k_anonymity", analytics.q_k_anonymity)
     timed("bfs_hops", graph.q_bfs_hops)
+    timed("regional_revenue", analytics.q_regional_revenue)
+    timed("orders_moving_sum", analytics.q_orders_moving_sum)
+    timed("session_overlap", analytics.q_session_overlap)
+    timed("snapshot_diff", analytics.q_snapshot_diff)
 
     result = {
         "metric": "end-to-end extraction sec (flagship interleaved-doc pipeline) + per-query sec",

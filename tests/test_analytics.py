@@ -186,3 +186,118 @@ def test_bfs_hops_frontier_correct(ray_session) -> None:
     want = pd.DataFrame(sorted(dist.items()), columns=["node", "hop"])
     assert list(df.node) == list(want.node)
     assert list(df.hop) == list(want.hop)
+
+
+def test_regional_revenue_matches_bruteforce(ray_session) -> None:
+    """The three-cogroup Q5 join equals a single-process pandas join at
+    sf0.001, and output is revenue-descending over the region's nations."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        REV_FROM,
+        REV_REGION,
+        REV_TO,
+        q_regional_revenue,
+    )
+    df = q_regional_revenue(SF)
+    assert list(df.revenue_scaled) == sorted(df.revenue_scaled,
+                                             reverse=True)
+    t = {n: pq.read_table(f"{SF}/{n}.parquet").to_pandas()
+         for n in ["customer", "orders", "lineitem", "supplier",
+                   "nation", "region"]}
+    rk = t["region"].loc[t["region"].r_name == REV_REGION,
+                         "r_regionkey"].iloc[0]
+    nat = t["nation"][t["nation"].n_regionkey == rk]
+    o = t["orders"]
+    o = o[(o.o_orderdate >= np.datetime64(REV_FROM))
+          & (o.o_orderdate < np.datetime64(REV_TO))]
+    m = (t["lineitem"].merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(t["customer"], left_on="o_custkey", right_on="c_custkey")
+         .merge(t["supplier"], left_on="l_suppkey", right_on="s_suppkey"))
+    m = m[m.c_nationkey == m.s_nationkey]
+    m = m.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    rev = (np.round(m.l_extendedprice * 100).astype(np.int64)
+           * (100 - np.round(m.l_discount * 100).astype(np.int64)))
+    want = (m.assign(rev=rev).groupby("n_name").rev.agg(["sum", "size"])
+            .sort_values(["sum"], ascending=False))
+    assert list(df.n_name) == list(want.index)
+    assert list(df.revenue_scaled) == list(want["sum"])
+    assert list(df.n_items) == list(want["size"])
+
+
+def test_orders_moving_sum_frame_semantics(ray_session) -> None:
+    """One row per order; the moving sum includes the current row
+    (>= price), is capped by 3 rows, and a brute-force per-customer
+    rolling recompute agrees."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_orders_moving_sum,
+    )
+    df = q_orders_moving_sum(SF).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    assert len(df) == len(orders)
+    assert (df.moving3_cents >= df.price_cents).all()
+    o = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    o["price_cents"] = np.round(o.o_totalprice * 100).astype(np.int64)
+    want = (o.groupby("o_custkey").price_cents
+            .rolling(3, min_periods=1).sum()
+            .reset_index(level=0, drop=True).astype(np.int64))
+    o["moving3_cents"] = want
+    merged = df.merge(o[["o_orderkey", "moving3_cents"]],
+                      on="o_orderkey", suffixes=("", "_want"))
+    assert (merged.moving3_cents == merged.moving3_cents_want).all()
+
+
+def test_session_overlap_conservation(ray_session) -> None:
+    """Hour buckets are contiguous-bounded by the event time range, every
+    count >= 1, and total session-hours equal a single-process
+    sessionize-and-expand recompute."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_session_overlap,
+    )
+    df = q_session_overlap(SF).to_pandas()
+    assert (df.n_sessions >= 1).all()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ns = ev.ts.astype("datetime64[ns]").astype("int64")
+    brk = (ev.user_id != ev.user_id.shift()) | \
+          (ns - ns.shift() > 30 * 60 * 1_000_000_000)
+    sid = brk.cumsum()
+    sess = pd.DataFrame({"sid": sid, "ns": ns}).groupby("sid").ns.agg(
+        ["min", "max"])
+    h0 = (sess["min"] // 1_000_000_000) // 3600
+    h1 = (sess["max"] // 1_000_000_000) // 3600
+    want_total = int((h1 - h0 + 1).sum())
+    assert int(df.n_sessions.sum()) == want_total
+    assert df.hour_bucket.min() == h0.min() and df.hour_bucket.max() == h1.max()
+
+
+def test_snapshot_diff_classification(ray_session) -> None:
+    """'added' rows have a null old_type, 'changed' rows differ, users
+    are unique, and no user outside the diff actually changed (full
+    complement check against a brute-force recompute)."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_snapshot_diff,
+    )
+    df = q_snapshot_diff(SF).to_pandas()
+    assert df.user_id.is_unique
+    added = df[df.change == "added"]
+    changed = df[df.change == "changed"]
+    assert len(added) + len(changed) == len(df)
+    assert added.old_type.isna().all()
+    assert (changed.old_type != changed.new_type).all()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    es = ev.ts.astype("datetime64[ns]").astype("int64") // 1_000_000_000
+    cutoff = (int(es.min()) + int(es.max())) // 2
+    new = ev.groupby("user_id").event_type.last()
+    old = ev[es <= cutoff].groupby("user_id").event_type.last()
+    want = new.to_frame("new_type").join(old.to_frame("old_type"), how="left")
+    want = want[want.old_type.isna() | (want.old_type != want.new_type)]
+    assert sorted(df.user_id) == sorted(want.index)
