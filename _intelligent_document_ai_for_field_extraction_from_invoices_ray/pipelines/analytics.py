@@ -773,6 +773,60 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------------- cohort retention
+def q_cohort_retention(sf_dir: str) -> rd.Dataset:
+    """Cohort retention matrix: users cohorted by their FIRST active day,
+    counted at each later day-offset they were active — the classic
+    growth-analytics shape whose hard part at scale is the DISTINCT-user
+    count per (cohort, offset) cell.
+
+    Exact without any distinct shuffle: ONE user-bucketed shuffle puts a
+    user's whole history in one bucket, where first-day + distinct
+    active days are vectorized (sorted drop_duplicates); each user
+    contributes exactly one row per (cohort_day, day_offset), so the
+    per-bucket counts are already distinct-user partials.  A second
+    (cohort, offset)-bucketed sum merges them — exchange bounded by
+    cells × buckets, never by users."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"user_id": df.user_id,
+                          "day": _epoch_s(df.ts) // 86400})
+        d = d.drop_duplicates()
+        first = d.groupby("user_id").day.transform("min")
+        out = pd.DataFrame({"cohort_day": first, "day_offset": d.day - first})
+        return out.groupby(["cohort_day", "day_offset"],
+                           as_index=False).agg(n_users=("day_offset", "size"))
+
+    partial = bucketed_group_apply(ds, ["user_id"], per_user,
+                                   num_buckets=16)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["cohort_day", "day_offset"],
+                          as_index=False).agg(n_users=("n_users", "sum"))
+
+    return bucketed_group_apply(partial, ["cohort_day", "day_offset"],
+                                total, num_buckets=8).sort(
+        ["cohort_day", "day_offset"])
+
+
+SQL_COHORT_RETENTION = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)/86400) AS BIGINT) AS day
+  FROM events
+), c AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+)
+SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+       COUNT(*) AS n_users
+FROM d JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 ANALYTICS_QUERIES = {
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
@@ -786,4 +840,5 @@ ANALYTICS_QUERIES = {
     "orders_moving_sum": (q_orders_moving_sum, SQL_ORDERS_MOVING_SUM),
     "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
 }

@@ -247,6 +247,7 @@ def run_bench() -> dict:
     timed("orders_moving_sum", analytics.q_orders_moving_sum)
     timed("session_overlap", analytics.q_session_overlap)
     timed("snapshot_diff", analytics.q_snapshot_diff)
+    timed("cohort_retention", analytics.q_cohort_retention)
 
     result = {
         "metric": "end-to-end extraction sec (flagship interleaved-doc pipeline) + per-query sec",

@@ -301,3 +301,30 @@ def test_snapshot_diff_classification(ray_session) -> None:
     want = new.to_frame("new_type").join(old.to_frame("old_type"), how="left")
     want = want[want.old_type.isna() | (want.old_type != want.new_type)]
     assert sorted(df.user_id) == sorted(want.index)
+
+
+def test_cohort_retention_distinct_exact(ray_session) -> None:
+    """Offset 0 of every cohort counts exactly its cohort size, cell
+    counts never exceed the cohort size, and a brute-force pandas
+    recompute agrees cell-for-cell."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_cohort_retention,
+    )
+    df = q_cohort_retention(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    day = (ev.ts.astype("datetime64[ns]").astype("int64")
+           // 1_000_000_000) // 86400
+    d = pd.DataFrame({"user_id": ev.user_id, "day": day}).drop_duplicates()
+    first = d.groupby("user_id").day.transform("min")
+    want = (pd.DataFrame({"cohort_day": first, "day_offset": d.day - first})
+            .groupby(["cohort_day", "day_offset"]).size()
+            .rename("n_users").reset_index()
+            .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(df.reset_index(drop=True), want,
+                                  check_dtype=False)
+    sizes = df[df.day_offset == 0].set_index("cohort_day").n_users
+    merged = df.join(sizes.rename("cohort_size"), on="cohort_day")
+    assert (merged.n_users <= merged.cohort_size).all()
