@@ -351,7 +351,7 @@ _GATE_ORDER = [
     "user_scd2", "customer_quartiles", "nation_top_names",
     "parts_coordered", "bfs_hops",
     "orders_moving_sum", "session_overlap", "snapshot_diff",
-    "cohort_retention",
+    "cohort_retention", "events_daily_ohlc",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",
@@ -376,7 +376,7 @@ _GATE_ORDER = [
     "priority_revenue", "regional_revenue", "user_sessions",
     "asof_latest_order",
     "shingle_pairs", "dup_passages", "jaccard_pairs",
-    "segment_status_native", "dedup_clusters",
+    "segment_status_native", "dedup_clusters", "clean_corpus",
     # --- tier 2: rows-only, ordered by information value (flagship
     # family is additionally smoke-checked by entry(); the first
     # extract_* entry pays the cached flagship run).  extract_evaluate

@@ -773,6 +773,81 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------------- daily OHLC rollup
+def q_events_daily_ohlc(sf_dir: str) -> rd.Dataset:
+    """Daily OHLC per event type: open/close = value at the first/last
+    event of the (type, day) group by (ts, event_id), plus low / high /
+    count / exact-cents sum — the first_value/last_value-by-time rollup
+    a streaming engine maintains incrementally.
+
+    The whole state is a SEMILATTICE: (argmin-by-time value, argmax-by-
+    time value, min, max, count, sum) partials combine associatively, so
+    one map_batches pre-reduces each batch to ≤ (types × days) partial
+    rows carrying their arg-timestamps, and ONE small bucketed shuffle
+    finishes the reduce — raw events never shuffle."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df.ts.astype("datetime64[ns]").astype("int64") // 1_000
+        d = pd.DataFrame({"event_type": df.event_type,
+                          "day": (us // 1_000_000) // 86400,
+                          "us": us, "eid": df.event_id,
+                          "v": _cents(df.value)})
+        d = d.sort_values(["event_type", "day", "us", "eid"])
+        return d.groupby(["event_type", "day"], as_index=False).agg(
+            o_us=("us", "first"), o_eid=("eid", "first"),
+            open_cents=("v", "first"),
+            c_us=("us", "last"), c_eid=("eid", "last"),
+            close_cents=("v", "last"),
+            low_cents=("v", "min"), high_cents=("v", "max"),
+            n_events=("v", "size"), value_cents=("v", "sum"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ["event_type", "day"]
+        op = (df.sort_values(keys + ["o_us", "o_eid"])
+              .groupby(keys, as_index=False).agg(open_cents=("open_cents",
+                                                             "first")))
+        cl = (df.sort_values(keys + ["c_us", "c_eid"])
+              .groupby(keys, as_index=False).agg(close_cents=("close_cents",
+                                                              "last")))
+        ag = df.groupby(keys, as_index=False).agg(
+            low_cents=("low_cents", "min"), high_cents=("high_cents", "max"),
+            n_events=("n_events", "sum"), value_cents=("value_cents", "sum"))
+        out = op.merge(cl, on=keys).merge(ag, on=keys)
+        return out[keys + ["open_cents", "close_cents", "low_cents",
+                           "high_cents", "n_events", "value_cents"]]
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "day"], merge, num_buckets=8).sort(
+        ["event_type", "day"])
+
+
+SQL_EVENTS_DAILY_OHLC = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+         CAST(round(value*100) AS BIGINT) AS v, ts, event_id
+  FROM events
+), w AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type, day,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS BIGINT) AS open_cents,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS BIGINT) AS close_cents,
+       MIN(v) AS low_cents, MAX(v) AS high_cents,
+       COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS value_cents
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ------------------------------------------------- cohort retention
 def q_cohort_retention(sf_dir: str) -> rd.Dataset:
     """Cohort retention matrix: users cohorted by their FIRST active day,
@@ -841,4 +916,5 @@ ANALYTICS_QUERIES = {
     "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "events_daily_ohlc": (q_events_daily_ohlc, SQL_EVENTS_DAILY_OHLC),
 }

@@ -41,6 +41,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions import sketch as SK
+from ..functions import vocab as _V
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
@@ -1160,11 +1161,161 @@ FROM documents d ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------ cleaning recipe
+CLEAN_MIN_TOKENS = 30        # Gopher-style floor on document length
+CLEAN_MIN_STOP_MILLI = 20    # ≥2% stopwords (gibberish filter)
+
+
+def q_clean_corpus(sf_dir: str) -> rd.Dataset:
+    """The C4/Gopher-style corpus-cleaning recipe composed END-TO-END as
+    one lazy plan: quality filter → exact dedup → near-dup removal,
+    emitting the surviving (doc_id, n_tokens) — what an LLM-data user
+    actually runs, not the individual diagnostics.
+
+    Stages and their exchanges:
+    1. quality gate (n_tokens ≥ 30, stopword ratio ≥ 2%) fused with the
+       md5 fingerprint into ONE map_batches over the text — drops ~25%
+       of rows before anything shuffles;
+    2. exact dedup: fp-bucketed keep-min(doc_id) (ships survivors only);
+    3. near-dup removal: reuses the memoized verified shingle-edge set
+       and the pointer-jumping connected components (one tokenise+hash
+       pass per process across the whole dedup family), attaches labels
+       to survivors with ONE doc-bucketed cogroup, and keeps each
+       cluster's minimum SURVIVING doc — a near-dup cluster whose
+       canonical was quality- or exact-filtered still keeps its best
+       remaining member."""
+    import pyarrow.parquet as _pqm
+
+    from ..functions import vocab as V
+    from ..sources.io import read_parquet_sized
+    from .grouping import bucketed_cogroup, bucketed_group_apply
+
+    stop = V.STOPWORDS
+    docs = _docs(sf_dir)
+
+    def quality(batch: pa.Table) -> pd.DataFrame:
+        ids, ns, fps = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = t.lower().split()
+            n = len(toks)
+            if n < CLEAN_MIN_TOKENS:
+                continue
+            n_stop = sum(1 for w in toks if w in stop)
+            if (2000 * n_stop + n) // (2 * n) < CLEAN_MIN_STOP_MILLI:
+                continue
+            ids.append(d)
+            ns.append(n)
+            fps.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                             "n_tokens": pd.Series(ns, dtype=np.int64),
+                             "fp": pd.Series(fps, dtype=object)})
+
+    surv = docs.map_batches(quality, batch_format="pyarrow")
+
+    def exact_keep(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.doc_id == df.groupby("fp").doc_id.transform("min")
+        return df.loc[keep, ["doc_id", "n_tokens"]]
+
+    surv = bucketed_group_apply(surv, ["fp"], exact_keep, num_buckets=16)
+
+    edges = shingle_edges_cached(sf_dir).map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    docs_path = f"{sf_dir}/documents.parquet"
+    nodes = read_parquet_sized(docs_path, columns=["doc_id"],
+                               rows_per_block=20_000)
+    n_docs = _pqm.read_metadata(docs_path).num_rows
+    nb = max(4, min(256, -(-n_docs // 20_000)))
+    labels = connected_components(edges, nodes, num_buckets=nb)
+
+    def attach(s: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        m = s.merge(l, on="doc_id")
+        return m[["doc_id", "n_tokens", "label"]]
+
+    lab = bucketed_cogroup(surv, labels, ["doc_id"], ["doc_id"], attach,
+                           num_buckets=16)
+
+    def cluster_keep(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.doc_id == df.groupby("label").doc_id.transform("min")
+        return df.loc[keep, ["doc_id", "n_tokens"]]
+
+    return bucketed_group_apply(lab, ["label"], cluster_keep,
+                                num_buckets=16).sort("doc_id")
+
+
+_STOP_SQL_C = "(" + ",".join(f"'{w}'" for w in sorted(_V.STOPWORDS)) + ")"
+
+SQL_CLEAN_CORPUS = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END AS w
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              END AS sh
+  FROM t
+), sn AS (
+  SELECT doc_id, len(sh) AS n FROM s
+), x AS (
+  SELECT doc_id, unnest(sh) AS g FROM s
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), p AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sn na ON na.doc_id = c.doc_a
+              JOIN sn nb ON nb.doc_id = c.doc_b
+  WHERE 2000 * c.i >= 1600 * (na.n + nb.n - c.i)
+), e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+), reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+), lbl AS (
+  SELECT d.doc_id,
+         CAST(LEAST(d.doc_id,
+                    COALESCE((SELECT MIN(r.dst) FROM reach r
+                              WHERE r.src = d.doc_id), d.doc_id))
+              AS BIGINT) AS cluster_id
+  FROM documents d
+), q AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CASE WHEN len(w) = 0 THEN 0
+              ELSE (2000 * len(list_filter(w, y -> y IN __STOP__))
+                    + len(w)) // (2 * len(w)) END AS sr,
+         md5(text) AS fp
+  FROM t
+), s1 AS (
+  SELECT doc_id, n_tokens, fp FROM q
+  WHERE n_tokens >= 30 AND sr >= 20
+), s2 AS (
+  SELECT doc_id, n_tokens FROM s1
+  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+)
+SELECT s2.doc_id, s2.n_tokens
+FROM s2 JOIN lbl ON lbl.doc_id = s2.doc_id
+QUALIFY s2.doc_id = MIN(s2.doc_id) OVER (PARTITION BY lbl.cluster_id)
+ORDER BY s2.doc_id
+""".replace("__STOP__", _STOP_SQL_C)
+
+
 DEDUP_QUERIES = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "shingle_pairs": (q_shingle_pairs, SQL_SHINGLE_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
     # LSH recall < 1 ⇒ rows-only driver check; precision/recall pinned
     # against shingle_pairs by tests/test_properties.py
     "minhash_pairs": (q_minhash_pairs, None),

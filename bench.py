@@ -248,6 +248,8 @@ def run_bench() -> dict:
     timed("session_overlap", analytics.q_session_overlap)
     timed("snapshot_diff", analytics.q_snapshot_diff)
     timed("cohort_retention", analytics.q_cohort_retention)
+    timed("events_daily_ohlc", analytics.q_events_daily_ohlc)
+    timed("clean_corpus", dedup.q_clean_corpus)
 
     result = {
         "metric": "end-to-end extraction sec (flagship interleaved-doc pipeline) + per-query sec",

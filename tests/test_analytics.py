@@ -328,3 +328,36 @@ def test_cohort_retention_distinct_exact(ray_session) -> None:
     sizes = df[df.day_offset == 0].set_index("cohort_day").n_users
     merged = df.join(sizes.rename("cohort_size"), on="cohort_day")
     assert (merged.n_users <= merged.cohort_size).all()
+
+
+def test_events_daily_ohlc_semilattice(ray_session) -> None:
+    """low <= open/close <= high, counts conserve the event count, and a
+    single-process recompute agrees (including the argmin/argmax-by-time
+    open/close under the (ts, event_id) tie-break)."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_events_daily_ohlc,
+    )
+    df = q_events_daily_ohlc(SF).to_pandas()
+    assert (df.low_cents <= df.open_cents).all()
+    assert (df.low_cents <= df.close_cents).all()
+    assert (df.high_cents >= df.open_cents).all()
+    assert (df.high_cents >= df.close_cents).all()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert df.n_events.sum() == len(ev)
+    us = ev.ts.astype("datetime64[ns]").astype("int64") // 1_000
+    d = pd.DataFrame({"event_type": ev.event_type,
+                      "day": (us // 1_000_000) // 86400,
+                      "us": us, "eid": ev.event_id,
+                      "v": np.round(ev.value * 100).astype(np.int64)})
+    d = d.sort_values(["event_type", "day", "us", "eid"])
+    want = d.groupby(["event_type", "day"], as_index=False).agg(
+        open_cents=("v", "first"), close_cents=("v", "last"),
+        low_cents=("v", "min"), high_cents=("v", "max"),
+        n_events=("v", "size"), value_cents=("v", "sum"))
+    got = df[["event_type", "day", "open_cents", "close_cents",
+              "low_cents", "high_cents", "n_events", "value_cents"]]
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)

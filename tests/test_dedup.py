@@ -391,3 +391,46 @@ def test_sets_rescan_flag_identical_output(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         base.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         rescan.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+def test_clean_corpus_composition(ray_session) -> None:
+    """clean_corpus == quality gate → exact keep-min → per-cluster
+    keep-min-survivor, recomputed single-process from the same primitive
+    outputs (quality metrics, md5, cluster labels)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions import (
+        vocab as V,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.dedup import (
+        CLEAN_MIN_STOP_MILLI,
+        CLEAN_MIN_TOKENS,
+        q_clean_corpus,
+        q_dedup_clusters,
+    )
+    sf = "/root/testdata/sf0.001"
+    got = q_clean_corpus(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    rows = []
+    for r in docs.itertuples():
+        toks = r.text.lower().split()
+        n = len(toks)
+        if n < CLEAN_MIN_TOKENS:
+            continue
+        ns = sum(1 for w in toks if w in V.STOPWORDS)
+        if (2000 * ns + n) // (2 * n) < CLEAN_MIN_STOP_MILLI:
+            continue
+        rows.append((r.doc_id, n,
+                     hashlib.md5(r.text.encode("utf-8")).hexdigest()))
+    s1 = pd.DataFrame(rows, columns=["doc_id", "n_tokens", "fp"])
+    s2 = s1[s1.doc_id == s1.groupby("fp").doc_id.transform("min")]
+    labels = q_dedup_clusters(sf).to_pandas()
+    m = s2.merge(labels, on="doc_id")
+    keep = m[m.doc_id == m.groupby("cluster_id").doc_id.transform("min")]
+    want = keep[["doc_id", "n_tokens"]].sort_values("doc_id")
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.n_tokens) == list(want.n_tokens)
+    assert len(got) < len(docs)
