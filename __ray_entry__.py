@@ -351,7 +351,7 @@ _GATE_ORDER = [
     "user_scd2", "customer_quartiles", "nation_top_names",
     "parts_coordered", "bfs_hops",
     "orders_moving_sum", "session_overlap", "snapshot_diff",
-    "cohort_retention", "events_daily_ohlc",
+    "cohort_retention", "events_daily_ohlc", "user_twap",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",

@@ -773,6 +773,64 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------- time-weighted average
+def q_user_twap(sf_dir: str) -> rd.Dataset:
+    """Time-weighted average value per user (TWAP): each event's value
+    holds until the user's next event; the average weights by holding
+    time — the step-function-integral window shape (position/price
+    marking, metering), distinct from the row-frame (orders_moving_sum)
+    and LAG (event_gaps) windows.
+
+    One user-bucketed shuffle; ∫v dt is a vectorized shift-multiply per
+    bucket.  All integers: values in cents, time in floored epoch
+    seconds, the mean as half-up integer division ((2a+b)//(2b) — exact
+    on both sides; values are positive so floor == trunc).  Users whose
+    events span zero floored seconds carry no holding time and are
+    excluded, like single-event users."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def twap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        df["_s"] = _epoch_s(df.ts)
+        df["v"] = _cents(df.value)
+        nxt = df._s.shift(-1)
+        same = df.user_id == df.user_id.shift(-1)
+        df["dt"] = np.where(same, nxt - df._s, np.nan)
+        df = df[df.dt.notna()]
+        df["dt"] = df.dt.astype(np.int64)
+        out = df.assign(vdt=df.v * df.dt).groupby(
+            "user_id", as_index=False).agg(held_s=("dt", "sum"),
+                                           vdt=("vdt", "sum"))
+        out = out[out.held_s > 0]
+        out["twap_cents"] = (2 * out.vdt + out.held_s) // (2 * out.held_s)
+        return out[["user_id", "held_s", "vdt", "twap_cents"]]
+
+    return bucketed_group_apply(ds, ["user_id"], twap).sort("user_id")
+
+
+SQL_USER_TWAP = """
+WITH e AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS v,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es, ts, event_id
+  FROM events
+), d AS (
+  SELECT user_id, v,
+         LEAD(es) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - es AS dt
+  FROM e
+), a AS (
+  SELECT user_id, CAST(SUM(dt) AS BIGINT) AS held_s,
+         CAST(SUM(v*dt) AS BIGINT) AS vdt
+  FROM d WHERE dt IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, held_s, vdt,
+       CAST((2*vdt + held_s) // (2*held_s) AS BIGINT) AS twap_cents
+FROM a WHERE held_s > 0 ORDER BY user_id
+"""
+
+
 # ------------------------------------------------- daily OHLC rollup
 def q_events_daily_ohlc(sf_dir: str) -> rd.Dataset:
     """Daily OHLC per event type: open/close = value at the first/last
@@ -917,4 +975,5 @@ ANALYTICS_QUERIES = {
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "events_daily_ohlc": (q_events_daily_ohlc, SQL_EVENTS_DAILY_OHLC),
+    "user_twap": (q_user_twap, SQL_USER_TWAP),
 }

@@ -249,6 +249,7 @@ def run_bench() -> dict:
     timed("snapshot_diff", analytics.q_snapshot_diff)
     timed("cohort_retention", analytics.q_cohort_retention)
     timed("events_daily_ohlc", analytics.q_events_daily_ohlc)
+    timed("user_twap", analytics.q_user_twap)
     timed("clean_corpus", dedup.q_clean_corpus)
 
     result = {

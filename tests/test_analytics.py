@@ -361,3 +361,39 @@ def test_events_daily_ohlc_semilattice(ray_session) -> None:
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_user_twap_integral(ray_session) -> None:
+    """held_s telescopes to last-first per user, vdt is bounded by
+    held_s x [min_v, max_v], and the TWAP lies within each user's value
+    range; brute-force recompute agrees."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_user_twap,
+    )
+    df = q_user_twap(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    s = ev.ts.astype("datetime64[ns]").astype("int64") // 1_000_000_000
+    v = np.round(ev.value * 100).astype(np.int64)
+    d = pd.DataFrame({"user_id": ev.user_id, "s": s, "v": v})
+    span = d.groupby("user_id").s.agg(["min", "max"])
+    nxt = d.s.shift(-1)
+    same = d.user_id == d.user_id.shift(-1)
+    d["dt"] = np.where(same, nxt - d.s, np.nan)
+    d = d[d.dt.notna()]
+    d["dt"] = d.dt.astype(np.int64)
+    want = d.assign(vdt=d.v * d.dt).groupby("user_id").agg(
+        held_s=("dt", "sum"), vdt=("vdt", "sum"))
+    want = want[want.held_s > 0]
+    want["twap_cents"] = (2 * want.vdt + want.held_s) // (2 * want.held_s)
+    assert list(df.user_id) == list(want.index)
+    assert list(df.vdt) == list(want.vdt)
+    assert list(df.twap_cents) == list(want.twap_cents)
+    got_span = span.loc[df.user_id]
+    assert (df.held_s.to_numpy()
+            == (got_span["max"] - got_span["min"]).to_numpy()).all()
+    vr = d.groupby("user_id").v.agg(["min", "max"]).loc[df.user_id]
+    assert (df.twap_cents.to_numpy() >= vr["min"].to_numpy()).all()
+    assert (df.twap_cents.to_numpy() <= vr["max"].to_numpy()).all()
