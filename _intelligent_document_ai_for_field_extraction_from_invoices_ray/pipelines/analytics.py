@@ -773,6 +773,68 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------- RANGE-frame trailing sum
+def q_events_trailing_1h(sf_dir: str) -> rd.Dataset:
+    """Per-event trailing-1-hour spend for the event's user — the
+    RANGE (time-based) window frame, which no other operator covers:
+    ``orders_moving_sum`` is a ROWS frame, ``events_sliding`` a global
+    bucket grid, ``event_gaps`` a LAG.  RANGE peer semantics are kept
+    exactly: all events tied on the same floored second are in each
+    other's frames regardless of event_id order.
+
+    One user-bucketed shuffle; inside a bucket the frame sums are a
+    prefix-cumsum plus two vectorized ``searchsorted`` bounds per row
+    (lo = first index ≥ t−3600, hi = last peer of t) — O(n log n) per
+    bucket, no per-row Python."""
+    from .grouping import bucketed_group_apply
+
+    W = 3600
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def trail(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype=np.int64),
+                "user_id": pd.Series(dtype=np.int64),
+                "es": pd.Series(dtype=np.int64),
+                "trail_cents": pd.Series(dtype=np.int64)})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        s = _epoch_s(df.ts).to_numpy()
+        v = _cents(df.value)
+        # one GLOBAL searchsorted for all users: composite key
+        # user_code·BIG + rebased_s is monotone over the (user, s) sort
+        # and users are BIG apart, so a per-user time bound never crosses
+        # into a neighboring user's range
+        codes = pd.factorize(df.user_id, sort=False)[0].astype(np.int64)
+        s0 = s - s.min()
+        big = np.int64(int(s0.max()) + W + 2)
+        keys = codes * big + s0
+        cum = np.concatenate([[0], np.cumsum(v)])
+        lo = np.searchsorted(keys, keys - W, side="left")
+        hi = np.searchsorted(keys, keys, side="right")
+        return pd.DataFrame({"event_id": df.event_id.to_numpy(),
+                             "user_id": df.user_id.to_numpy(),
+                             "es": s,
+                             "trail_cents": cum[hi] - cum[lo]})
+
+    return bucketed_group_apply(ds, ["user_id"], trail).sort("event_id")
+
+
+SQL_EVENTS_TRAILING_1H = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(round(value*100) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_id, user_id, es,
+       CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY es
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trail_cents
+FROM e ORDER BY event_id
+"""
+
+
 # --------------------------------------------- time-weighted average
 def q_user_twap(sf_dir: str) -> rd.Dataset:
     """Time-weighted average value per user (TWAP): each event's value
@@ -976,4 +1038,5 @@ ANALYTICS_QUERIES = {
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "events_daily_ohlc": (q_events_daily_ohlc, SQL_EVENTS_DAILY_OHLC),
     "user_twap": (q_user_twap, SQL_USER_TWAP),
+    "events_trailing_1h": (q_events_trailing_1h, SQL_EVENTS_TRAILING_1H),
 }

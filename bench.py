@@ -250,6 +250,7 @@ def run_bench() -> dict:
     timed("cohort_retention", analytics.q_cohort_retention)
     timed("events_daily_ohlc", analytics.q_events_daily_ohlc)
     timed("user_twap", analytics.q_user_twap)
+    timed("events_trailing_1h", analytics.q_events_trailing_1h)
     timed("clean_corpus", dedup.q_clean_corpus)
 
     result = {

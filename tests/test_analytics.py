@@ -397,3 +397,28 @@ def test_user_twap_integral(ray_session) -> None:
     vr = d.groupby("user_id").v.agg(["min", "max"]).loc[df.user_id]
     assert (df.twap_cents.to_numpy() >= vr["min"].to_numpy()).all()
     assert (df.twap_cents.to_numpy() <= vr["max"].to_numpy()).all()
+
+
+def test_events_trailing_1h_range_frame(ray_session) -> None:
+    """RANGE-frame semantics: every event's trailing sum includes itself
+    and all same-second peers; a brute-force per-user O(n^2) recompute
+    agrees exactly."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_events_trailing_1h,
+    )
+    df = q_events_trailing_1h(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert len(df) == len(ev)
+    es = (ev.ts.astype("datetime64[ns]").astype("int64")
+          // 1_000_000_000).to_numpy()
+    v = np.round(ev.value * 100).astype(np.int64).to_numpy()
+    uid = ev.user_id.to_numpy()
+    want = {}
+    for i in range(len(ev)):
+        m = (uid == uid[i]) & (es >= es[i] - 3600) & (es <= es[i])
+        want[int(ev.event_id.iloc[i])] = int(v[m].sum())
+    got = dict(zip(df.event_id, df.trail_cents))
+    assert got == want
+    assert (df.trail_cents >= 0).all()
