@@ -352,7 +352,8 @@ _GATE_ORDER = [
     "parts_coordered", "bfs_hops",
     "orders_moving_sum", "session_overlap", "snapshot_diff",
     "cohort_retention", "events_daily_ohlc", "user_twap",
-    "events_trailing_1h",
+    "events_trailing_1h", "user_top_type", "brand_type_cube",
+    "order_balance_audit",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",

@@ -773,6 +773,165 @@ ORDER BY user_id
 """
 
 
+# ----------------------------------------------------- grouped mode
+def q_user_top_type(sf_dir: str) -> rd.Dataset:
+    """Most frequent event_type per user (grouped MODE), deterministic
+    tie-break (higher count, then lexicographically smaller type).
+
+    One user-bucketed shuffle: a user's rows never straddle buckets, so
+    count + argmax are exact inside the bucket; output is one row per
+    user."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def mode(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["user_id", "event_type"], as_index=False).size()
+        c = c.sort_values(["user_id", "size", "event_type"],
+                          ascending=[True, False, True])
+        top = c.groupby("user_id", as_index=False).first()
+        top = top.rename(columns={"size": "n_events"})
+        top["n_events"] = top.n_events.astype(np.int64)
+        return top[["user_id", "event_type", "n_events"]]
+
+    return bucketed_group_apply(ds, ["user_id"], mode).sort("user_id")
+
+
+SQL_USER_TOP_TYPE = """
+SELECT user_id, event_type, n_events FROM (
+  SELECT user_id, event_type, COUNT(*) AS n_events,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# -------------------------------------------- reconciliation audit
+def q_order_balance_audit(sf_dir: str) -> pd.DataFrame:
+    """Cross-table balance audit: each order's header total vs the sum
+    of its line items, top-100 discrepancies — the reconciliation sweep
+    a finance pipeline runs after ingest.
+
+    lineitem pre-aggregates per orderkey INSIDE each batch before the
+    one orderkey-bucketed cogroup with orders (LEFT: itemless orders
+    audit at items=0); each bucket emits only its top-100 by
+    (|diff| desc, orderkey), so the driver merge is ≤ 100 × buckets."""
+    from .grouping import bucketed_cogroup
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def li_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"l_orderkey": df.l_orderkey,
+                          "c": _cents(df.l_extendedprice)})
+        return d.groupby("l_orderkey", as_index=False).agg(
+            items_cents=("c", "sum"))
+
+    def audit(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        items = l.groupby("l_orderkey", as_index=False).agg(
+            items_cents=("items_cents", "sum"))
+        m = o.merge(items, left_on="o_orderkey", right_on="l_orderkey",
+                    how="left")
+        price = _cents(m.o_totalprice)
+        items_c = m.items_cents.fillna(0).astype(np.int64).to_numpy()
+        out = pd.DataFrame({"o_orderkey": m.o_orderkey,
+                            "price_cents": price,
+                            "items_cents": items_c,
+                            "diff_cents": price - items_c})
+        out["_a"] = out.diff_cents.abs()
+        out = out.sort_values(["_a", "o_orderkey"],
+                              ascending=[False, True]).head(100)
+        return out.drop(columns=["_a"])
+
+    parts = bucketed_cogroup(orders, li.map_batches(li_part,
+                                                    batch_format="pandas"),
+                             ["o_orderkey"], ["l_orderkey"], audit,
+                             num_buckets=16).to_pandas()
+    parts["_a"] = parts.diff_cents.abs()
+    parts = parts.sort_values(["_a", "o_orderkey"],
+                              ascending=[False, True]).head(100)
+    return parts.drop(columns=["_a"]).reset_index(drop=True)
+
+
+SQL_ORDER_BALANCE_AUDIT = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+           AS items_cents
+  FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderkey,
+       CAST(round(o.o_totalprice*100) AS BIGINT) AS price_cents,
+       CAST(COALESCE(li.items_cents, 0) AS BIGINT) AS items_cents,
+       CAST(round(o.o_totalprice*100) AS BIGINT)
+         - CAST(COALESCE(li.items_cents, 0) AS BIGINT) AS diff_cents
+FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+ORDER BY abs(diff_cents) DESC, o.o_orderkey LIMIT 100
+"""
+
+
+# ------------------------------------------------------ CUBE rollup
+def q_brand_type_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(p_brand, p_type) over part counts/retail value —
+    all four grouping sets, extending the rollup (``segment_nation_
+    rollup``) with the cross term (ALL, type).
+
+    Scale shape identical to the rollup: only the FINEST level
+    (brand × type, bounded by attribute cardinalities, not corpus size)
+    touches the table — per-batch combiner then one bounded bucketed
+    merge; the three coarser sets are derived from the finest aggregate
+    driver-side."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "part", ["p_brand", "p_type", "p_retailprice"])
+
+    def part_comb(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"p_brand": df.p_brand, "p_type": df.p_type,
+                          "c": _cents(df.p_retailprice)})
+        return d.groupby(["p_brand", "p_type"], as_index=False).agg(
+            n_parts=("c", "size"), retail_cents=("c", "sum"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["p_brand", "p_type"], as_index=False).agg(
+            n_parts=("n_parts", "sum"), retail_cents=("retail_cents", "sum"))
+
+    fine = bucketed_group_apply(
+        ds.map_batches(part_comb, batch_format="pandas"),
+        ["p_brand", "p_type"], merge, num_buckets=8).to_pandas()
+
+    def lvl(d: pd.DataFrame, by: list[str]) -> pd.DataFrame:
+        if by:
+            out = d.groupby(by, as_index=False).agg(
+                n_parts=("n_parts", "sum"),
+                retail_cents=("retail_cents", "sum"))
+        else:
+            out = pd.DataFrame({"n_parts": [int(d.n_parts.sum())],
+                                "retail_cents": [int(d.retail_cents.sum())]})
+        for col in ("p_brand", "p_type"):
+            if col not in by:
+                out[col] = "ALL"
+        return out[["p_brand", "p_type", "n_parts", "retail_cents"]]
+
+    cube = pd.concat([fine[["p_brand", "p_type", "n_parts", "retail_cents"]],
+                      lvl(fine, ["p_brand"]), lvl(fine, ["p_type"]),
+                      lvl(fine, [])], ignore_index=True)
+    cube["n_parts"] = cube.n_parts.astype(np.int64)
+    cube["retail_cents"] = cube.retail_cents.astype(np.int64)
+    return cube.sort_values(["p_brand", "p_type"]).reset_index(drop=True)
+
+
+SQL_BRAND_TYPE_CUBE = """
+SELECT COALESCE(p_brand, 'ALL') AS p_brand,
+       COALESCE(p_type, 'ALL') AS p_type,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)
+         AS retail_cents
+FROM part GROUP BY CUBE(p_brand, p_type)
+ORDER BY COALESCE(p_brand, 'ALL'), COALESCE(p_type, 'ALL')
+"""
+
+
 # --------------------------------------------- RANGE-frame trailing sum
 def q_events_trailing_1h(sf_dir: str) -> rd.Dataset:
     """Per-event trailing-1-hour spend for the event's user — the
@@ -1039,4 +1198,7 @@ ANALYTICS_QUERIES = {
     "events_daily_ohlc": (q_events_daily_ohlc, SQL_EVENTS_DAILY_OHLC),
     "user_twap": (q_user_twap, SQL_USER_TWAP),
     "events_trailing_1h": (q_events_trailing_1h, SQL_EVENTS_TRAILING_1H),
+    "user_top_type": (q_user_top_type, SQL_USER_TOP_TYPE),
+    "order_balance_audit": (q_order_balance_audit, SQL_ORDER_BALANCE_AUDIT),
+    "brand_type_cube": (q_brand_type_cube, SQL_BRAND_TYPE_CUBE),
 }

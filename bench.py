@@ -251,6 +251,9 @@ def run_bench() -> dict:
     timed("events_daily_ohlc", analytics.q_events_daily_ohlc)
     timed("user_twap", analytics.q_user_twap)
     timed("events_trailing_1h", analytics.q_events_trailing_1h)
+    timed("user_top_type", analytics.q_user_top_type)
+    timed("order_balance_audit", analytics.q_order_balance_audit)
+    timed("brand_type_cube", analytics.q_brand_type_cube)
     timed("clean_corpus", dedup.q_clean_corpus)
 
     result = {

@@ -422,3 +422,72 @@ def test_events_trailing_1h_range_frame(ray_session) -> None:
     got = dict(zip(df.event_id, df.trail_cents))
     assert got == want
     assert (df.trail_cents >= 0).all()
+
+
+def test_user_top_type_mode(ray_session) -> None:
+    """One row per user; the reported type has the user's max count and
+    wins lexicographic ties (brute-force recount)."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_user_top_type,
+    )
+    df = q_user_top_type(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    assert df.user_id.is_unique
+    assert set(df.user_id) == set(ev.user_id)
+    counts = ev.groupby(["user_id", "event_type"]).size()
+    for r in df.itertuples():
+        per = counts[r.user_id]
+        assert per[r.event_type] == r.n_events == per.max()
+        assert r.event_type == min(per.index[per == per.max()])
+
+
+def test_order_balance_audit_topk(ray_session) -> None:
+    """diff = price - items for every returned order, the rows are the
+    global top-100 by (|diff|, orderkey), and itemless orders audit at
+    items_cents = 0."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_order_balance_audit,
+    )
+    df = q_order_balance_audit(SF)
+    assert len(df) == 100
+    assert (df.diff_cents == df.price_cents - df.items_cents).all()
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_extendedprice"]).to_pandas()
+    items = (np.round(li.l_extendedprice * 100).astype(np.int64)
+             .groupby(li.l_orderkey).sum())
+    o["item_c"] = o.o_orderkey.map(items).fillna(0).astype(np.int64)
+    o["diff"] = (np.round(o.o_totalprice * 100).astype(np.int64)
+                 - o["item_c"])
+    o["_a"] = o["diff"].abs()
+    want = o.sort_values(["_a", "o_orderkey"],
+                         ascending=[False, True]).head(100)
+    assert list(df.o_orderkey) == list(want.o_orderkey)
+    assert list(df.diff_cents) == list(want["diff"])
+
+
+def test_brand_type_cube_consistency(ray_session) -> None:
+    """All four grouping sets are present and internally consistent:
+    per-brand rows sum to (brand, ALL), per-type to (ALL, type), and
+    both marginals to the grand total."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_brand_type_cube,
+    )
+    df = q_brand_type_cube(SF)
+    fine = df[(df.p_brand != "ALL") & (df.p_type != "ALL")]
+    b = df[(df.p_brand != "ALL") & (df.p_type == "ALL")]
+    t = df[(df.p_brand == "ALL") & (df.p_type != "ALL")]
+    g = df[(df.p_brand == "ALL") & (df.p_type == "ALL")]
+    assert len(g) == 1
+    assert fine.n_parts.sum() == b.n_parts.sum() == t.n_parts.sum() \
+        == g.n_parts.iloc[0]
+    fb = fine.groupby("p_brand").retail_cents.sum()
+    assert dict(zip(b.p_brand, b.retail_cents)) == fb.to_dict()
+    ft = fine.groupby("p_type").retail_cents.sum()
+    assert dict(zip(t.p_type, t.retail_cents)) == ft.to_dict()
