@@ -374,7 +374,8 @@ _GATE_ORDER = [
     "region_customers", "supplier_nation", "token_heavy_hitters",
     "length_quantiles", "ngram_hotspots", "exact_dedup",
     "customers_without_orders", "running_spend", "event_followers",
-    "events_hourly", "events_sliding", "parts_ordered_large", "tfidf_topk",
+    "events_hourly", "events_hourly_incremental", "events_sliding",
+    "parts_ordered_large", "tfidf_topk",
     "priority_revenue", "regional_revenue", "user_sessions",
     "asof_latest_order",
     "shingle_pairs", "dup_passages", "jaccard_pairs",

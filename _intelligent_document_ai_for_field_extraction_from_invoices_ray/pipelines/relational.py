@@ -435,6 +435,63 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_hourly_incremental(sf_dir: str) -> rd.Dataset:
+    """Incremental view maintenance: the hourly aggregate built from
+    THREE chronological micro-batches — each chunk aggregates
+    independently and ``materialize()``s (≙ the checkpointed view state
+    a streaming job persists between arrivals), then the states merge
+    with the SAME combine — provably equal to the batch answer because
+    (count, sum) partials form a semilattice.  Same oracle as
+    ``events_hourly``: the incremental path must be bit-equal to batch.
+
+    Exchange: each chunk pays one bucketed shuffle over ITS rows only
+    (≙ per-arrival work in a real stream); the merge shuffles just
+    3 × |view| partial rows, never raw events."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def mm(batch: pa.Table) -> pa.Table:
+        ns = batch.column("ts").cast(pa.int64()).to_numpy() * 1_000
+        return pa.table({"lo": pa.array([int(ns.min())], pa.int64()),
+                         "hi": pa.array([int(ns.max())], pa.int64())})
+
+    bounds = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    lo, hi = int(bounds.lo.min()), int(bounds.hi.max()) + 1
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi]
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "hour_bucket"], as_index=False).agg(
+            n_events=("v", "size"), value_cents=("v", "sum"))
+
+    states = []
+    for i in range(3):
+        a, b = cuts[i], cuts[i + 1]
+
+        def prep(df: pd.DataFrame, _a=a, _b=b) -> pd.DataFrame:
+            ns = df.ts.astype("datetime64[ns]").astype("int64")
+            keep = (ns >= _a) & (ns < _b)
+            return pd.DataFrame({
+                "user_id": df.user_id[keep],
+                "hour_bucket": (ns[keep] // 3_600_000_000_000)
+                .astype(np.int64),
+                "v": _cents(df.value[keep])})
+
+        state = bucketed_group_apply(
+            ds.map_batches(prep, batch_format="pandas"),
+            ["user_id", "hour_bucket"], agg, num_buckets=16).materialize()
+        states.append(state)
+
+    def remerge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "hour_bucket"], as_index=False).agg(
+            n_events=("n_events", "sum"), value_cents=("value_cents", "sum"))
+
+    merged = states[0].union(states[1]).union(states[2])
+    return bucketed_group_apply(merged, ["user_id", "hour_bucket"],
+                                remerge, num_buckets=16).sort(
+        ["user_id", "hour_bucket"])
+
+
 # ------------------------------------------------------------ sliding window
 SLIDE_W = 3600          # window length (s)
 SLIDE_S = 900           # slide step (s) — W/S = 4 windows per event
@@ -1980,6 +2037,9 @@ QUERIES = {
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "distinct_flags": (q_distinct_flags, SQL_DISTINCT_FLAGS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    # incremental path must equal the batch view — same oracle
+    "events_hourly_incremental": (q_events_hourly_incremental,
+                                  SQL_EVENTS_HOURLY),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "events_top3_per_type": (q_events_top3_per_type, SQL_EVENTS_TOP3),
     "events_json": (q_events_json, SQL_EVENTS_JSON),

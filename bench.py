@@ -254,6 +254,7 @@ def run_bench() -> dict:
     timed("user_top_type", analytics.q_user_top_type)
     timed("order_balance_audit", analytics.q_order_balance_audit)
     timed("brand_type_cube", analytics.q_brand_type_cube)
+    timed("events_hourly_incremental", relational.q_events_hourly_incremental)
     timed("clean_corpus", dedup.q_clean_corpus)
 
     result = {
