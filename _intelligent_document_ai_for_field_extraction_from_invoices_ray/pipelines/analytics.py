@@ -773,6 +773,161 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------------ robust statistics
+def q_value_winsor_mean(sf_dir: str) -> pd.DataFrame:
+    """Winsorized mean of event value: clamp to the exact [p5, p95]
+    (inverted-CDF quantiles, same statistic as events_value_quantiles)
+    then the exact clamped mean — the two-pass robust-statistics shape
+    (outlier-insensitive KPIs).
+
+    Pass 1 builds a global cents histogram from per-batch partials
+    (exchange bounded by DISTINCT cent values — the value range, not the
+    corpus) and derives the thresholds with INTEGER rank arithmetic
+    (ceil(n/20) = (n+19)//20 — float 0.05·n would misrank at n divisible
+    by 20: 0.05 is not binary-exact).  Pass 2 clamps per batch and ships
+    (sum, count) partials.  Mean in milli-cents, half-up integer
+    division."""
+    ds = _pq(sf_dir, "events", ["value"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(_cents(df.value), return_counts=True)
+        return pd.DataFrame({"c": u, "cnt": c.astype(np.int64)})
+
+    h = (ds.map_batches(hist, batch_format="pandas").to_pandas()
+         .groupby("c", as_index=False).cnt.sum().sort_values("c"))
+    n = int(h.cnt.sum())
+    cum = h.cnt.cumsum().to_numpy()
+    cs = h.c.to_numpy()
+    lo = int(cs[np.searchsorted(cum, (n + 19) // 20)])
+    hi = int(cs[np.searchsorted(cum, (19 * n + 19) // 20)])
+
+    def clamp(df: pd.DataFrame) -> pd.DataFrame:
+        wc = np.clip(_cents(df.value), lo, hi)
+        return pd.DataFrame({"s": [int(wc.sum())], "k": [len(wc)]})
+
+    parts = ds.map_batches(clamp, batch_format="pandas").to_pandas()
+    s, k = int(parts.s.sum()), int(parts.k.sum())
+    return pd.DataFrame({
+        "n_events": pd.Series([k], dtype=np.int64),
+        "lo_cents": pd.Series([lo], dtype=np.int64),
+        "hi_cents": pd.Series([hi], dtype=np.int64),
+        "winsor_sum_cents": pd.Series([s], dtype=np.int64),
+        "winsor_mean_milli": pd.Series([(2000 * s + k) // (2 * k)],
+                                       dtype=np.int64)})
+
+
+SQL_VALUE_WINSOR_MEAN = """
+WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS c FROM events),
+n AS (SELECT COUNT(*) AS n FROM v),
+h AS (SELECT c, COUNT(*) AS cnt FROM v GROUP BY c),
+cdf AS (SELECT c, SUM(cnt) OVER (ORDER BY c) AS cum FROM h),
+b AS (SELECT
+  (SELECT MIN(c) FROM cdf, n WHERE cum >= (n.n + 19) // 20) AS lo,
+  (SELECT MIN(c) FROM cdf, n WHERE cum >= (19 * n.n + 19) // 20) AS hi),
+w AS (SELECT LEAST(GREATEST(v.c, b.lo), b.hi) AS wc FROM v, b)
+SELECT COUNT(*) AS n_events,
+       (SELECT lo FROM b) AS lo_cents,
+       (SELECT hi FROM b) AS hi_cents,
+       CAST(SUM(wc) AS BIGINT) AS winsor_sum_cents,
+       CAST((2000 * SUM(wc) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+         AS winsor_mean_milli
+FROM w
+"""
+
+
+# ------------------------------------------------ table profiling
+_PROFILE_COLS = ["o_custkey", "o_orderdate", "o_orderkey",
+                 "o_orderpriority", "o_orderstatus", "o_totalprice"]
+
+
+def q_orders_profile(sf_dir: str) -> pd.DataFrame:
+    """ANALYZE-style table profile: exact row count, null count and
+    DISTINCT count for every orders column — the statistics pass a
+    query planner runs before choosing join orders.
+
+    Exact NDV for ALL columns in ONE combined exchange: each batch
+    emits its DISTINCT (col_id, value-key) pairs (keys injective per
+    column: ints/cents/epoch as decimal strings), a (col, key)-bucketed
+    dedup counts survivors per column — a value's pair lands in exactly
+    one bucket, so per-bucket distinct counts are additive — and the
+    driver merges |cols| × buckets partials.  Null counts ride along as
+    per-batch (col, n_null) rows."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "orders", _PROFILE_COLS)
+
+    def keys_of(df: pd.DataFrame) -> dict[str, pd.Series]:
+        return {
+            "o_orderkey": df.o_orderkey.map(str),
+            "o_custkey": df.o_custkey.map(str),
+            "o_orderstatus": df.o_orderstatus,
+            "o_orderpriority": df.o_orderpriority,
+            "o_orderdate": pd.Series(
+                df.o_orderdate.astype("datetime64[ns]").astype("int64")
+            ).map(str),
+            "o_totalprice": pd.Series(_cents(df.o_totalprice)).map(str),
+        }
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols, keys = [], []
+        for col, sval in keys_of(df).items():
+            u = pd.unique(sval.dropna())
+            cols.extend([col] * len(u))
+            keys.extend(u)
+        return pd.DataFrame({"col_name": cols, "sval": keys})
+
+    def ndv_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        out = d.groupby("col_name", as_index=False).agg(
+            nd=("sval", "size"))
+        out["nd"] = out.nd.astype(np.int64)
+        return out
+
+    nd = (bucketed_group_apply(
+        ds.map_batches(pairs, batch_format="pandas"),
+        ["col_name", "sval"], ndv_part, num_buckets=16).to_pandas()
+        .groupby("col_name", as_index=False).nd.sum())
+
+    def nulls(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [(c, int(df[c].isna().sum()), len(df))
+                for c in _PROFILE_COLS]
+        return pd.DataFrame(rows, columns=["col_name", "nn", "nr"])
+
+    nl = (ds.map_batches(nulls, batch_format="pandas").to_pandas()
+          .groupby("col_name", as_index=False).agg(nn=("nn", "sum"),
+                                                   nr=("nr", "sum")))
+    out = nl.merge(nd, on="col_name")
+    return pd.DataFrame({
+        "col_name": out.col_name,
+        "n_rows": out.nr.astype(np.int64),
+        "n_nulls": out.nn.astype(np.int64),
+        "n_distinct": out.nd.astype(np.int64),
+    }).sort_values("col_name").reset_index(drop=True)
+
+
+SQL_ORDERS_PROFILE = """
+SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_custkey) AS n_nulls,
+       COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+       COUNT(DISTINCT o_orderdate) FROM orders
+UNION ALL
+SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+       COUNT(DISTINCT o_orderkey) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT CAST(round(o_totalprice*100) AS BIGINT)) FROM orders
+ORDER BY col_name
+"""
+
+
 # ----------------------------------------------------- grouped mode
 def q_user_top_type(sf_dir: str) -> rd.Dataset:
     """Most frequent event_type per user (grouped MODE), deterministic
@@ -1201,4 +1356,6 @@ ANALYTICS_QUERIES = {
     "user_top_type": (q_user_top_type, SQL_USER_TOP_TYPE),
     "order_balance_audit": (q_order_balance_audit, SQL_ORDER_BALANCE_AUDIT),
     "brand_type_cube": (q_brand_type_cube, SQL_BRAND_TYPE_CUBE),
+    "value_winsor_mean": (q_value_winsor_mean, SQL_VALUE_WINSOR_MEAN),
+    "orders_profile": (q_orders_profile, SQL_ORDERS_PROFILE),
 }

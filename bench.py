@@ -255,6 +255,8 @@ def run_bench() -> dict:
     timed("order_balance_audit", analytics.q_order_balance_audit)
     timed("brand_type_cube", analytics.q_brand_type_cube)
     timed("events_hourly_incremental", relational.q_events_hourly_incremental)
+    timed("value_winsor_mean", analytics.q_value_winsor_mean)
+    timed("orders_profile", analytics.q_orders_profile)
     timed("clean_corpus", dedup.q_clean_corpus)
 
     result = {

@@ -491,3 +491,46 @@ def test_brand_type_cube_consistency(ray_session) -> None:
     assert dict(zip(b.p_brand, b.retail_cents)) == fb.to_dict()
     ft = fine.groupby("p_type").retail_cents.sum()
     assert dict(zip(t.p_type, t.retail_cents)) == ft.to_dict()
+
+
+def test_value_winsor_mean_bounds(ray_session) -> None:
+    """Thresholds are actual data values with lo <= hi, the winsorized
+    sum is between n*lo and n*hi, and a brute-force clamp agrees."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_value_winsor_mean,
+    )
+    r = q_value_winsor_mean(SF).iloc[0]
+    v = np.round(pq.read_table(f"{SF}/events.parquet", columns=["value"])
+                 .to_pandas().value * 100).astype(np.int64).to_numpy()
+    assert r.lo_cents in v and r.hi_cents in v and r.lo_cents <= r.hi_cents
+    n = len(v)
+    vs = np.sort(v)
+    assert r.lo_cents == vs[(n + 19) // 20 - 1]
+    assert r.hi_cents == vs[(19 * n + 19) // 20 - 1]
+    want = int(np.clip(v, r.lo_cents, r.hi_cents).sum())
+    assert r.winsor_sum_cents == want
+    assert r.n_events == n
+
+
+def test_orders_profile_exact_ndv(ray_session) -> None:
+    """Profile NDVs equal pandas nunique per column and n_rows is the
+    table size everywhere."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_orders_profile,
+    )
+    df = q_orders_profile(SF)
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    assert (df.n_rows == len(o)).all()
+    assert (df.n_nulls == 0).all()
+    got = dict(zip(df.col_name, df.n_distinct))
+    assert got["o_orderkey"] == o.o_orderkey.nunique()
+    assert got["o_custkey"] == o.o_custkey.nunique()
+    assert got["o_orderstatus"] == o.o_orderstatus.nunique()
+    assert got["o_orderpriority"] == o.o_orderpriority.nunique()
+    assert got["o_orderdate"] == o.o_orderdate.nunique()
+    assert got["o_totalprice"] == (
+        np.round(o.o_totalprice * 100).astype(np.int64)).nunique()
