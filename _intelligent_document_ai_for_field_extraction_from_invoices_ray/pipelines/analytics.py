@@ -773,6 +773,55 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------------ rolling active users
+def q_rolling_wau(sf_dir: str) -> rd.Dataset:
+    """Rolling weekly-active-users: for every day D (that any trailing
+    window reaches), the number of DISTINCT users active in [D-6, D] —
+    the sliding-distinct shape (WAU/MAU dashboards), which plain window
+    functions cannot express because COUNT(DISTINCT) doesn't decompose
+    over sliding frames.
+
+    Exact with zero distinct shuffles: ONE user-bucketed pass dedups
+    (user, day), replicates each pair to its 7 target days (bounded
+    expansion), dedups (user, target) — all within the user's bucket, so
+    each user contributes ≤1 per target day and the per-bucket counts
+    are exact distinct-user partials; ONE day-bucketed sum finishes."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"user_id": df.user_id,
+                          "day": _epoch_s(df.ts) // 86400}).drop_duplicates()
+        rep = pd.concat([d.assign(day=d.day + i) for i in range(7)],
+                        ignore_index=True).drop_duplicates()
+        out = rep.groupby("day", as_index=False).agg(wau=("user_id", "size"))
+        out["wau"] = out.wau.astype(np.int64)
+        return out
+
+    partial = bucketed_group_apply(ds, ["user_id"], per_user,
+                                   num_buckets=16)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("day", as_index=False).agg(wau=("wau", "sum"))
+
+    return bucketed_group_apply(partial, ["day"], total,
+                                num_buckets=8).sort("day")
+
+
+SQL_ROLLING_WAU = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)/86400) AS BIGINT) AS day
+  FROM events
+), t AS (
+  SELECT DISTINCT user_id, day + i AS day
+  FROM d, (SELECT unnest(generate_series(0, 6)) AS i) i
+)
+SELECT day, COUNT(*) AS wau FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
 # ------------------------------------------------ robust statistics
 def q_value_winsor_mean(sf_dir: str) -> pd.DataFrame:
     """Winsorized mean of event value: clamp to the exact [p5, p95]
@@ -1358,4 +1407,5 @@ ANALYTICS_QUERIES = {
     "brand_type_cube": (q_brand_type_cube, SQL_BRAND_TYPE_CUBE),
     "value_winsor_mean": (q_value_winsor_mean, SQL_VALUE_WINSOR_MEAN),
     "orders_profile": (q_orders_profile, SQL_ORDERS_PROFILE),
+    "rolling_wau": (q_rolling_wau, SQL_ROLLING_WAU),
 }

@@ -257,6 +257,7 @@ def run_bench() -> dict:
     timed("events_hourly_incremental", relational.q_events_hourly_incremental)
     timed("value_winsor_mean", analytics.q_value_winsor_mean)
     timed("orders_profile", analytics.q_orders_profile)
+    timed("rolling_wau", analytics.q_rolling_wau)
     timed("clean_corpus", dedup.q_clean_corpus)
 
     result = {

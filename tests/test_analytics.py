@@ -534,3 +534,25 @@ def test_orders_profile_exact_ndv(ray_session) -> None:
     assert got["o_orderdate"] == o.o_orderdate.nunique()
     assert got["o_totalprice"] == (
         np.round(o.o_totalprice * 100).astype(np.int64)).nunique()
+
+
+def test_rolling_wau_exact_distinct(ray_session) -> None:
+    """Every day's WAU equals a brute-force distinct count of users
+    active in its trailing 7 days, and day 0's window equals its DAU."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_rolling_wau,
+    )
+    df = q_rolling_wau(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    day = (ev.ts.astype("datetime64[ns]").astype("int64")
+           // 1_000_000_000) // 86400
+    pairs = pd.DataFrame({"u": ev.user_id, "d": day}).drop_duplicates()
+    for r in df.itertuples():
+        want = pairs[(pairs.d >= r.day - 6) & (pairs.d <= r.day)].u.nunique()
+        assert r.wau == want
+    first = int(pairs.d.min())
+    dau0 = pairs[pairs.d == first].u.nunique()
+    assert int(df.loc[df.day == first, "wau"].iloc[0]) == dau0
