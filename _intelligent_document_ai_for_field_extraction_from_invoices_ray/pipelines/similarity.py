@@ -1015,7 +1015,78 @@ def q_embed_semantic_dedup(sf_dir: str) -> rd.Dataset:
     return cold.union(hot_res).sort("vec_id")
 
 
+def q_label_centroids(sf_dir: str) -> rd.Dataset:
+    """Exact per-label vector sums (the centroid numerators) over the
+    embedding list column — the SQL-checkable vector aggregate: values
+    are scaled to micro-units and summed as int64, so the result is
+    summation-order-independent and bit-equal to the DuckDB
+    unnest-with-ordinality oracle (float sums would hash-mismatch on
+    reduction order alone).
+
+    One map_batches flattens each batch's list column zero-copy into an
+    (n × d) matrix and pre-reduces per label (partials: labels × d rows
+    per batch); one label-bucketed merge finishes.  Raw vectors never
+    shuffle."""
+    from ..sources.io import read_parquet_sized
+    from .grouping import bucketed_group_apply
+
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["label", "embedding"],
+                            rows_per_block=2000)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        # floor, not round: np.round is half-even, DuckDB's round()
+        # half-away, and arbitrary embedding floats DO land on ties
+        # (money columns dodge this by construction).  The product is
+        # float64 on both sides (SQL casts e to DOUBLE), so floor is
+        # bit-identical.
+        mat = np.floor(flat.astype(np.float64) * 1_000_000).astype(
+            np.int64).reshape(len(labels), -1)
+        d = mat.shape[1]
+        u = np.unique(labels)
+        rows = []
+        for lb in u:
+            m = labels == lb
+            s = mat[m].sum(axis=0)
+            rows.append(pd.DataFrame({
+                "label": np.full(d, int(lb), dtype=np.int64),
+                "dim": np.arange(1, d + 1, dtype=np.int64),
+                "n_vecs": np.full(d, int(m.sum()), dtype=np.int64),
+                "sum_micro": s}))
+        return (pd.concat(rows, ignore_index=True) if rows
+                else pd.DataFrame({"label": pd.Series(dtype=np.int64),
+                                   "dim": pd.Series(dtype=np.int64),
+                                   "n_vecs": pd.Series(dtype=np.int64),
+                                   "sum_micro": pd.Series(dtype=np.int64)}))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["label", "dim"], as_index=False).agg(
+            n_vecs=("n_vecs", "sum"), sum_micro=("sum_micro", "sum"))
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], merge, num_buckets=8).sort(["label", "dim"])
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(u.dim AS BIGINT) AS dim, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(floor(CAST(u.e AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS sum_micro
+FROM embeddings,
+     LATERAL (SELECT unnest(embedding) AS e,
+                     unnest(generate_series(1, len(embedding))) AS dim) u
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 SIM_QUERIES = {
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     "embed_ann_lsh": (q_embed_ann_lsh, None),

@@ -258,6 +258,7 @@ def run_bench() -> dict:
     timed("value_winsor_mean", analytics.q_value_winsor_mean)
     timed("orders_profile", analytics.q_orders_profile)
     timed("rolling_wau", analytics.q_rolling_wau)
+    timed("label_centroids", similarity.q_label_centroids)
     timed("clean_corpus", dedup.q_clean_corpus)
 
     result = {

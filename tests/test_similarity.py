@@ -301,3 +301,29 @@ def test_ann_recall_on_structured_corpus():
     hits = (lsh.nn_id.to_numpy()
             == np.array([truth[v] for v in lsh.vec_id])).mean()
     assert hits >= 0.7, f"LSH recall {hits}"
+
+
+def test_label_centroids_exact_sums(ray_session) -> None:
+    """Per-(label, dim) integer sums equal a single-process recompute,
+    n_vecs is constant across dims of a label, and every vector is
+    accounted for."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.similarity import (
+        q_label_centroids,
+    )
+    sf = "/root/testdata/sf0.001"
+    df = q_label_centroids(sf).to_pandas()
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["label", "embedding"]).to_pandas()
+    mat = np.floor(np.stack(t.embedding.to_numpy()).astype(np.float64)
+                   * 1_000_000).astype(np.int64)
+    labels = t.label.to_numpy()
+    for lb in np.unique(labels):
+        m = labels == lb
+        want = mat[m].sum(axis=0)
+        g = df[df.label == lb].sort_values("dim")
+        assert (g.n_vecs == int(m.sum())).all()
+        assert (g.sum_micro.to_numpy() == want).all()
+    assert int(df.groupby("label").n_vecs.first().sum()) == len(t)
