@@ -773,6 +773,89 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------------ median abs deviation
+def q_events_mad(sf_dir: str) -> pd.DataFrame:
+    """Exact median absolute deviation of event value per type — the
+    TWO-DEPENDENT-PASS robust-statistic shape (a statistic of a
+    statistic): pass 2's input depends on pass 1's result, so the
+    operator is inherently a barrier, unlike the single-pass winsorized
+    mean.
+
+    Both passes ship (type, cents) histogram partials (bounded by the
+    VALUE RANGE per type, not the corpus); medians use the inverted-CDF
+    integer rank ceil(n/2) = (n+1)//2.  The per-type medians (a
+    fixed-cardinality dict) broadcast into pass 2's deviation kernel."""
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def hist1(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"t": df.event_type, "c": _cents(df.value)})
+        return d.groupby(["t", "c"]).size().reset_index(name="cnt")
+
+    def fold(h: pd.DataFrame) -> dict[str, tuple[int, int]]:
+        out = {}
+        for t, g in h.groupby("t"):
+            g = (g.groupby("c", as_index=False).cnt.sum()
+                 .sort_values("c"))
+            n = int(g.cnt.sum())
+            cum = g.cnt.cumsum().to_numpy()
+            out[t] = (n, int(g.c.to_numpy()[
+                np.searchsorted(cum, (n + 1) // 2)]))
+        return out
+
+    med = fold(ds.map_batches(hist1, batch_format="pandas").to_pandas())
+
+    def hist2(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(df.value)
+        m = df.event_type.map({t: v[1] for t, v in med.items()}).to_numpy()
+        d = pd.DataFrame({"t": df.event_type, "c": np.abs(c - m)})
+        return d.groupby(["t", "c"]).size().reset_index(name="cnt")
+
+    mad = fold(ds.map_batches(hist2, batch_format="pandas").to_pandas())
+    rows = [(t, med[t][0], med[t][1], mad[t][1]) for t in sorted(med)]
+    out = pd.DataFrame(rows, columns=["event_type", "n_events",
+                                      "median_cents", "mad_cents"])
+    for c in ("n_events", "median_cents", "mad_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+SQL_EVENTS_MAD = """
+WITH v AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events
+), n AS (
+  SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1
+), h AS (
+  SELECT event_type, c, COUNT(*) AS cnt FROM v GROUP BY 1, 2
+), cdf AS (
+  SELECT event_type, c,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum
+  FROM h
+), med AS (
+  SELECT n.event_type,
+         (SELECT MIN(c) FROM cdf
+          WHERE cdf.event_type = n.event_type
+            AND cum >= (n.n + 1) // 2) AS med
+  FROM n
+), d AS (
+  SELECT v.event_type, abs(v.c - med.med) AS dev
+  FROM v JOIN med USING (event_type)
+), hd AS (
+  SELECT event_type, dev, COUNT(*) AS cnt FROM d GROUP BY 1, 2
+), cdfd AS (
+  SELECT event_type, dev,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+  FROM hd
+)
+SELECT n.event_type, n.n AS n_events,
+       (SELECT med FROM med WHERE med.event_type = n.event_type)
+         AS median_cents,
+       (SELECT MIN(dev) FROM cdfd
+        WHERE cdfd.event_type = n.event_type
+          AND cum >= (n.n + 1) // 2) AS mad_cents
+FROM n ORDER BY 1
+"""
+
+
 # ------------------------------------------------ rolling active users
 def q_rolling_wau(sf_dir: str) -> rd.Dataset:
     """Rolling weekly-active-users: for every day D (that any trailing
@@ -1408,4 +1491,5 @@ ANALYTICS_QUERIES = {
     "value_winsor_mean": (q_value_winsor_mean, SQL_VALUE_WINSOR_MEAN),
     "orders_profile": (q_orders_profile, SQL_ORDERS_PROFILE),
     "rolling_wau": (q_rolling_wau, SQL_ROLLING_WAU),
+    "events_mad": (q_events_mad, SQL_EVENTS_MAD),
 }

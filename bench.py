@@ -259,6 +259,7 @@ def run_bench() -> dict:
     timed("orders_profile", analytics.q_orders_profile)
     timed("rolling_wau", analytics.q_rolling_wau)
     timed("label_centroids", similarity.q_label_centroids)
+    timed("events_mad", analytics.q_events_mad)
     timed("clean_corpus", dedup.q_clean_corpus)
 
     result = {

@@ -556,3 +556,25 @@ def test_rolling_wau_exact_distinct(ray_session) -> None:
     first = int(pairs.d.min())
     dau0 = pairs[pairs.d == first].u.nunique()
     assert int(df.loc[df.day == first, "wau"].iloc[0]) == dau0
+
+
+def test_events_mad_exact(ray_session) -> None:
+    """Median and MAD per type equal a brute-force sorted recompute with
+    the same ceil(n/2) rank convention."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_events_mad,
+    )
+    df = q_events_mad(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    ev["c"] = np.round(ev.value * 100).astype(np.int64)
+    for r in df.itertuples():
+        vals = np.sort(ev.loc[ev.event_type == r.event_type, "c"].to_numpy())
+        n = len(vals)
+        assert r.n_events == n
+        med = int(vals[(n + 1) // 2 - 1])
+        assert r.median_cents == med
+        dev = np.sort(np.abs(vals - med))
+        assert r.mad_cents == int(dev[(n + 1) // 2 - 1])
