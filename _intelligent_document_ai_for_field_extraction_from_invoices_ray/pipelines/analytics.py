@@ -773,6 +773,85 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------- largest-remainder split
+def q_order_allocation(sf_dir: str) -> rd.Dataset:
+    """Largest-remainder apportionment: split each order's header total
+    (cents) across its line items proportionally to extended price, with
+    the classic integer discipline — floor shares, then +1 cent to the
+    items with the largest remainders (ties to the lowest line number) —
+    so every order's allocations sum EXACTLY to its header total.  The
+    constrained-integer-allocation shape (monetary splits, quota
+    apportionment).
+
+    One orderkey-bucketed cogroup of lineitem with orders; inside a
+    bucket the floor shares, remainders, per-order remainder ranks and
+    the +1 assignment are all vectorized (sort + cumcount)."""
+    from .grouping import bucketed_cogroup
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def alloc(l: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame({
+                "l_orderkey": pd.Series(dtype=np.int64),
+                "l_linenumber": pd.Series(dtype=np.int64),
+                "alloc_cents": pd.Series(dtype=np.int64)})
+        m = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        m["ext"] = _cents(m.l_extendedprice)
+        m["price"] = _cents(m.o_totalprice)
+        tot = m.groupby("l_orderkey").ext.transform("sum")
+        share = m.price * m.ext
+        m["base"] = share // tot
+        m["rem"] = share % tot
+        leftover = (m.price
+                    - m.groupby("l_orderkey").base.transform("sum"))
+        # ext joins the tie-break: equal (rem, linenumber) rows with
+        # different ext would otherwise be assigned the extra cent
+        # engine-vs-SQL-arbitrarily
+        m = m.sort_values(["l_orderkey", "rem", "l_linenumber", "ext"],
+                          ascending=[True, False, True, True])
+        rank = m.groupby("l_orderkey").cumcount() + 1
+        m["alloc_cents"] = (m.base
+                            + (rank <= leftover.loc[m.index])
+                            .astype(np.int64))
+        out = m[["l_orderkey", "l_linenumber", "alloc_cents"]].copy()
+        out["l_linenumber"] = out.l_linenumber.astype(np.int64)
+        out["alloc_cents"] = out.alloc_cents.astype(np.int64)
+        return out
+
+    return bucketed_cogroup(li, orders, ["l_orderkey"], ["o_orderkey"],
+                            alloc, num_buckets=16).sort(
+        ["l_orderkey", "l_linenumber"])
+
+
+SQL_ORDER_ALLOCATION = """
+WITH m AS (
+  SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(round(l.l_extendedprice*100) AS BIGINT) AS ext,
+         CAST(round(o.o_totalprice*100) AS BIGINT) AS price
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), s AS (
+  SELECT *, SUM(ext) OVER (PARTITION BY l_orderkey) AS tot FROM m
+), b AS (
+  SELECT *, (price * ext) // tot AS base,
+         (price * ext) % tot AS rem
+  FROM s
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY rem DESC, l_linenumber, ext) AS rk,
+         price - SUM(base) OVER (PARTITION BY l_orderkey) AS leftover
+  FROM b
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_cents
+FROM r ORDER BY l_orderkey, l_linenumber
+"""
+
+
 # ------------------------------------------------ median abs deviation
 def q_events_mad(sf_dir: str) -> pd.DataFrame:
     """Exact median absolute deviation of event value per type — the
@@ -1492,4 +1571,5 @@ ANALYTICS_QUERIES = {
     "orders_profile": (q_orders_profile, SQL_ORDERS_PROFILE),
     "rolling_wau": (q_rolling_wau, SQL_ROLLING_WAU),
     "events_mad": (q_events_mad, SQL_EVENTS_MAD),
+    "order_allocation": (q_order_allocation, SQL_ORDER_ALLOCATION),
 }

@@ -260,6 +260,7 @@ def run_bench() -> dict:
     timed("rolling_wau", analytics.q_rolling_wau)
     timed("label_centroids", similarity.q_label_centroids)
     timed("events_mad", analytics.q_events_mad)
+    timed("order_allocation", analytics.q_order_allocation)
     timed("clean_corpus", dedup.q_clean_corpus)
 
     result = {

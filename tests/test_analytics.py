@@ -578,3 +578,41 @@ def test_events_mad_exact(ray_session) -> None:
         assert r.median_cents == med
         dev = np.sort(np.abs(vals - med))
         assert r.mad_cents == int(dev[(n + 1) // 2 - 1])
+
+
+def test_order_allocation_conserves_totals(ray_session) -> None:
+    """Every order's allocations sum exactly to its header cents, each
+    allocation is base or base+1, and larger-remainder items get the
+    extra cent first."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_order_allocation,
+    )
+    df = q_order_allocation(SF).to_pandas()
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_linenumber",
+                                "l_extendedprice"]).to_pandas()
+    assert len(df) == len(li)
+    price = dict(zip(o.o_orderkey,
+                     np.round(o.o_totalprice * 100).astype(np.int64)))
+    sums = df.groupby("l_orderkey").alloc_cents.sum()
+    for ok, s in sums.items():
+        assert s == price[ok]
+    # multiset equality per order vs a brute-force largest-remainder
+    # recompute ((l_orderkey, l_linenumber) is NOT unique in the
+    # synthetic lineitem, so row-level joins fan out; the allocation is
+    # deterministic as a multiset)
+    got = {k: sorted(g.alloc_cents) for k, g in df.groupby("l_orderkey")}
+    for ok, g in li.groupby("l_orderkey"):
+        ext = np.round(g.l_extendedprice * 100).astype(np.int64).to_numpy()
+        p = price[ok]
+        tot = ext.sum()
+        base = p * ext // tot
+        rem = p * ext % tot
+        order = np.lexsort((g.l_linenumber.to_numpy(), -rem))
+        alloc = base.copy()
+        alloc[order[: p - base.sum()]] += 1
+        assert got[ok] == sorted(alloc)
