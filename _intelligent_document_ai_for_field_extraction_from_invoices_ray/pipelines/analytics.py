@@ -773,6 +773,59 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------- per-row percentile rank
+def q_event_percentile(sf_dir: str) -> rd.Dataset:
+    """Exact per-event percentile (CUME_DIST) of its value within its
+    event type, in integer milli-units — the per-row global-rank join:
+    every ROW gets a statistic of its whole GROUP'S distribution.
+
+    SQL's CUME_DIST() returns a float (n_le/n — hash-fragile), so both
+    sides compute milli = 1000·count(≤ v) // n in integers.  One
+    type-bucketed shuffle: a type's rows and its value histogram live in
+    the same bucket, so the rank lookup is one vectorized searchsorted
+    against the bucket-local sorted values — no second exchange."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["c"] = _cents(df.value)
+        outs = []
+        for t, g in df.groupby("event_type", sort=False):
+            vs = np.sort(g.c.to_numpy())
+            n = len(vs)
+            le = np.searchsorted(vs, g.c.to_numpy(), side="right")
+            outs.append(pd.DataFrame({
+                "event_id": g.event_id.to_numpy(),
+                "event_type": t,
+                "value_cents": g.c.to_numpy(),
+                "pctile_milli": (1000 * le) // n}))
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_apply(ds, ["event_type"], rank,
+                                num_buckets=8).sort("event_id")
+
+
+SQL_EVENT_PERCENTILE = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(round(value*100) AS BIGINT) AS value_cents
+  FROM events
+), r AS (
+  SELECT event_id, event_type, value_cents,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY value_cents
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS n_le,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_id, event_type, value_cents,
+       CAST((1000 * n_le) // n AS BIGINT) AS pctile_milli
+FROM r ORDER BY event_id
+"""
+
+
 # ------------------------------------------- largest-remainder split
 def q_order_allocation(sf_dir: str) -> rd.Dataset:
     """Largest-remainder apportionment: split each order's header total
@@ -1572,4 +1625,5 @@ ANALYTICS_QUERIES = {
     "rolling_wau": (q_rolling_wau, SQL_ROLLING_WAU),
     "events_mad": (q_events_mad, SQL_EVENTS_MAD),
     "order_allocation": (q_order_allocation, SQL_ORDER_ALLOCATION),
+    "event_percentile": (q_event_percentile, SQL_EVENT_PERCENTILE),
 }

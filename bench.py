@@ -261,6 +261,7 @@ def run_bench() -> dict:
     timed("label_centroids", similarity.q_label_centroids)
     timed("events_mad", analytics.q_events_mad)
     timed("order_allocation", analytics.q_order_allocation)
+    timed("event_percentile", analytics.q_event_percentile)
     timed("clean_corpus", dedup.q_clean_corpus)
 
     result = {

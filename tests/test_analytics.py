@@ -616,3 +616,28 @@ def test_order_allocation_conserves_totals(ray_session) -> None:
         alloc = base.copy()
         alloc[order[: p - base.sum()]] += 1
         assert got[ok] == sorted(alloc)
+
+
+def test_event_percentile_cume_dist(ray_session) -> None:
+    """Percentiles are monotone in value within a type, the max value of
+    each type gets exactly 1000, and a brute-force count(<=v)//n agrees."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_event_percentile,
+    )
+    df = q_event_percentile(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type", "value"]).to_pandas()
+    assert len(df) == len(ev)
+    ev["c"] = np.round(ev.value * 100).astype(np.int64)
+    for t, g in ev.groupby("event_type"):
+        vs = np.sort(g.c.to_numpy())
+        n = len(vs)
+        sub = df[df.event_type == t]
+        want = dict(zip(
+            g.event_id,
+            (1000 * np.searchsorted(vs, g.c.to_numpy(), side="right")) // n))
+        got = dict(zip(sub.event_id, sub.pctile_milli))
+        assert got == want
+        assert sub.loc[sub.value_cents == vs[-1], "pctile_milli"].eq(1000).all()
