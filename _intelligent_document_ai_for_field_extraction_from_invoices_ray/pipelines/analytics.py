@@ -773,6 +773,124 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------- resample + interpolation
+def q_events_interpolated(sf_dir: str) -> rd.Dataset:
+    """Hourly resampling of each user's value series with exact LINEAR
+    interpolation — the two-sided asof shape (last event ≤ t AND first
+    event > t), distinct from the one-sided asof join and the zero-fill
+    densification.  Grid = every whole hour inside [first, last] event
+    second per user; at tied seconds the latest (ts, event_id) value
+    wins; past the last known point the value holds.
+
+    One user-bucketed shuffle.  Both asof lookups for ALL grid points
+    of ALL users in the bucket are TWO global ``searchsorted`` calls via
+    the composite user-key trick (no per-user loop); interpolation is
+    integer floor arithmetic — the SQL oracle reproduces floor (not
+    DuckDB's truncating ``//``, which differs on negative slopes) with
+    the modulo identity a − ((a % b) + b) % b."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def interp(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series(dtype=np.int64),
+            "hour": pd.Series(dtype=np.int64),
+            "value_interp_cents": pd.Series(dtype=np.int64)})
+        if df.empty:
+            return empty
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        es = _epoch_s(df.ts).to_numpy()
+        v = _cents(df.value)
+        codes, uniq = pd.factorize(df.user_id, sort=False)
+        codes = codes.astype(np.int64)
+        uniq = np.asarray(uniq)
+        big = np.int64(int(es.max()) + 3601)
+        keys = codes * big + es
+        # collapse tied (user, second) rows to the LATEST event_id's
+        # value (the sort puts it last) — matches the oracle's ee CTE;
+        # without this the "next" lookup could land on a tied second
+        keep = np.append(keys[1:] != keys[:-1], True)
+        codes, es, v, keys = codes[keep], es[keep], v[keep], keys[keep]
+        # per-user grid bounds
+        starts = np.searchsorted(codes, np.arange(len(uniq)))
+        ends = np.append(starts[1:], len(es))
+        first = es[starts]
+        last = es[ends - 1]
+        # ceil via (x + 3599) // 3600: positive ints, so trunc == floor
+        # on both sides (DuckDB's // truncates; -(-x//3600) would differ)
+        h0 = (first + 3599) // 3600
+        h1 = last // 3600
+        reps = np.maximum(h1 - h0 + 1, 0)
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        gcode = np.repeat(np.arange(len(uniq), dtype=np.int64), reps)
+        offs = (np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(reps) - reps, reps))
+        gh = np.repeat(h0, reps) + offs
+        gs = gh * 3600
+        gkeys = gcode * big + gs
+        prev = np.searchsorted(keys, gkeys, side="right") - 1
+        nxt = prev + 1
+        t0, v0 = es[prev], v[prev]
+        has_next = (nxt < len(es)) & (codes[np.minimum(nxt, len(es) - 1)]
+                                      == gcode)
+        safe = np.where(has_next, nxt, prev)
+        t1, v1 = es[safe], v[safe]
+        dt = np.where(has_next, t1 - t0, 1)
+        val = np.where(has_next,
+                       v0 + (v1 - v0) * (gs - t0) // dt, v0)
+        return pd.DataFrame({
+            "user_id": uniq[gcode].astype(np.int64),
+            "hour": gh.astype(np.int64),
+            "value_interp_cents": val.astype(np.int64)})
+
+    return bucketed_group_apply(ds, ["user_id"], interp,
+                                num_buckets=16).sort(["user_id", "hour"])
+
+
+SQL_EVENTS_INTERPOLATED = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(round(value*100) AS BIGINT) AS v, event_id
+  FROM events
+), ee AS (
+  SELECT user_id, es, v FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, es
+                                 ORDER BY event_id DESC) AS rn
+    FROM e) WHERE rn = 1
+), span AS (
+  SELECT user_id,
+         (MIN(es) + 3599) // 3600 AS h0, MAX(es) // 3600 AS h1
+  FROM e GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1)) AS h
+  FROM span WHERE h1 >= h0
+), p AS (
+  SELECT g.user_id, g.h, g.h * 3600 AS gs,
+    (SELECT es FROM ee WHERE ee.user_id = g.user_id
+       AND ee.es <= g.h*3600 ORDER BY es DESC LIMIT 1) AS t0,
+    (SELECT v FROM ee WHERE ee.user_id = g.user_id
+       AND ee.es <= g.h*3600 ORDER BY es DESC LIMIT 1) AS v0,
+    (SELECT es FROM ee WHERE ee.user_id = g.user_id
+       AND ee.es > g.h*3600 ORDER BY es ASC LIMIT 1) AS t1,
+    (SELECT v FROM ee WHERE ee.user_id = g.user_id
+       AND ee.es > g.h*3600 ORDER BY es ASC LIMIT 1) AS v1
+  FROM grid g
+)
+SELECT user_id, h AS hour,
+  CAST(CASE WHEN t1 IS NULL THEN v0
+       ELSE v0 + (
+         (v1 - v0) * (gs - t0)
+         - (((((v1 - v0) * (gs - t0)) % (t1 - t0)) + (t1 - t0))
+            % (t1 - t0))
+       ) // (t1 - t0)
+  END AS BIGINT) AS value_interp_cents
+FROM p ORDER BY user_id, hour
+"""
+
+
 # --------------------------------------------- per-row percentile rank
 def q_event_percentile(sf_dir: str) -> rd.Dataset:
     """Exact per-event percentile (CUME_DIST) of its value within its
@@ -1626,4 +1744,5 @@ ANALYTICS_QUERIES = {
     "events_mad": (q_events_mad, SQL_EVENTS_MAD),
     "order_allocation": (q_order_allocation, SQL_ORDER_ALLOCATION),
     "event_percentile": (q_event_percentile, SQL_EVENT_PERCENTILE),
+    "events_interpolated": (q_events_interpolated, SQL_EVENTS_INTERPOLATED),
 }

@@ -262,6 +262,7 @@ def run_bench() -> dict:
     timed("events_mad", analytics.q_events_mad)
     timed("order_allocation", analytics.q_order_allocation)
     timed("event_percentile", analytics.q_event_percentile)
+    timed("events_interpolated", analytics.q_events_interpolated)
     timed("clean_corpus", dedup.q_clean_corpus)
 
     result = {

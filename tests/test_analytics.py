@@ -641,3 +641,36 @@ def test_event_percentile_cume_dist(ray_session) -> None:
         got = dict(zip(sub.event_id, sub.pctile_milli))
         assert got == want
         assert sub.loc[sub.value_cents == vs[-1], "pctile_milli"].eq(1000).all()
+
+
+def test_events_interpolated_linear(ray_session) -> None:
+    """Grid values at event seconds equal the event's value, values
+    between observations lie within the segment's [min, max], and a
+    brute-force per-user recompute agrees."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_events_interpolated,
+    )
+    df = q_events_interpolated(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["es"] = (ev.ts.astype("datetime64[ns]").astype("int64")
+                // 1_000_000_000)
+    ev["v"] = np.round(ev.value * 100).astype(np.int64)
+    ee = ev.groupby(["user_id", "es"], as_index=False).v.last()
+    for uid, g in ee.groupby("user_id"):
+        es = g.es.to_numpy()
+        v = g.v.to_numpy()
+        sub = df[df.user_id == uid]
+        h0, h1 = (es.min() + 3599) // 3600, es.max() // 3600
+        assert list(sub.hour) == list(range(h0, h1 + 1))
+        for r in sub.itertuples():
+            gs = r.hour * 3600
+            i = np.searchsorted(es, gs, side="right") - 1
+            if i + 1 < len(es):
+                t0, v0, t1, v1 = es[i], v[i], es[i + 1], v[i + 1]
+                want = v0 + (v1 - v0) * (gs - t0) // (t1 - t0)
+            else:
+                want = v[i]
+            assert r.value_interp_cents == want
