@@ -355,7 +355,7 @@ _GATE_ORDER = [
     "events_trailing_1h", "user_top_type", "brand_type_cube",
     "order_balance_audit", "value_winsor_mean", "orders_profile",
     "rolling_wau", "label_centroids", "events_mad", "order_allocation",
-    "event_percentile", "events_interpolated",
+    "event_percentile", "events_interpolated", "priority_gini",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",

@@ -773,6 +773,65 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------------ inequality measure
+def q_priority_gini(sf_dir: str) -> pd.DataFrame:
+    """Exact Gini coefficient of order value per order priority — the
+    order-statistics aggregate: mean absolute difference over all pairs,
+    computed in O(n log n) as the rank-weighted sum
+    Σ (2·rank − n − 1)·x₍rank₎ of the SORTED values (no pair
+    enumeration).  All integers: the pair-difference sum and total are
+    exact; gini_milli = 1000·absdiff // (2·n·sum).
+
+    One priority-bucketed shuffle (a priority's rows co-locate), sort +
+    vectorized weight inside the bucket; output is one row per priority
+    — bounded by attribute cardinality."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def gini(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for p, g in df.groupby("o_orderpriority", sort=False):
+            x = np.sort(_cents(g.o_totalprice))
+            n = len(x)
+            rk = np.arange(1, n + 1, dtype=np.int64)
+            absdiff = int(((2 * rk - n - 1) * x).sum())
+            s = int(x.sum())
+            rows.append((p, n, s, absdiff,
+                         (1000 * absdiff) // (2 * n * s)))
+        out = pd.DataFrame(rows, columns=["o_orderpriority", "n_orders",
+                                          "total_cents", "absdiff_cents",
+                                          "gini_milli"])
+        for c in out.columns[1:]:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    out = bucketed_group_apply(ds, ["o_orderpriority"], gini,
+                               num_buckets=4).to_pandas()
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_PRIORITY_GINI = """
+WITH v AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice*100) AS BIGINT) AS c
+  FROM orders
+), r AS (
+  SELECT o_orderpriority, c,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY c) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM v
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(c) AS BIGINT) AS total_cents,
+       CAST(SUM((2*rk - n - 1) * c) AS BIGINT) AS absdiff_cents,
+       CAST((1000 * SUM((2*rk - n - 1) * c))
+            // (2 * COUNT(*) * SUM(c)) AS BIGINT) AS gini_milli
+FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # ------------------------------------------- resample + interpolation
 def q_events_interpolated(sf_dir: str) -> rd.Dataset:
     """Hourly resampling of each user's value series with exact LINEAR
@@ -1745,4 +1804,5 @@ ANALYTICS_QUERIES = {
     "order_allocation": (q_order_allocation, SQL_ORDER_ALLOCATION),
     "event_percentile": (q_event_percentile, SQL_EVENT_PERCENTILE),
     "events_interpolated": (q_events_interpolated, SQL_EVENTS_INTERPOLATED),
+    "priority_gini": (q_priority_gini, SQL_PRIORITY_GINI),
 }

@@ -263,6 +263,7 @@ def run_bench() -> dict:
     timed("order_allocation", analytics.q_order_allocation)
     timed("event_percentile", analytics.q_event_percentile)
     timed("events_interpolated", analytics.q_events_interpolated)
+    timed("priority_gini", analytics.q_priority_gini)
     timed("clean_corpus", dedup.q_clean_corpus)
 
     result = {

@@ -674,3 +674,24 @@ def test_events_interpolated_linear(ray_session) -> None:
             else:
                 want = v[i]
             assert r.value_interp_cents == want
+
+
+def test_priority_gini_pairwise(ray_session) -> None:
+    """The rank-weighted sum equals the brute-force sum of all pairwise
+    absolute differences, and gini lies in [0, 1000)."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_priority_gini,
+    )
+    df = q_priority_gini(SF)
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderpriority", "o_totalprice"]).to_pandas()
+    o["c"] = np.round(o.o_totalprice * 100).astype(np.int64)
+    for r in df.itertuples():
+        x = o.loc[o.o_orderpriority == r.o_orderpriority, "c"].to_numpy()
+        assert r.n_orders == len(x)
+        # the rank-weighted sum counts each unordered pair once; the
+        # brute-force ordered-pair sum is exactly twice that
+        assert 2 * r.absdiff_cents == int(np.abs(x[:, None] - x[None, :]).sum())
+        assert 0 <= r.gini_milli < 1000
