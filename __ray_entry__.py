@@ -356,10 +356,11 @@ _GATE_ORDER = [
     "order_balance_audit", "value_winsor_mean", "orders_profile",
     "rolling_wau", "label_centroids", "events_mad", "order_allocation",
     "event_percentile", "events_interpolated", "priority_gini",
+    "zorder_layout",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",
-    "pagerank", "triangle_count",
+    "pagerank", "triangle_count", "hits_scores", "sssp_dist",
     "anchor_text",
     "inverted_index", "bm25_topk", "bpe_learn", "bpe_vocab_apply",
     "token_pmi", "csv_source_stats", "jsonl_source_stats",

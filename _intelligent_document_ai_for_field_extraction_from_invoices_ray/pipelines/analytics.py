@@ -1777,6 +1777,88 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ------------------------------------------- Z-order layout clustering
+def q_zorder_layout(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton-curve) layout statistics over events — the
+    data-layout-optimization primitive behind multi-dimensional
+    clustering (Delta/Iceberg OPTIMIZE ZORDER BY): interleave the low 16
+    bits of the two query dimensions (user_id, value cents) so rows
+    close in BOTH dimensions land in the same layout block, then report
+    per-block min/max zone-map stats — exactly what a scan planner
+    prunes on.  At 100 TB this is the write-side operator: compute z,
+    ``repartition`` by z-range, write one file per block; here the
+    bounded per-block zone maps ARE the output so the oracle can check
+    the curve bit-for-bit.
+
+    All integer: cents = floor(value·100) over an exact DOUBLE product
+    (both sides), bit interleave is closed-form, one map_batches with an
+    in-batch combiner → one zblock-bucketed merge (≤ 4096 blocks)."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["user_id", "value"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        cents = np.floor(df["value"].to_numpy(dtype=np.float64)
+                         * 100.0).astype(np.int64)
+        x = uid % 65536
+        y = ((cents % 65536) + 65536) % 65536
+        z = np.zeros(len(df), dtype=np.int64)
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        out = pd.DataFrame({"zblock": z >> 20, "user_id": uid,
+                            "cents": cents})
+        g = out.groupby("zblock", as_index=False).agg(
+            n_events=("user_id", "size"),
+            min_user=("user_id", "min"), max_user=("user_id", "max"),
+            min_cents=("cents", "min"), max_cents=("cents", "max"))
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("zblock", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            min_user=("min_user", "min"), max_user=("max_user", "max"),
+            min_cents=("min_cents", "min"),
+            max_cents=("max_cents", "max"))
+        for c in g.columns:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    pre = ds.map_batches(lambda b: part(b.to_pandas()),
+                         batch_format="pyarrow")
+    out = bucketed_group_apply(pre, ["zblock"], merge,
+                               num_buckets=16).to_pandas()
+    return out.sort_values("zblock").reset_index(drop=True)
+
+
+def _zorder_sql() -> str:
+    xbit = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i})" for i in range(16))
+    ybit = " + ".join(
+        f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))
+    return f"""
+WITH v AS (
+  SELECT user_id AS uid,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), b AS (
+  SELECT uid, cents, uid % 65536 AS x,
+         ((cents % 65536) + 65536) % 65536 AS y
+  FROM v
+), z AS (
+  SELECT uid, cents, ({xbit} + {ybit}) >> 20 AS zblock FROM b
+)
+SELECT zblock, COUNT(*) AS n_events,
+       MIN(uid) AS min_user, MAX(uid) AS max_user,
+       MIN(cents) AS min_cents, MAX(cents) AS max_cents
+FROM z GROUP BY zblock ORDER BY zblock
+"""
+
+
+SQL_ZORDER_LAYOUT = _zorder_sql()
+
+
 ANALYTICS_QUERIES = {
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
@@ -1805,4 +1887,5 @@ ANALYTICS_QUERIES = {
     "event_percentile": (q_event_percentile, SQL_EVENT_PERCENTILE),
     "events_interpolated": (q_events_interpolated, SQL_EVENTS_INTERPOLATED),
     "priority_gini": (q_priority_gini, SQL_PRIORITY_GINI),
+    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
 }

@@ -510,9 +510,300 @@ FROM bfs GROUP BY node ORDER BY node
 """
 
 
+# --------------------------------------------------- HITS (hubs/authorities)
+N_HITS_ITERS = 2
+
+
+def _in_sources(nodes: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Reverse edge derivation: for each v in ``nodes``, every u with
+    u -> v in the closed-form graph — solved, not joined.  7u ≡ v-13j-1
+    (mod n) has gcd(7, n) solutions when that gcd divides the residue:
+    one via the modular inverse when gcd = 1 (every sf corpus), seven
+    spaced n/7 apart when 7 | n.  Vectorized over the whole batch."""
+    import math
+
+    nodes = nodes.astype(np.int64)
+    g = math.gcd(7, n)
+    outs_v: list[np.ndarray] = []
+    outs_u: list[np.ndarray] = []
+    for j in range(4):
+        c = (nodes - 13 * j - 1) % n
+        if g == 1:
+            inv7 = pow(7, -1, n)
+            u = (inv7 * c) % n
+            ok = u != nodes
+            outs_v.append(nodes[ok])
+            outs_u.append(u[ok])
+        else:
+            m = n // 7
+            has = (c % 7) == 0
+            base, vs = c[has] // 7, nodes[has]
+            for t in range(7):
+                u = (base + t * m) % n
+                ok = u != vs
+                outs_v.append(vs[ok])
+                outs_u.append(u[ok])
+    return np.concatenate(outs_v), np.concatenate(outs_u)
+
+
+def q_hits(sf_dir: str) -> rd.Dataset:
+    """HITS hubs/authorities over the closed-form link graph — the OTHER
+    canonical link-analysis iteration (query-dependent ranking, spam/seed
+    scoring) next to PageRank.  UNNORMALIZED integer HITS: with h0 = 1,
+
+        a_{k+1}(v) = Σ_{u→v} h_k(u)     h_{k+1}(u) = Σ_{u→v} a_{k+1}(v)
+
+    every score stays a small exact int64 (out-degree ≤ 4, in-degree
+    ≤ 28 ⇒ after 2 full iterations scores < 4·28·4·28), so the classic
+    float-normalization nondeterminism never enters and the DuckDB
+    oracle agrees bit-for-bit.  Normalization is a POST-STEP a consumer
+    can do on the bounded output (rank order is unaffected).
+
+    Shape per half-iteration: ONE map_batches over the bounded
+    (node, score) table with an in-batch (dst, partial) combiner —
+    forward edges derived closed-form for the a-step, REVERSE edges
+    solved closed-form (``_in_sources``, no edge-table broadcast or
+    join) for the h-step — then one node-bucketed sum.  2 full
+    iterations = 4 bucketed shuffles of (node, int64) pairs only; the
+    documents table is read once for its ids."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.io import read_parquet_sized
+    from .grouping import bucketed_group_apply
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    ids = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"], rows_per_block=2000)
+
+    def init(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(nodes.astype(np.int64)),
+            "s": pa.array(np.ones(len(nodes), dtype=np.int64)),
+        })
+
+    def sum_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", as_index=False)["s"].sum()
+        out["node"] = out["node"].astype(np.int64)
+        out["s"] = out["s"].astype(np.int64)
+        return out
+
+    def a_emit(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("node").to_numpy(zero_copy_only=False)
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        src_rep, dst, deg = _targets(nodes, n)
+        per_edge = np.repeat(s, deg)
+        df = pd.DataFrame({"node": dst, "s": per_edge})
+        part = df.groupby("node", as_index=False)["s"].sum()
+        pres = pd.DataFrame({"node": nodes,
+                             "s": np.zeros(len(nodes), np.int64)})
+        out = pd.concat([part, pres], ignore_index=True)
+        return pa.table({"node": pa.array(out["node"].to_numpy()
+                                          .astype(np.int64)),
+                         "s": pa.array(out["s"].to_numpy()
+                                       .astype(np.int64))})
+
+    def h_emit(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("node").to_numpy(zero_copy_only=False)
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        v_rep, u = _in_sources(nodes, n)
+        # score of the v each (u, v) edge came from: v_rep indexes into
+        # this batch's nodes via searchsorted on the batch-local sort
+        order = np.argsort(nodes, kind="stable")
+        pos = order[np.searchsorted(nodes[order], v_rep)]
+        df = pd.DataFrame({"node": u, "s": s[pos]})
+        part = df.groupby("node", as_index=False)["s"].sum()
+        pres = pd.DataFrame({"node": nodes,
+                             "s": np.zeros(len(nodes), np.int64)})
+        out = pd.concat([part, pres], ignore_index=True)
+        return pa.table({"node": pa.array(out["node"].to_numpy()
+                                          .astype(np.int64)),
+                         "s": pa.array(out["s"].to_numpy()
+                                       .astype(np.int64))})
+
+    h = ids.map_batches(init, batch_format="pyarrow")
+    for _ in range(N_HITS_ITERS):
+        a = bucketed_group_apply(
+            h.map_batches(a_emit, batch_format="pyarrow"),
+            ["node"], sum_merge, num_buckets=16)
+        h = bucketed_group_apply(
+            a.map_batches(h_emit, batch_format="pyarrow"),
+            ["node"], sum_merge, num_buckets=16)
+
+    # final a over the last h, then zip (a, h) per node in one merge
+    a = bucketed_group_apply(
+        h.map_batches(a_emit, batch_format="pyarrow"),
+        ["node"], sum_merge, num_buckets=16)
+
+    def tag(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch.column("node"),
+                "auth_scaled": batch.column("s") if col == "a"
+                else pa.array(np.zeros(batch.num_rows, np.int64)),
+                "hub_scaled": batch.column("s") if col == "h"
+                else pa.array(np.zeros(batch.num_rows, np.int64)),
+            })
+        return f
+
+    def zip_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", as_index=False)[
+            ["auth_scaled", "hub_scaled"]].sum()
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    both = (a.map_batches(tag("a"), batch_format="pyarrow")
+            .union(h.map_batches(tag("h"), batch_format="pyarrow")))
+    return bucketed_group_apply(both, ["node"], zip_merge,
+                                num_buckets=16).sort("node")
+
+
+def _hits_sql() -> str:
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        ("edges AS (SELECT node AS src, "
+         "(7*node + 13*j.j + 1) % (SELECT c FROM nn) AS dst "
+         "FROM nodes, (SELECT unnest(generate_series(0, 3)) AS j) j "
+         "WHERE (7*node + 13*j.j + 1) % (SELECT c FROM nn) <> node)"),
+        "h0 AS (SELECT node, CAST(1 AS BIGINT) AS s FROM nodes)",
+    ]
+    for k in range(N_HITS_ITERS):
+        parts.append(
+            f"a{k + 1} AS (SELECT n.node, CAST(COALESCE(SUM(h{k}.s), 0)"
+            f" AS BIGINT) AS s FROM nodes n "
+            f"LEFT JOIN edges e ON e.dst = n.node "
+            f"LEFT JOIN h{k} ON h{k}.node = e.src GROUP BY n.node)")
+        parts.append(
+            f"h{k + 1} AS (SELECT n.node, CAST(COALESCE(SUM(a{k + 1}.s),"
+            f" 0) AS BIGINT) AS s FROM nodes n "
+            f"LEFT JOIN edges e ON e.src = n.node "
+            f"LEFT JOIN a{k + 1} ON a{k + 1}.node = e.dst "
+            f"GROUP BY n.node)")
+    k = N_HITS_ITERS
+    parts.append(
+        f"afin AS (SELECT n.node, CAST(COALESCE(SUM(h{k}.s), 0)"
+        f" AS BIGINT) AS s FROM nodes n "
+        f"LEFT JOIN edges e ON e.dst = n.node "
+        f"LEFT JOIN h{k} ON h{k}.node = e.src GROUP BY n.node)")
+    return (", ".join(parts)
+            + f" SELECT n.node, afin.s AS auth_scaled, "
+              f"h{k}.s AS hub_scaled FROM nodes n "
+              f"JOIN afin ON afin.node = n.node "
+              f"JOIN h{k} ON h{k}.node = n.node ORDER BY n.node")
+
+
+SQL_HITS = _hits_sql()
+
+
+# --------------------------------------- weighted SSSP (Bellman-Ford rounds)
+SSSP_ROUNDS = 4
+SSSP_SOURCE = 0
+
+
+def _targets_weighted(nodes: np.ndarray, n: int) -> tuple[np.ndarray,
+                                                          np.ndarray,
+                                                          np.ndarray]:
+    """Forward edges with their closed-form integer weights
+    w(u, j) = 1 + (u + j) mod 5.  Returns (dst, w, deg) with the edges
+    of nodes[i] contiguous in input order (np.repeat alignment)."""
+    nodes = nodes.astype(np.int64)
+    dst = (7 * nodes[:, None] + 13 * _FANOUT_J[None, :] + 1) % n
+    w = 1 + (nodes[:, None] + _FANOUT_J[None, :]) % 5
+    keep = dst != nodes[:, None]
+    return dst[keep], w[keep].astype(np.int64), keep.sum(axis=1)
+
+
+def q_sssp(sf_dir: str) -> rd.Dataset:
+    """Single-source shortest paths with integer edge weights, bounded
+    to ``SSSP_ROUNDS`` relaxation rounds — distributed Bellman-Ford, the
+    weighted counterpart of bfs_hops (link-distance scoring, crawl-cost
+    budgeting).  Weights w(u, j) = 1 + (u + j) mod 5 are closed-form in
+    the edge, so no edge table ships; all-integer distances make the
+    min-semilattice merge order-insensitive and the result bit-equal to
+    the unrolled DuckDB oracle (d_{k+1}(v) = min(d_k(v),
+    min_{u→v} d_k(u) + w(u, v))).
+
+    Per round: ONE map_batches over the bounded frontier/dist table
+    (pass-through rows + weighted hop+1 candidates, in-batch min
+    combiner) → one node-bucketed min merge.  The table holds only
+    REACHED nodes, never |V| rows per round."""
+    import pyarrow.parquet as pq
+
+    from .grouping import bucketed_group_apply
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array([SSSP_SOURCE], type=pa.int64()),
+        "dist": pa.array([0], type=pa.int64()),
+    }))
+
+    def minmerge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", as_index=False)["dist"].min()
+        out["node"] = out["node"].astype(np.int64)
+        out["dist"] = out["dist"].astype(np.int64)
+        return out
+
+    def relax(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("node").to_numpy(zero_copy_only=False)
+        d = batch.column("dist").to_numpy(zero_copy_only=False)
+        dst, w, deg = _targets_weighted(nodes, n)
+        cand_d = np.repeat(d, deg) + w
+        df = pd.DataFrame({
+            "node": np.concatenate([nodes, dst]),
+            "dist": np.concatenate([d, cand_d]),
+        })
+        part = df.groupby("node", as_index=False)["dist"].min()
+        return pa.table({
+            "node": pa.array(part["node"].to_numpy().astype(np.int64)),
+            "dist": pa.array(part["dist"].to_numpy().astype(np.int64)),
+        })
+
+    for _ in range(SSSP_ROUNDS):
+        dist = bucketed_group_apply(
+            dist.map_batches(relax, batch_format="pyarrow"),
+            ["node"], minmerge, num_buckets=16)
+
+    return dist.sort("node")
+
+
+def _sssp_sql() -> str:
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        ("edges AS (SELECT node AS src, "
+         "(7*node + 13*j.j + 1) % (SELECT c FROM nn) AS dst, "
+         "1 + (node + j.j) % 5 AS w "
+         "FROM nodes, (SELECT unnest(generate_series(0, 3)) AS j) j "
+         "WHERE (7*node + 13*j.j + 1) % (SELECT c FROM nn) <> node)"),
+        (f"d0 AS (SELECT CAST({SSSP_SOURCE} AS BIGINT) AS node, "
+         f"CAST(0 AS BIGINT) AS dist)"),
+    ]
+    for k in range(SSSP_ROUNDS):
+        parts.append(
+            f"d{k + 1} AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS "
+            f"dist FROM (SELECT node, dist FROM d{k} UNION ALL "
+            f"SELECT e.dst AS node, d{k}.dist + e.w AS dist "
+            f"FROM d{k} JOIN edges e ON e.src = d{k}.node) "
+            f"GROUP BY node)")
+    return (", ".join(parts)
+            + f" SELECT node, dist FROM d{SSSP_ROUNDS} ORDER BY node")
+
+
+SQL_SSSP = _sssp_sql()
+
+
 GRAPH_QUERIES = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "anchor_text": (q_anchor_text, SQL_ANCHOR_TEXT),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),
+    "hits_scores": (q_hits, SQL_HITS),
+    "sssp_dist": (q_sssp, SQL_SSSP),
 }

@@ -695,3 +695,36 @@ def test_priority_gini_pairwise(ray_session) -> None:
         # brute-force ordered-pair sum is exactly twice that
         assert 2 * r.absdiff_cents == int(np.abs(x[:, None] - x[None, :]).sum())
         assert 0 <= r.gini_milli < 1000
+
+
+def test_zorder_layout_locality(ray_session) -> None:
+    """Zone-map property: every block's (user, cents) extremes must
+    bound the rows mapped to it by an independent Morton recomputation,
+    and block populations must conserve the corpus."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_zorder_layout,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["user_id", "value"])
+    uid = t.column("user_id").to_numpy().astype(np.int64)
+    cents = np.floor(t.column("value").to_numpy() * 100.0).astype(np.int64)
+    x = uid % 65536
+    y = ((cents % 65536) + 65536) % 65536
+    z = np.zeros(len(uid), dtype=np.int64)
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    zb = z >> 20
+
+    got = q_zorder_layout(sf)
+    assert int(got.n_events.sum()) == len(uid)
+    for _, row in got.iterrows():
+        m = zb == row.zblock
+        assert m.sum() == row.n_events
+        assert uid[m].min() == row.min_user and uid[m].max() == row.max_user
+        assert cents[m].min() == row.min_cents
+        assert cents[m].max() == row.max_cents

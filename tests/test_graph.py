@@ -134,3 +134,72 @@ def test_triangle_count_brute_force(ray_session) -> None:
     got = q_triangle_count(sf).to_pandas()
     assert dict(zip(got.node, got.n_triangles)) == per_node
     assert int(got.n_triangles.sum()) == 3 * n_tri
+
+
+def test_hits_matches_bruteforce(ray_session) -> None:
+    """Unnormalized integer HITS vs a dense numpy recomputation over the
+    explicit edge list (catches reverse-edge derivation mistakes the
+    SQL oracle would share only if both used the same closed form)."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    n = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+    edges = [(u, (7 * u + 13 * j + 1) % n)
+             for u in range(n) for j in range(4)
+             if (7 * u + 13 * j + 1) % n != u]
+    h = np.ones(n, dtype=np.int64)
+    for _ in range(G.N_HITS_ITERS):
+        a = np.zeros(n, dtype=np.int64)
+        for u, v in edges:
+            a[v] += h[u]
+        h = np.zeros(n, dtype=np.int64)
+        for u, v in edges:
+            h[u] += a[v]
+    afin = np.zeros(n, dtype=np.int64)
+    for u, v in edges:
+        afin[v] += h[u]
+
+    got = G.q_hits(sf).to_pandas()
+    assert len(got) == n
+    assert np.array_equal(got.sort_values("node")["auth_scaled"]
+                          .to_numpy(), afin)
+    assert np.array_equal(got.sort_values("node")["hub_scaled"]
+                          .to_numpy(), h)
+
+
+def test_in_sources_inverts_targets() -> None:
+    """The reverse derivation must yield exactly the forward edge set,
+    including when 7 | n (the multi-solution modular branch)."""
+    for n in (500, 490):  # 490 = 7 * 70 exercises gcd = 7
+        src, dst, _deg = G._targets(np.arange(n), n)
+        fwd = set(zip(src.tolist(), dst.tolist()))
+        v_rep, u = G._in_sources(np.arange(n), n)
+        rev = set(zip(u.tolist(), v_rep.tolist()))
+        assert fwd == rev
+
+
+def test_sssp_matches_bellman_ford(ray_session) -> None:
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    n = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+    INF = 1 << 60
+    d = np.full(n, INF, dtype=np.int64)
+    d[G.SSSP_SOURCE] = 0
+    for _ in range(G.SSSP_ROUNDS):
+        nd = d.copy()
+        for u in range(n):
+            if d[u] == INF:
+                continue
+            for j in range(4):
+                v = (7 * u + 13 * j + 1) % n
+                if v == u:
+                    continue
+                w = 1 + (u + j) % 5
+                nd[v] = min(nd[v], d[u] + w)
+        d = nd
+    want = {v: int(d[v]) for v in range(n) if d[v] < INF}
+    got = G.q_sssp(sf).to_pandas()
+    assert dict(zip(got.node, got.dist)) == want
+    # distances only shrink with more rounds (monotone frontier)
+    assert (got.dist >= 0).all() and got.dist.min() == 0
