@@ -381,6 +381,7 @@ _GATE_ORDER = [
     "parts_ordered_large", "tfidf_topk",
     "priority_revenue", "regional_revenue", "user_sessions",
     "asof_latest_order",
+    "sorted_neighborhood",
     "shingle_pairs", "dup_passages", "jaccard_pairs",
     "segment_status_native", "dedup_clusters", "clean_corpus",
     # --- tier 2: rows-only, ordered by information value (flagship

@@ -1310,12 +1310,248 @@ ORDER BY s2.doc_id
 """.replace("__STOP__", _STOP_SQL_C)
 
 
+# ------------------------------------ sorted-neighborhood ER blocking
+SN_WINDOW = 5          # rank-space neighborhood (Hernández-Stolfo w)
+SN_VERIFY_CHARS = 64   # verify on a bounded slice, never the full doc
+SN_LEV_MAX = 8
+_SN_NB = 64            # key-range buckets for the distributed rank
+_SN_CHUNK = 1024       # rank-space chunk for pair generation
+
+
+def _lev_batch(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Vectorized Levenshtein over P string pairs at once (A: (P, La),
+    B: (P, Lb) codepoint matrices — callers group pairs by length
+    combo).  The in-row dependency cur[j] = min(t[j], cur[j-1]+1)
+    resolves as a prefix-min of t[j]-j (then +j), so the whole DP is
+    La iterations of (P, Lb) numpy ops — no per-pair Python loop."""
+    P, La = A.shape
+    Lb = B.shape[1]
+    jj = np.arange(Lb + 1, dtype=np.int32)
+    prev = np.tile(jj, (P, 1))
+    for i in range(1, La + 1):
+        t = np.empty((P, Lb + 1), dtype=np.int32)
+        t[:, 0] = i
+        t[:, 1:] = np.minimum(prev[:, 1:] + 1,
+                              prev[:, :-1] + (A[:, i - 1:i] != B))
+        prev = np.minimum.accumulate(t - jj, axis=1) + jj
+    return prev[:, -1]
+
+
+def _lev_pairs(sa: list[str], sb: list[str]) -> np.ndarray:
+    """Exact edit distance for a list of pairs, vectorized per
+    (len_a, len_b) combo (bounded: verify slices are ≤ 64 chars)."""
+    out = np.zeros(len(sa), dtype=np.int64)
+    by_len: dict[tuple[int, int], list[int]] = {}
+    for i, (a, b) in enumerate(zip(sa, sb)):
+        by_len.setdefault((len(a), len(b)), []).append(i)
+    for (la, lb), idx in by_len.items():
+        if la == 0 or lb == 0:
+            out[idx] = max(la, lb)
+            continue
+        A = np.array([[ord(c) for c in sa[i]] for i in idx],
+                     dtype=np.int32)
+        B = np.array([[ord(c) for c in sb[i]] for i in idx],
+                     dtype=np.int32)
+        out[idx] = _lev_batch(A, B)
+    return out
+
+
+def q_sorted_neighborhood(sf_dir: str) -> rd.Dataset:
+    """Sorted-neighborhood entity-resolution blocking (Hernández &
+    Stolfo): sort the corpus by a cheap blocking key (first 8 chars,
+    doc_id tiebreak), slide a window of ``SN_WINDOW`` over the GLOBAL
+    rank order, and exact-verify each in-window pair with edit distance
+    ≤ ``SN_LEV_MAX`` on a 64-char slice — the classic complement to the
+    set-similarity joins above (catches prefix-preserving near-dups
+    with O(n·w) candidates instead of O(n²)).
+
+    Distributed total rank WITHOUT a global sort (same primitive as
+    customer_quartiles): (1) prep ships only (doc_id, 8-char key,
+    64-char verify slice) — the corpus text never reshuffles; (2) a
+    64-bucket KEY-RANGE histogram over a 4-byte order-preserving prefix
+    proxy gives driver-side prefix offsets (64 ints); equal proxies land
+    in one bucket by construction so local sort order == global.  A
+    low-entropy key (every doc starting 'INVOICE') collapses buckets —
+    the documented refinement is widening the proxy to more key bytes,
+    the same recursion the hot-key grid uses.  (3) pair generation
+    chunks RANK space (ranks are a permutation, so chunks are
+    contiguous); each chunk's last ``SN_WINDOW`` rows replicate to the
+    next chunk as read-only context, every pair is generated exactly
+    once (owned by the higher rank's home chunk), and gap-g partners
+    are pure array slices — no per-row loop.  Verification is the
+    vectorized multi-pair DP above."""
+    ds = _docs(sf_dir)
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        k8 = [t[:8] for t in texts]
+        proxy = np.fromiter(
+            (int.from_bytes(s.encode("utf-8")[:4].ljust(4, b"\0"),
+                            "big") for s in k8),
+            dtype=np.int64, count=len(k8))
+        return pd.DataFrame({
+            "doc_id": ids.astype(np.int64),
+            "k8": k8,
+            "k64": [t[:SN_VERIFY_CHARS] for t in texts],
+            "proxy": proxy,
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def bcounts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lo": [int(df.proxy.min())],
+                             "hi": [int(df.proxy.max())],
+                             "n": [len(df)]})
+
+    parts = prepped.map_batches(bcounts, batch_format="pandas").to_pandas()
+    lo, hi = int(parts.lo.min()), int(parts.hi.max())
+    width = max(1, (hi - lo + _SN_NB) // _SN_NB)
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.minimum((v - lo) // width, _SN_NB - 1).astype(np.int64)
+
+    def pb(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(bucket_of(df.proxy.to_numpy()),
+                         return_counts=True)
+        return pd.DataFrame({"b": u, "n": c})
+
+    bc = prepped.map_batches(pb, batch_format="pandas").to_pandas()
+    counts = np.zeros(_SN_NB, dtype=np.int64)
+    agg = bc.groupby("b").n.sum()
+    counts[agg.index.to_numpy()] = agg.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "k64": pd.Series(dtype="string"),
+                              "rn": pd.Series(dtype=np.int64)})]
+        for rb, g in df.groupby("_rb"):
+            g = g.sort_values(["k8", "doc_id"], kind="mergesort")
+            rn = offsets[int(rb)] + np.arange(1, len(g) + 1,
+                                              dtype=np.int64)
+            outs.append(pd.DataFrame({
+                "doc_id": g.doc_id.to_numpy().astype(np.int64),
+                "k64": g.k64.to_numpy(),
+                "rn": rn}))
+        return pd.concat(outs, ignore_index=True)
+
+    # Exchange buckets are assigned by MODULO over contiguous ids, not
+    # by key hash: hash partitioning with few distinct keys leaves
+    # empty partitions, whose zero-column blocks degrade downstream
+    # schema tracking (grouping.py lore).  Nonempty range buckets and
+    # rank chunks are both contiguous integer sequences, so modulo
+    # routing fills every partition by construction.
+    n_total = int(counts.sum())
+    nonempty_rb = np.flatnonzero(counts)      # sorted nonempty buckets
+    rank_buckets = max(1, min(_SN_NB, len(nonempty_rb)))
+    chunk_buckets = max(1, min(32, n_total // _SN_CHUNK + 1))
+
+    def tag_mod(df: pd.DataFrame) -> pd.DataFrame:
+        rb = bucket_of(df.proxy.to_numpy())
+        pos = np.searchsorted(nonempty_rb, rb)
+        return df.assign(_rb=rb, _kb=(pos % rank_buckets).astype(np.int64))
+
+    def rank_apply(df: pd.DataFrame) -> pd.DataFrame:
+        return rank_bucket(df.drop(columns=["_kb"]))
+
+    from .grouping import _to_arrow
+
+    ranked = (prepped.map_batches(tag_mod, batch_format="pandas")
+              .groupby("_kb")
+              .map_groups(lambda g: _to_arrow(rank_apply(g.to_pandas())),
+                          batch_format="pyarrow"))
+
+    def to_chunks(df: pd.DataFrame) -> pd.DataFrame:
+        rn = df.rn.to_numpy()
+        home = rn // _SN_CHUNK
+        own = df.assign(_ck=home, _own=True)
+        spill_mask = (rn % _SN_CHUNK) >= _SN_CHUNK - SN_WINDOW
+        spill = df[spill_mask].assign(
+            _ck=home[spill_mask] + 1, _own=False)
+        return pd.concat([own, spill], ignore_index=True)
+
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_a": pd.Series(dtype=np.int64),
+            "doc_b": pd.Series(dtype=np.int64),
+            "rank_gap": pd.Series(dtype=np.int64),
+            "lev": pd.Series(dtype=np.int64)})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [_empty_pairs()]
+        for _ck, g in df.groupby("_ck"):
+            g = g.sort_values("rn", kind="mergesort")
+            ids = g.doc_id.to_numpy()
+            k64 = g.k64.to_numpy()
+            own = g._own.to_numpy()
+            for gap in range(1, SN_WINDOW + 1):
+                if len(g) <= gap:
+                    break
+                a_ids, b_ids = ids[:-gap], ids[gap:]
+                keep = own[gap:]          # pair owned by higher rank
+                if not keep.any():
+                    continue
+                sa = [str(s) for s in k64[:-gap][keep]]
+                sb = [str(s) for s in k64[gap:][keep]]
+                lev = _lev_pairs(sa, sb)
+                hit = lev <= SN_LEV_MAX
+                if hit.any():
+                    outs.append(pd.DataFrame({
+                        "doc_a": a_ids[keep][hit].astype(np.int64),
+                        "doc_b": b_ids[keep][hit].astype(np.int64),
+                        "rank_gap": np.full(int(hit.sum()), gap,
+                                            dtype=np.int64),
+                        "lev": lev[hit].astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True)
+
+    def chunk_tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = to_chunks(df)
+        return df.assign(
+            _kb=(df._ck.to_numpy() % chunk_buckets).astype(np.int64))
+
+    out = (ranked.map_batches(chunk_tag, batch_format="pandas")
+           .groupby("_kb")
+           .map_groups(lambda g: _to_arrow(
+               pairs(g.to_pandas().drop(columns=["_kb"]))),
+               batch_format="pyarrow"))
+    # typed empty seed: keeps the final distributed sort schema-stable
+    # even if every block comes back empty (embed_neardup precedent).
+    # Ray's groupby still emits zero-column blocks for its own empty
+    # shuffle partitions (input blocks > distinct keys) — harmless
+    # under the seed, but the "new schema" warning it logs is Ray's,
+    # not a row-loss bug here (value-equality pinned at 3 scales).
+    seed = rd.from_arrow(_empty_table(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("rank_gap", pa.int64()), ("lev", pa.int64())]))
+    return seed.union(out).sort(["doc_a", "doc_b"])
+
+
+SQL_SORTED_NEIGHBORHOOD = f"""
+WITH r AS (
+  SELECT doc_id,
+         substring(text, 1, {SN_VERIFY_CHARS}) AS k64,
+         ROW_NUMBER() OVER (ORDER BY substring(text, 1, 8), doc_id)
+           AS rn
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+       CAST(levenshtein(a.k64, b.k64) AS BIGINT) AS lev
+FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {SN_WINDOW}
+WHERE levenshtein(a.k64, b.k64) <= {SN_LEV_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
 DEDUP_QUERIES = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "shingle_pairs": (q_shingle_pairs, SQL_SHINGLE_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
+    "sorted_neighborhood": (q_sorted_neighborhood,
+                            SQL_SORTED_NEIGHBORHOOD),
     # LSH recall < 1 ⇒ rows-only driver check; precision/recall pinned
     # against shingle_pairs by tests/test_properties.py
     "minhash_pairs": (q_minhash_pairs, None),

@@ -434,3 +434,61 @@ def test_clean_corpus_composition(ray_session) -> None:
     assert list(got.doc_id) == list(want.doc_id)
     assert list(got.n_tokens) == list(want.n_tokens)
     assert len(got) < len(docs)
+
+
+def test_sorted_neighborhood_matches_oracle(ray_session) -> None:
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines import (
+        dedup as D,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = D.q_sorted_neighborhood(sf).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", pq.read_table(f"{sf}/documents.parquet"))
+    want = con.execute(D.SQL_SORTED_NEIGHBORHOOD).df()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_sorted_neighborhood_chunk_boundaries(ray_session, monkeypatch) -> None:
+    """Pairs must be invariant to the rank-chunk size: a tiny chunk
+    forces most windows to straddle chunk boundaries, exercising the
+    replicated-context path (each chunk's last W rows spill to the next
+    chunk; pairs are owned by the higher rank's home chunk)."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines import (
+        dedup as D,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = D.q_sorted_neighborhood(sf).to_pandas()
+    monkeypatch.setattr(D, "_SN_CHUNK", 16)
+    tiny = D.q_sorted_neighborhood(sf).to_pandas()
+    assert base.equals(tiny)
+
+
+def test_lev_batch_matches_scalar() -> None:
+    """Vectorized multi-pair DP equals the scalar DP on random-ish
+    deterministic strings of mixed lengths."""
+    import numpy as np
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines import (
+        dedup as D,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.spellfix import (
+        levenshtein,
+    )
+
+    rng = np.random.RandomState(7)
+    alpha = "abcde"
+    sa, sb = [], []
+    for _ in range(60):
+        la, lb = rng.randint(0, 12), rng.randint(0, 12)
+        sa.append("".join(alpha[i] for i in rng.randint(0, 5, la)))
+        sb.append("".join(alpha[i] for i in rng.randint(0, 5, lb)))
+    got = D._lev_pairs(sa, sb)
+    want = [levenshtein(a, b) for a, b in zip(sa, sb)]
+    assert list(got) == want
