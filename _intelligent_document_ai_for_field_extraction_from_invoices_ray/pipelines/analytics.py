@@ -1859,6 +1859,127 @@ FROM z GROUP BY zblock ORDER BY zblock
 SQL_ZORDER_LAYOUT = _zorder_sql()
 
 
+# -------------------------------------- watermark / late-data audit
+LATE_WM_S = 900           # allowed lateness (15-min watermark)
+_LATE_MULT = 1000003      # arrival-order permutation multiplier
+_LATE_NB = 64             # contiguous arrival-range chunks
+
+
+def q_late_events(sf_dir: str) -> pd.DataFrame:
+    """Out-of-order / late-data audit — the streaming-ingest QA
+    operator: replay the corpus in ARRIVAL order, maintain the running
+    event-time high-watermark, and count events arriving more than
+    ``LATE_WM_S`` behind it, per event_type (what a Beam/Flink-style
+    pipeline must know to size allowed-lateness).  The synthetic
+    arrival log is the closed-form permutation
+    arr = (event_id·1000003) mod n (ties broken by event_id, so the
+    order is total even when the multiplier isn't coprime to n) — the
+    oracle replays the identical order.
+
+    The running max over a permuted total order is the distributed
+    prefix-scan shape (same as running_spend): pass A computes per-
+    arrival-range-chunk maxima (bounded: 64 ints × blocks to the
+    driver), the driver prefix-maxes 64 values, pass B re-scans each
+    chunk locally with its carry-in watermark and emits per-type
+    partials (≤ 64 × |types| rows).  Event times are floored epoch
+    seconds; everything stays int64."""
+    import pyarrow.parquet as pq
+
+    from .grouping import bucketed_group_apply
+
+    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df.event_id.to_numpy().astype(np.int64)
+        arr = (eid * _LATE_MULT) % n
+        return pd.DataFrame({
+            "event_type": df.event_type,
+            "es": _epoch_s(df.ts).to_numpy(),
+            "arr": arr,
+            "event_id": eid,
+            "chunk": (arr * _LATE_NB) // n,
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pandas").materialize()
+
+    # pass A: per-chunk event-time maxima (bounded driver merge)
+    def cmax(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("chunk", as_index=False)["es"].max()
+        return g.rename(columns={"es": "mx"})
+
+    cm = prepped.map_batches(cmax, batch_format="pandas").to_pandas()
+    maxima = np.full(_LATE_NB, np.iinfo(np.int64).min, dtype=np.int64)
+    agg = cm.groupby("chunk").mx.max()
+    maxima[agg.index.to_numpy()] = agg.to_numpy()
+    # carry[c] = max event time over all chunks < c
+    carry = np.empty(_LATE_NB, dtype=np.int64)
+    carry[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(maxima[:-1], out=carry[1:])
+
+    # pass B: per-chunk replay with carry-in watermark
+    def replay(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [pd.DataFrame({
+            "event_type": pd.Series(dtype="string"),
+            "n_events": pd.Series(dtype=np.int64),
+            "n_late": pd.Series(dtype=np.int64),
+            "max_lateness_s": pd.Series(dtype=np.int64)})]
+        for ck, g in df.groupby("chunk"):
+            g = g.sort_values(["arr", "event_id"], kind="mergesort")
+            es = g.es.to_numpy()
+            run = np.maximum.accumulate(es)
+            wm = np.empty(len(es), dtype=np.int64)
+            wm[0] = carry[int(ck)]
+            wm[1:] = np.maximum(run[:-1], carry[int(ck)])
+            # es + W < wm, NOT es < wm - W: the no-watermark sentinel
+            # is int64 min and wm - W would wrap around
+            late = es + LATE_WM_S < wm
+            lateness = np.where(late, wm - LATE_WM_S - es, 0)
+            part = pd.DataFrame({
+                "event_type": g.event_type.to_numpy(),
+                "one": np.ones(len(es), dtype=np.int64),
+                "late": late.astype(np.int64),
+                "lateness": lateness.astype(np.int64)})
+            a = part.groupby("event_type", as_index=False).agg(
+                n_events=("one", "sum"), n_late=("late", "sum"),
+                max_lateness_s=("lateness", "max"))
+            outs.append(a)
+        return pd.concat(outs, ignore_index=True)
+
+    parts = bucketed_group_apply(prepped, ["chunk"], replay,
+                                 num_buckets=_LATE_NB).to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), n_late=("n_late", "sum"),
+        max_lateness_s=("max_lateness_s", "max"))
+    for c in ["n_events", "n_late", "max_lateness_s"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_LATE_EVENTS = f"""
+WITH nn AS (SELECT COUNT(*) AS c FROM events),
+a AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         (event_id * {_LATE_MULT}) % (SELECT c FROM nn) AS arr,
+         event_id
+  FROM events
+), w AS (
+  SELECT event_type, es,
+         MAX(es) OVER (ORDER BY arr, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS wm
+  FROM a
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN es < wm - {LATE_WM_S} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(COALESCE(MAX(CASE WHEN es < wm - {LATE_WM_S}
+                          THEN wm - {LATE_WM_S} - es END), 0)
+            AS BIGINT) AS max_lateness_s
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
 ANALYTICS_QUERIES = {
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
@@ -1888,4 +2009,5 @@ ANALYTICS_QUERIES = {
     "events_interpolated": (q_events_interpolated, SQL_EVENTS_INTERPOLATED),
     "priority_gini": (q_priority_gini, SQL_PRIORITY_GINI),
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
+    "late_events": (q_late_events, SQL_LATE_EVENTS),
 }

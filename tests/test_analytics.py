@@ -728,3 +728,42 @@ def test_zorder_layout_locality(ray_session) -> None:
         assert uid[m].min() == row.min_user and uid[m].max() == row.max_user
         assert cents[m].min() == row.min_cents
         assert cents[m].max() == row.max_cents
+
+
+def test_late_events_bruteforce_replay(ray_session) -> None:
+    """Engine per-type lateness equals a single-process replay of the
+    same synthetic arrival permutation (catches carry-in/prefix-max
+    mistakes the SQL oracle shares only if both replay identically)."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines import (
+        analytics as A,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["event_id", "ts", "event_type"])
+    eid = t.column("event_id").to_numpy()
+    n = len(eid)
+    es = t.column("ts").to_numpy().astype("datetime64[ns]").astype(
+        np.int64) // 1_000_000_000
+    typ = t.column("event_type").to_pylist()
+    arr = (eid.astype(np.int64) * A._LATE_MULT) % n
+    order = np.lexsort((eid, arr))
+    agg: dict[str, list] = {}
+    wm = None
+    for i in order:
+        e = agg.setdefault(typ[i], [0, 0, 0])
+        e[0] += 1
+        if wm is not None and es[i] + A.LATE_WM_S < wm:
+            e[1] += 1
+            e[2] = max(e[2], int(wm - A.LATE_WM_S - es[i]))
+        wm = int(es[i]) if wm is None else max(wm, int(es[i]))
+
+    got = A.q_late_events(sf).set_index("event_type")
+    assert len(got) == len(agg)
+    for k, (ne, nl, ml) in agg.items():
+        assert got.loc[k, "n_events"] == ne, k
+        assert got.loc[k, "n_late"] == nl, k
+        assert got.loc[k, "max_lateness_s"] == ml, k
+    assert int(got["n_late"].sum()) > 0   # the permutation makes lateness real
