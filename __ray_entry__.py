@@ -356,7 +356,7 @@ _GATE_ORDER = [
     "order_balance_audit", "value_winsor_mean", "orders_profile",
     "rolling_wau", "label_centroids", "events_mad", "order_allocation",
     "event_percentile", "events_interpolated", "priority_gini",
-    "zorder_layout", "late_events",
+    "zorder_layout", "late_events", "type_trend",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",

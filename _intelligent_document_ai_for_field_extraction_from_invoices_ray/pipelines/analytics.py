@@ -1980,6 +1980,85 @@ FROM w GROUP BY event_type ORDER BY event_type
 """
 
 
+# -------------------------------------- per-group exact OLS trend
+def q_type_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type least-squares trend of value over time — grouped
+    regression via EXACT integer sufficient statistics (n, Σx, Σy,
+    Σxy, Σx²), the textbook distributed-ML aggregation shape: raw rows
+    never shuffle, each batch emits one bounded partial per type, and
+    the slope is assembled from the merged sums.  x = whole hours since
+    the corpus' first event (global min = one bounded pre-pass), y =
+    value cents; slope_micro = 10⁶·(nΣxy − ΣxΣy) ÷ (nΣx² − (Σx)²) with
+    FLOOR division.
+
+    Int64 audit: per-type partials stay < 5.2e5·n (x ≤ corpus span in
+    hours); the final n·Σx² product can exceed int64 for n ≳ 4e6, so
+    the 5-row driver combine runs in arbitrary-precision Python ints —
+    the distributed exchange never carries the big products.  The SQL
+    oracle reproduces floor on a possibly-negative numerator with the
+    modulo identity a − ((a%b)+b)%b (DuckDB ``//`` truncates)."""
+    ds = _pq(sf_dir, "events", ["ts", "value", "event_type"])
+
+    def premin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"mn": [int(_epoch_s(df.ts).min())]})
+
+    base = int(ds.map_batches(premin, batch_format="pandas")
+               .to_pandas().mn.min())
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        x = (_epoch_s(df.ts).to_numpy() - base) // 3600
+        y = np.floor(df.value.to_numpy(dtype=np.float64)
+                     * 100.0).astype(np.int64)
+        p = pd.DataFrame({"event_type": df.event_type, "n": 1,
+                          "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        return p.groupby("event_type", as_index=False).sum()
+
+    merged = (ds.map_batches(part, batch_format="pandas")
+              .to_pandas().groupby("event_type", as_index=False).sum())
+
+    rows = []
+    for _, r in merged.iterrows():
+        n, sx, sy, sxy, sxx = (int(r.n), int(r.sx), int(r.sy),
+                               int(r.sxy), int(r.sxx))
+        den = n * sxx - sx * sx
+        num = 10**6 * (n * sxy - sx * sy)
+        slope = (num - (((num % den) + den) % den)) // den if den else 0
+        rows.append((r.event_type, n, sx, sy, sxy, sxx, slope))
+    out = pd.DataFrame(rows, columns=["event_type", "n_events", "sum_x",
+                                      "sum_y", "sum_xy", "sum_xx",
+                                      "slope_micro"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_TYPE_TREND = """
+WITH b AS (
+  SELECT CAST(min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS base
+  FROM events
+), v AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) - (SELECT base FROM b))
+           // 3600 AS x,
+         CAST(floor(value * 100) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM v GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+       CAST(sxy AS BIGINT) AS sum_xy, CAST(sxx AS BIGINT) AS sum_xx,
+       CAST(CASE WHEN n*sxx - sx*sx = 0 THEN 0 ELSE
+         (1000000*(n*sxy - sx*sy)
+          - ((((1000000*(n*sxy - sx*sy)) % (n*sxx - sx*sx))
+              + (n*sxx - sx*sx)) % (n*sxx - sx*sx)))
+         // (n*sxx - sx*sx) END AS BIGINT) AS slope_micro
+FROM s ORDER BY event_type
+"""
+
+
 ANALYTICS_QUERIES = {
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
@@ -2010,4 +2089,5 @@ ANALYTICS_QUERIES = {
     "priority_gini": (q_priority_gini, SQL_PRIORITY_GINI),
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
     "late_events": (q_late_events, SQL_LATE_EVENTS),
+    "type_trend": (q_type_trend, SQL_TYPE_TREND),
 }

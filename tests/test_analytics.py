@@ -767,3 +767,33 @@ def test_late_events_bruteforce_replay(ray_session) -> None:
         assert got.loc[k, "n_late"] == nl, k
         assert got.loc[k, "max_lateness_s"] == ml, k
     assert int(got["n_late"].sum()) > 0   # the permutation makes lateness real
+
+
+def test_type_trend_exact_ols(ray_session) -> None:
+    """Sufficient-stats slope equals numpy lstsq on the same (x, y)
+    within float tolerance, and the integer identities hold exactly."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines import (
+        analytics as A,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["ts", "value", "event_type"]).to_pandas()
+    es = t.ts.astype("datetime64[ns]").astype(np.int64) // 1_000_000_000
+    base = int(es.min())
+    x = ((es - base) // 3600).to_numpy()
+    y = np.floor(t.value.to_numpy() * 100.0).astype(np.int64)
+
+    got = A.q_type_trend(sf).set_index("event_type")
+    for typ in got.index:
+        m = (t.event_type == typ).to_numpy()
+        r = got.loc[typ]
+        assert r.n_events == m.sum()
+        assert r.sum_x == int(x[m].sum())
+        assert r.sum_y == int(y[m].sum())
+        assert r.sum_xy == int((x[m] * y[m]).sum())
+        assert r.sum_xx == int((x[m] * x[m]).sum())
+        slope_f = np.polyfit(x[m].astype(float), y[m].astype(float), 1)[0]
+        assert abs(r.slope_micro / 1e6 - slope_f) < 1e-3
