@@ -137,6 +137,19 @@ def _q_extract_evaluate(sf_dir: str):
     return evaluation_frame(_run_flagship(sf_dir), gt)
 
 
+def _q_extract_calibration(sf_dir: str):
+    """Reliability-diagram bins + ECE of per-field confidences vs GT."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.evaluate import (
+        calibration_frame,
+    )
+
+    (_docs_path, gt_path), _ = _corpus_for(sf_dir)
+    gt = {r["doc_id"]: r for r in pq.read_table(gt_path).to_pylist()}
+    return calibration_frame(_run_flagship(sf_dir), gt)
+
+
 def _q_media_features(sf_dir: str):
     from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.media import (
         q_media_features,
@@ -393,7 +406,7 @@ _GATE_ORDER = [
     # truncated gate keeps them (r4 verdict item #3)
     "extract_perf_analysis", "extract_cost_analysis",
     "extract_confidence_analysis", "extract_spans", "extract_summary",
-    "extract_evaluate", "extract_report",
+    "extract_evaluate", "extract_report", "extract_calibration",
     "span_scalars", "extract_error_samples", "extract_cost",
     "extract_error_buckets", "events_hll_users",
     "embed_semantic_dedup", "embed_kmeans", "embed_ann_lsh",
@@ -417,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_confidence_analysis": _q_extract_confidence_analysis,
         "extract_perf_analysis": _q_extract_perf_analysis,
         "extract_cost_analysis": _q_extract_cost_analysis,
+        "extract_calibration": _q_extract_calibration,
         "media_features": _q_media_features,
         "span_scalars": _q_span_scalars,
     }

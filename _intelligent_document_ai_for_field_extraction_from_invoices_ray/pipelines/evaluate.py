@@ -108,6 +108,64 @@ def evaluate_results(results: rd.Dataset, ground_truth: dict[str, dict]) -> dict
     return metrics
 
 
+_CALIB_BINS = 10
+_CONF_FIELDS = ("dealer_name", "model_name", "horse_power", "asset_cost")
+
+
+def calibration_frame(results: rd.Dataset,
+                      ground_truth: dict[str, dict]) -> pd.DataFrame:
+    """Confidence-calibration audit (reliability diagram + ECE): bucket
+    every comparable (field confidence, field correct?) pair into 10
+    confidence bins and report per-bin accuracy vs stated confidence —
+    the eval an extraction pipeline needs before its confidences can
+    gate auto-accept routing.  Same distributed shape as
+    evaluate_results: GT broadcast once via ``ray.put``, per-batch
+    integer partials (bin, n, n_correct, conf_milli_sum), bounded
+    10-row driver merge.  ece_milli = Σ n_b·|acc_b − conf_b| / N is
+    repeated on each row (all-integer, floor)."""
+    gt_ref = ray.put(ground_truth)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        gt_map = ray.get(gt_ref)
+        n = np.zeros(_CALIB_BINS, dtype=np.int64)
+        ok = np.zeros(_CALIB_BINS, dtype=np.int64)
+        cs = np.zeros(_CALIB_BINS, dtype=np.int64)
+        for row in batch.to_pylist():
+            gt = gt_map.get(row["doc_id"])
+            if gt is None:
+                continue
+            checks = _doc_checks(row, gt)
+            for f in _CONF_FIELDS:
+                if checks[f] is None:
+                    continue
+                conf = float(row[f"{f}_confidence"] or 0.0)
+                b = min(int(conf * _CALIB_BINS), _CALIB_BINS - 1)
+                n[b] += 1
+                ok[b] += int(bool(checks[f]))
+                cs[b] += int(conf * 1000)
+        return pd.DataFrame({"bin": np.arange(_CALIB_BINS),
+                             "n": n, "ok": ok, "cs": cs})
+
+    parts = (results.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("bin", as_index=False).sum())
+    n = parts.n.to_numpy()
+    ok = parts.ok.to_numpy()
+    cs = parts.cs.to_numpy()
+    total = int(n.sum())
+    acc = np.where(n > 0, (1000 * ok) // np.maximum(n, 1), 0)
+    conf = np.where(n > 0, cs // np.maximum(n, 1), 0)
+    ece = int(np.abs(n * (acc - conf)).sum() // total) if total else 0
+    out = pd.DataFrame({
+        "bin": parts.bin.to_numpy().astype(np.int64),
+        "n_pairs": n.astype(np.int64),
+        "n_correct": ok.astype(np.int64),
+        "acc_milli": acc.astype(np.int64),
+        "conf_milli": conf.astype(np.int64),
+        "ece_milli": np.full(_CALIB_BINS, ece, dtype=np.int64),
+    })
+    return out[out.n_pairs > 0].reset_index(drop=True)
+
+
 def error_samples(results: rd.Dataset, k: int = 10) -> pd.DataFrame:
     """Bottom-k lowest-confidence documents (evaluate.py:551-578): a
     distributed sort + limit over the result table."""

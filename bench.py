@@ -265,6 +265,12 @@ def run_bench() -> dict:
     timed("events_interpolated", analytics.q_events_interpolated)
     timed("priority_gini", analytics.q_priority_gini)
     timed("clean_corpus", dedup.q_clean_corpus)
+    timed("hits_scores", graph.q_hits)
+    timed("sssp_dist", graph.q_sssp)
+    timed("zorder_layout", analytics.q_zorder_layout)
+    timed("late_events", analytics.q_late_events)
+    timed("type_trend", analytics.q_type_trend)
+    timed("sorted_neighborhood", dedup.q_sorted_neighborhood)
 
     result = {
         "metric": "end-to-end extraction sec (flagship interleaved-doc pipeline) + per-query sec",

@@ -297,3 +297,28 @@ def test_visualization_sink(tmp_path):
     files = list(out.glob("*.svg"))
     assert n == 10 and len(files) == 10
     assert files[0].read_text().startswith("<svg")
+
+
+def test_extract_calibration_invariants(ray_session) -> None:
+    """Calibration bins must conserve the comparable-pair population,
+    bound accuracy by population, and report a consistent ECE."""
+    import importlib
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    e = importlib.import_module("__ray_entry__")
+    df = e.queries()["extract_calibration"]("/root/testdata/sf0.001")
+    assert len(df) > 0
+    assert (df.n_correct <= df.n_pairs).all()
+    assert (df.acc_milli <= 1000).all() and (df.acc_milli >= 0).all()
+    assert df.ece_milli.nunique() == 1
+    # bins carry their own confidence range: mean conf in [bin/10, (bin+1)/10)
+    lo = df.bin.to_numpy() * 100
+    hi = (df.bin.to_numpy() + 1) * 100
+    assert ((df.conf_milli >= lo) & (df.conf_milli <= hi)).all()
+    n = df.n_pairs.to_numpy()
+    ece = int(np.abs(n * (df.acc_milli.to_numpy()
+                          - df.conf_milli.to_numpy())).sum() // n.sum())
+    assert int(df.ece_milli.iloc[0]) == ece
