@@ -409,6 +409,7 @@ _GATE_ORDER = [
     "extract_evaluate", "extract_report", "extract_calibration",
     "span_scalars", "extract_error_samples", "extract_cost",
     "extract_error_buckets", "events_hll_users",
+    "value_quantile_sketch",
     "embed_semantic_dedup", "embed_kmeans", "embed_ann_lsh",
     "embed_ann_ivf", "embed_ann_ivfpq",
     "simhash_pairs", "minhash_pairs",

@@ -2059,6 +2059,79 @@ FROM s ORDER BY event_type
 """
 
 
+# --------------------------------- mergeable quantile sketch (one-pass)
+_QSK_CAP = 512                 # per-partial compacted sample size
+_QSK_PCTS = (10, 50, 100, 250, 500, 750, 900, 950, 990)  # milli
+
+
+def _qsk_compact(vals: np.ndarray, wts: np.ndarray,
+                 cap: int = _QSK_CAP) -> pd.DataFrame:
+    """Compact a weighted value multiset to ≤ cap (value, weight) rows
+    by midpoint-stride sampling over the SORTED expansion: each kept
+    value represents a contiguous weight-stride of the distribution, so
+    per-compaction rank error ≤ stride/2 — deterministic, mergeable,
+    and order-insensitive (inputs are sorted first)."""
+    order = np.argsort(vals, kind="mergesort")
+    vals, wts = vals[order], wts[order]
+    total = int(wts.sum())
+    if len(vals) <= cap:
+        return pd.DataFrame({"v": vals.astype(np.int64),
+                             "w": wts.astype(np.int64)})
+    stride = -(-total // cap)                 # ceil
+    cum = np.cumsum(wts)                      # 1-based end-ranks
+    # representative of chunk k = value at rank k*stride + stride//2
+    targets = np.arange(stride // 2, total, stride, dtype=np.int64)
+    idx = np.searchsorted(cum, targets + 1)
+    w = np.full(len(targets), stride, dtype=np.int64)
+    w[-1] = total - stride * (len(targets) - 1)
+    return pd.DataFrame({"v": vals[idx].astype(np.int64), "w": w})
+
+
+def q_value_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """Approximate value quantiles via a one-pass MERGEABLE sketch —
+    the bounded-memory companion to the exact events_value_quantiles
+    (which range-shuffles): each batch compacts its sorted values to
+    ≤ 512 weighted rows, a repartition(8) level re-compacts
+    (two_level_combine shape, so driver rows are block-count-
+    independent), and the driver's final compaction answers any
+    quantile.  Deliberately NOT SQL-checked — the sketch is
+    approximate by construction; a pytest pins rank error ≤ 1.5 % of n
+    against the exact distribution at three scales (the HLL/MinHash
+    precedent).  At 100 TB this is the only quantile shape that needs
+    neither a shuffle nor corpus-sized state."""
+    from .grouping import _to_arrow, two_level_combine
+
+    ds = _pq(sf_dir, "events", ["value"])
+
+    # emit metadata-free Arrow blocks (pandas-built blocks carry a
+    # metadata dict whose schema Ray's dedup cannot hash — grouping lore)
+    def part(df: pd.DataFrame):
+        cents = np.floor(df.value.to_numpy(dtype=np.float64)
+                         * 100.0).astype(np.int64)
+        return _to_arrow(_qsk_compact(cents,
+                                      np.ones(len(cents), dtype=np.int64)))
+
+    def recompact(df: pd.DataFrame):
+        return _to_arrow(_qsk_compact(df.v.to_numpy(), df.w.to_numpy()))
+
+    partials = ds.map_batches(part, batch_format="pandas")
+    merged = two_level_combine(partials, recompact,
+                               num_blocks=8).to_pandas()
+    final = _qsk_compact(merged.v.to_numpy(), merged.w.to_numpy())
+    v, w = final.v.to_numpy(), final.w.to_numpy()
+    cum = np.cumsum(w)
+    total = int(cum[-1])
+    rows = []
+    for pm in _QSK_PCTS:
+        target = (total * pm + 999) // 1000    # ceil(p·n), integer
+        i = int(np.searchsorted(cum, max(target, 1)))
+        rows.append((pm, int(v[min(i, len(v) - 1)])))
+    out = pd.DataFrame(rows, columns=["p_milli", "est_cents"])
+    out["p_milli"] = out["p_milli"].astype(np.int64)
+    out["est_cents"] = out["est_cents"].astype(np.int64)
+    return out
+
+
 ANALYTICS_QUERIES = {
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
@@ -2090,4 +2163,5 @@ ANALYTICS_QUERIES = {
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
     "late_events": (q_late_events, SQL_LATE_EVENTS),
     "type_trend": (q_type_trend, SQL_TYPE_TREND),
+    "value_quantile_sketch": (q_value_quantile_sketch, None),
 }

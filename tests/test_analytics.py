@@ -797,3 +797,36 @@ def test_type_trend_exact_ols(ray_session) -> None:
         assert r.sum_xx == int((x[m] * x[m]).sum())
         slope_f = np.polyfit(x[m].astype(float), y[m].astype(float), 1)[0]
         assert abs(r.slope_micro / 1e6 - slope_f) < 1e-3
+
+
+def test_value_quantile_sketch_rank_error(ray_session) -> None:
+    """One-pass mergeable sketch: every reported quantile's value must
+    sit within 1.5% rank error of its target rank in the EXACT sorted
+    distribution (measured ~0.1%), and the compactor must conserve
+    total weight."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines import (
+        analytics as A,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = A.q_value_quantile_sketch(sf)
+    cents = np.sort(np.floor(
+        pq.read_table(f"{sf}/events.parquet", columns=["value"])
+        .column("value").to_numpy() * 100.0).astype(np.int64))
+    n = len(cents)
+    assert list(got.p_milli) == sorted(got.p_milli)
+    for _, r in got.iterrows():
+        lo = np.searchsorted(cents, r.est_cents, side="left")
+        hi = np.searchsorted(cents, r.est_cents, side="right")
+        target = (n * r.p_milli + 999) // 1000
+        err = 0 if lo <= target <= hi else min(abs(lo - target),
+                                               abs(hi - target))
+        assert err / n <= 0.015, (r.p_milli, err / n)
+    # compactor conserves weight and respects the cap
+    vals = np.arange(10000, dtype=np.int64)
+    c = A._qsk_compact(vals, np.ones(10000, dtype=np.int64))
+    assert len(c) <= A._QSK_CAP
+    assert int(c.w.sum()) == 10000
+    assert (np.diff(c.v.to_numpy()) >= 0).all()
