@@ -334,7 +334,8 @@ def _query_banks() -> list[dict]:
                            ("bpe", "BPE_QUERIES"),
                            ("altsource", "ALT_QUERIES"),
                            ("packing", "PACK_QUERIES"),
-                           ("analytics", "ANALYTICS_QUERIES")]:
+                           ("analytics", "ANALYTICS_QUERIES"),
+                           ("mining", "MINING_QUERIES")]:
         try:
             mod = importlib.import_module(f"{pkg}.{mod_name}")
             banks.append(getattr(mod, attr))
@@ -370,6 +371,7 @@ _GATE_ORDER = [
     "rolling_wau", "label_centroids", "events_mad", "order_allocation",
     "event_percentile", "events_interpolated", "priority_gini",
     "zorder_layout", "late_events", "type_trend",
+    "value_outliers", "l_diversity", "count_min", "events_pit_join",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",

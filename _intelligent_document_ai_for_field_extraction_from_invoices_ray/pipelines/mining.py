@@ -1,0 +1,393 @@
+"""Data-mining / warehouse operators the other banks don't cover yet,
+each with an exact DuckDB oracle:
+
+- point-in-time SCD2 join (``events_pit_join``): the temporal-warehouse
+  correctness primitive — facts join the dimension VERSION valid at the
+  fact's timestamp, never the latest one.  Dimension = type-2 intervals
+  compacted from the even-event CDC stream; facts = the odd events.
+  Complements ``user_scd2`` (builds intervals) and ``asof_latest_order``
+  (nearest-at-or-before, no validity END).
+- IQR outlier fences (``value_outliers``): per-type exact quartiles via
+  integer inverted-CDF ranks, Tukey 1.5x fences in cross-multiplied
+  integer arithmetic (2c < 5*q1 - 3*q3), second pass counts fence
+  violations — the data-QA screen before training-set admission.
+- l-diversity audit (``l_diversity``): per quasi-identifier group, the
+  number of DISTINCT sensitive values (k-anonymity's companion: a group
+  can be large yet leak if every member shares the sensitive value).
+- Count-Min sketch (``count_min``): the mergeable frequency sketch —
+  d=4 salted-md5 rows x w=256 counters over document tokens.  Counters
+  are exact sums of hashed token counts, so the WHOLE sketch is
+  SQL-expressible and value-gated (unlike HLL/quantile sketches whose
+  estimates are rows-only); the point-query property (min over rows
+  >= true count) is pytest-pinned.
+
+Float discipline matches analytics.py: money in exact cents, time in
+floored epoch seconds; no float column ships or compares.
+
+Scale notes are per-operator in the docstrings; driver-side merges are
+bounded by sketch size (1024 rows), fixed QI cardinality, or per-type
+value-range histograms — never corpus-sized.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+
+def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    from ..sources.io import read_parquet_sized
+    return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr) -> np.ndarray:
+    return np.round(np.asarray(arr, dtype=np.float64) * 100).astype(np.int64)
+
+
+def _epoch_s(ts: pd.Series) -> pd.Series:
+    ns = ts.astype("datetime64[ns]").astype("int64")
+    return ns // 1_000_000_000
+
+
+# ------------------------------------------- point-in-time SCD2 join
+def q_events_pit_join(sf_dir: str) -> rd.Dataset:
+    """Point-in-time join: each ODD event (fact) picks up the event_type
+    interval of the EVEN-event CDC stream (dimension) that was valid at
+    the fact's timestamp — [valid_from, valid_to) containment, open last
+    interval, NULL when the fact precedes the user's first dim version.
+
+    Shape at scale: ONE user-bucketed shuffle carries BOTH roles (the
+    even/odd split happens inside the bucket), so dimension intervals
+    and facts for a user are co-located without a second exchange; the
+    per-bucket kernel is a vectorized islands pass + one searchsorted
+    per user.  Empty intervals (two type flips inside one epoch second)
+    are excluded exactly as the SQL range predicate excludes them."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def pit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        df["_s"] = _epoch_s(df.ts)
+        even = df[df.event_id % 2 == 0]
+        facts = df[df.event_id % 2 == 1]
+        # islands over the dimension stream (per-bucket global cumsum;
+        # per-user ordinals re-derived below, as in user_scd2)
+        chg = (even.user_id != even.user_id.shift()) | \
+              (even.event_type != even.event_type.shift())
+        dim = even.assign(island=chg.cumsum()).groupby(
+            ["user_id", "island"], as_index=False).agg(
+            dim_type=("event_type", "first"), valid_from_s=("_s", "min"))
+        dim = dim.sort_values(["user_id", "valid_from_s", "island"])
+        dim["island"] = dim.groupby("user_id").cumcount() + 1
+
+        out_island = np.full(len(facts), -1, dtype=np.int64)
+        out_type = np.full(len(facts), None, dtype=object)
+        fu = facts.user_id.to_numpy()
+        fs = facts._s.to_numpy()
+        grp = {u: g for u, g in dim.groupby("user_id")}
+        # one searchsorted per user present in this bucket's facts
+        order = np.argsort(fu, kind="stable")
+        i = 0
+        while i < len(order):
+            j = i
+            u = fu[order[i]]
+            while j < len(order) and fu[order[j]] == u:
+                j += 1
+            g = grp.get(u)
+            if g is not None:
+                vf = g.valid_from_s.to_numpy()
+                isl = g.island.to_numpy()
+                ty = g.dim_type.to_numpy()
+                sel = order[i:j]
+                pos = np.searchsorted(vf, fs[sel], side="right") - 1
+                ok = pos >= 0
+                out_island[sel[ok]] = isl[pos[ok]]
+                out_type[sel[ok]] = ty[pos[ok]]
+            i = j
+        out = pd.DataFrame({
+            "event_id": facts.event_id.to_numpy(),
+            "user_id": facts.user_id.to_numpy(),
+            "fact_ts_s": fs,
+            "fact_type": facts.event_type.to_numpy(),
+            "dim_island": pd.array(
+                np.where(out_island >= 0, out_island, 0),
+                dtype="Int64"),
+            "dim_type": out_type,
+        })
+        out.loc[out_island < 0, "dim_island"] = pd.NA
+        out["dim_type"] = out.dim_type.astype("string")
+        return out
+
+    return bucketed_group_apply(ds, ["user_id"], pit).sort("event_id")
+
+
+SQL_EVENTS_PIT_JOIN = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events),
+d0 AS (
+  SELECT *, CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM e WHERE event_id % 2 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+d1 AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM d0),
+dim AS (
+  SELECT user_id, CAST(island AS BIGINT) AS island,
+         MIN(event_type) AS dim_type, MIN(es) AS valid_from_s
+  FROM d1 GROUP BY user_id, island),
+dim2 AS (
+  SELECT user_id, island, dim_type, valid_from_s,
+         COALESCE(LEAD(valid_from_s)
+           OVER (PARTITION BY user_id ORDER BY island), -1) AS valid_to_s
+  FROM dim),
+f AS (
+  SELECT event_id, user_id, event_type AS fact_type, es
+  FROM e WHERE event_id % 2 = 1)
+SELECT f.event_id, f.user_id, f.es AS fact_ts_s, f.fact_type,
+       d.island AS dim_island, d.dim_type
+FROM f LEFT JOIN dim2 d
+  ON f.user_id = d.user_id
+ AND f.es >= d.valid_from_s
+ AND (d.valid_to_s = -1 OR f.es < d.valid_to_s)
+ORDER BY f.event_id
+"""
+
+
+# ------------------------------------------------- IQR outlier fences
+def q_value_outliers(sf_dir: str) -> pd.DataFrame:
+    """Tukey-fence outlier counts per event type — exact quartiles from
+    (type, cents) histogram partials (inverted-CDF integer ranks
+    ceil(n/4) and ceil(3n/4)), fences compared in cross-multiplied
+    integers (2c vs 5*q1 - 3*q3), second histogram-free pass counts
+    violations per batch.
+
+    Shape at scale: both passes ship per-batch (type, ...) partials
+    bounded by the per-type VALUE RANGE (pass 1) or type cardinality
+    (pass 2); the quartile dict broadcast into pass 2 is one entry per
+    type.  Same two-dependent-pass shape as events_mad."""
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"t": df.event_type, "c": _cents(df.value)})
+        return d.groupby(["t", "c"]).size().reset_index(name="cnt")
+
+    h = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    quart: dict[str, tuple[int, int, int]] = {}
+    for t, g in h.groupby("t"):
+        g = g.groupby("c", as_index=False).cnt.sum().sort_values("c")
+        n = int(g.cnt.sum())
+        cum = g.cnt.cumsum().to_numpy()
+        vals = g.c.to_numpy()
+        q1 = int(vals[np.searchsorted(cum, (n + 3) // 4)])
+        q3 = int(vals[np.searchsorted(cum, (3 * n + 3) // 4)])
+        quart[t] = (n, q1, q3)
+
+    def fences(df: pd.DataFrame) -> pd.DataFrame:
+        c2 = 2 * _cents(df.value)
+        q1 = df.event_type.map({t: v[1] for t, v in quart.items()}).to_numpy()
+        q3 = df.event_type.map({t: v[2] for t, v in quart.items()}).to_numpy()
+        lo = c2 < 5 * q1 - 3 * q3
+        hi = c2 > 5 * q3 - 3 * q1
+        d = pd.DataFrame({"t": df.event_type, "lo": lo.astype(np.int64),
+                          "hi": hi.astype(np.int64)})
+        return d.groupby("t", as_index=False).agg(n_low=("lo", "sum"),
+                                                  n_high=("hi", "sum"))
+
+    f = (ds.map_batches(fences, batch_format="pandas").to_pandas()
+         .groupby("t", as_index=False).sum())
+    f = f.set_index("t")
+    rows = [(t, quart[t][0], quart[t][1], quart[t][2],
+             int(f.n_low.get(t, 0)), int(f.n_high.get(t, 0)))
+            for t in sorted(quart)]
+    out = pd.DataFrame(rows, columns=["event_type", "n_events", "q1_cents",
+                                      "q3_cents", "n_low", "n_high"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+SQL_VALUE_OUTLIERS = """
+WITH v AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events),
+n AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+h AS (SELECT event_type, c, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+cdf AS (
+  SELECT event_type, c,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum
+  FROM h),
+q AS (
+  SELECT n.event_type, n.n,
+         (SELECT MIN(c) FROM cdf WHERE cdf.event_type = n.event_type
+            AND cum >= (n.n + 3) // 4) AS q1,
+         (SELECT MIN(c) FROM cdf WHERE cdf.event_type = n.event_type
+            AND cum >= (3 * n.n + 3) // 4) AS q3
+  FROM n)
+SELECT q.event_type AS event_type, q.n AS n_events,
+       q.q1 AS q1_cents, q.q3 AS q3_cents,
+       CAST(SUM(CASE WHEN 2*v.c < 5*q.q1 - 3*q.q3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN 2*v.c > 5*q.q3 - 3*q.q1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high
+FROM q JOIN v ON v.event_type = q.event_type
+GROUP BY 1, 2, 3, 4 ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------- l-diversity audit
+def q_l_diversity(sf_dir: str) -> pd.DataFrame:
+    """l-diversity audit over the (segment, nation) quasi-identifier with
+    the $1000-balance bucket as the sensitive attribute: group size AND
+    the number of distinct sensitive values per group (k-anonymity's
+    blind spot — a size-1000 group whose members all share one sensitive
+    value still re-identifies it).
+
+    Shape at scale: per-batch DISTINCT (qi, sensitive) partials with
+    counts -> one QI-bucketed merge; the exchange is bounded by
+    |QI| x |sensitive buckets| per batch (5 x 25 x 11 here), never
+    row count."""
+    from .grouping import bucketed_group_apply
+
+    L = 3
+    ds = _pq(sf_dir, "customer", ["c_mktsegment", "c_nationkey",
+                                  "c_acctbal"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(sens=_cents(df.c_acctbal) // 100_000)
+        return g.groupby(["c_mktsegment", "c_nationkey", "sens"],
+                         as_index=False).agg(cnt=("c_acctbal", "size"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby(["c_mktsegment", "c_nationkey", "sens"],
+                       as_index=False).cnt.sum()
+        out = s.groupby(["c_mktsegment", "c_nationkey"],
+                        as_index=False).agg(n_rows=("cnt", "sum"),
+                                            l_distinct=("sens", "size"))
+        out["meets_l"] = (out.l_distinct >= L).astype(np.int64)
+        return out
+
+    res = bucketed_group_apply(
+        ds.map_batches(part, batch_format="pandas"),
+        ["c_mktsegment", "c_nationkey"], merge, num_buckets=16).to_pandas()
+    res = res.rename(columns={"c_mktsegment": "segment",
+                              "c_nationkey": "nationkey"})
+    for c in ("n_rows", "l_distinct", "meets_l"):
+        res[c] = res[c].astype(np.int64)
+    res["nationkey"] = res.nationkey.astype(np.int64)
+    return (res.sort_values(["segment", "nationkey"])
+            .reset_index(drop=True))
+
+
+SQL_L_DIVERSITY = """
+WITH s AS (
+  SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(floor(CAST(round(c_acctbal*100) AS BIGINT) / 100000)
+              AS BIGINT) AS sens
+  FROM customer)
+SELECT segment, nationkey, COUNT(*) AS n_rows,
+       COUNT(DISTINCT sens) AS l_distinct,
+       CAST(CASE WHEN COUNT(DISTINCT sens) >= 3 THEN 1 ELSE 0 END
+            AS BIGINT) AS meets_l
+FROM s GROUP BY 1, 2 ORDER BY segment, nationkey
+"""
+
+
+# ----------------------------------------------------- Count-Min sketch
+_CM_D, _CM_W = 4, 256
+
+
+def _cm_buckets(tokens: np.ndarray) -> np.ndarray:
+    """(len(tokens), d) bucket ids from salted md5 — the same 60-bit
+    hex-prefix construction DuckDB evaluates (weighted_sample precedent,
+    analytics.py)."""
+    out = np.empty((len(tokens), _CM_D), dtype=np.int64)
+    for i, t in enumerate(tokens):
+        for r in range(_CM_D):
+            h = hashlib.md5(f"{r}:{t}".encode("utf-8")).hexdigest()[:15]
+            out[i, r] = int(h, 16) % _CM_W
+    return out
+
+
+def q_count_min(sf_dir: str) -> pd.DataFrame:
+    """Count-Min sketch over document tokens: d=4 salted rows x w=256
+    counters.  Every counter is an EXACT sum of the counts of tokens
+    hashing to it, so the full sketch state is value-gated against SQL;
+    the point-query guarantee (min over rows >= true frequency, error
+    <= eps*N with prob 1-(1/2)^d) is pytest-pinned.
+
+    Shape at scale: per-batch partial sketches (a 4x256 int64 array per
+    batch, built from the batch's UNIQUE tokens only) -> one bounded
+    merge; the sketch never exceeds 1024 rows regardless of corpus or
+    vocabulary size — that is the point of the sketch.  Merge of two
+    sketches = elementwise sum (semilattice), which is what makes it
+    the distributed/streaming frequency structure."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros((_CM_D, _CM_W), dtype=np.int64)
+        toks: list[str] = []
+        for t in df.text:
+            toks.extend(t.split())
+        if toks:
+            uniq, cnt = np.unique(np.asarray(toks, dtype=object),
+                                  return_counts=True)
+            bk = _cm_buckets(uniq)
+            for r in range(_CM_D):
+                np.add.at(acc[r], bk[:, r], cnt)
+        r, b = np.nonzero(acc)
+        return pd.DataFrame({"sketch_row": r.astype(np.int64),
+                             "bucket": b.astype(np.int64),
+                             "cnt": acc[r, b]})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["sketch_row", "bucket"], as_index=False).cnt.sum()
+
+    out = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["sketch_row", "bucket"], merge, num_buckets=8).to_pandas()
+    out = out.sort_values(["sketch_row", "bucket"]).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def cm_point_query(sketch: pd.DataFrame, token: str) -> int:
+    """CMS point estimate: min over rows of the token's counter."""
+    est = []
+    for r in range(_CM_D):
+        h = int(hashlib.md5(f"{r}:{token}".encode()).hexdigest()[:15], 16)
+        row = sketch[(sketch.sketch_row == r) & (sketch.bucket == h % _CM_W)]
+        est.append(int(row.cnt.iloc[0]) if len(row) else 0)
+    return min(est)
+
+
+SQL_COUNT_MIN = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+salted AS (
+  SELECT r.i AS sketch_row,
+         CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || tok),
+                              1, 15)) AS BIGINT) % 256 AS bucket
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) r)
+SELECT sketch_row, bucket, COUNT(*) AS cnt
+FROM salted GROUP BY 1, 2 ORDER BY sketch_row, bucket
+"""
+
+
+MINING_QUERIES = {
+    "events_pit_join": (q_events_pit_join, SQL_EVENTS_PIT_JOIN),
+    "value_outliers": (q_value_outliers, SQL_VALUE_OUTLIERS),
+    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "count_min": (q_count_min, SQL_COUNT_MIN),
+}
