@@ -333,6 +333,8 @@ def _query_banks() -> list[dict]:
                            ("spellfix", "SPELL_QUERIES"),
                            ("bpe", "BPE_QUERIES"),
                            ("altsource", "ALT_QUERIES"),
+                           ("winnow", "WINNOW_QUERIES"),
+                           ("series", "SERIES_QUERIES"),
                            ("packing", "PACK_QUERIES"),
                            ("analytics", "ANALYTICS_QUERIES"),
                            ("mining", "MINING_QUERIES")]:

@@ -799,8 +799,170 @@ def _sssp_sql() -> str:
 SQL_SSSP = _sssp_sql()
 
 
+# ------------------------------------------------------ k-core peeling
+# Coreness structure over the ANCESTRY graph u ~ u>>1, u>>2, u>>3 — a
+# deliberately skewed hierarchy (low ids are hubs, leaves degree ~3)
+# whose k-core onion peels non-trivially at every sf scale, unlike the
+# near-regular 7u+13j+1 crawl graph (degree 6-8 everywhere).  Like
+# sssp_dist's bounded-round Bellman-Ford, the operator is DEFINED as R
+# bounded peel rounds: output is (node, peeled_round in 1..R, or R+1 if
+# still in the k-core after R rounds) — the exact semantics the unrolled
+# SQL oracle reproduces.
+KCORE_K = 4
+KCORE_ROUNDS = 4
+
+
+def _und_neighbors(nodes: np.ndarray, n: int) -> tuple[np.ndarray,
+                                                       np.ndarray]:
+    """Closed-form undirected neighbors: parents u>>j (j=1..3) and the
+    child ranges [2u,2u+1], [4u,4u+3], [8u,8u+7] clipped to [0,n) —
+    derived per batch, never shipped as an edge table.  Returns
+    deduplicated (src_rep, nbr) pairs (small-u self/overlap cases are
+    deduped via one np.unique on the combined key)."""
+    nodes = nodes.astype(np.int64)
+    srcs, nbrs = [], []
+    for j in (1, 2, 3):
+        p = nodes >> j
+        ok = p != nodes
+        srcs.append(nodes[ok])
+        nbrs.append(p[ok])
+        lo, width = nodes << j, 1 << j
+        cnt = np.clip(n - lo, 0, width)
+        keep = cnt > 0
+        rep = np.repeat(nodes[keep], cnt[keep])
+        offs = np.concatenate([np.arange(c) for c in cnt[keep]]) \
+            if keep.any() else np.array([], dtype=np.int64)
+        child = np.repeat(lo[keep], cnt[keep]) + offs
+        ok2 = child != rep
+        srcs.append(rep[ok2])
+        nbrs.append(child[ok2].astype(np.int64))
+    s = np.concatenate(srcs)
+    v = np.concatenate(nbrs)
+    key = np.unique(s * np.int64(n) + v)
+    return key // n, key % n
+
+
+def q_kcore(sf_dir: str) -> rd.Dataset:
+    """Distributed k-core peeling, R bounded rounds.
+
+    Shape per round: ONE map_batches over the survivor table derives
+    each survivor's closed-form neighbor pairs (deg <= 14, no edge
+    table), a survivor-bucketed cogroup keeps pairs whose neighbor
+    survives (semi-join), and one node-bucketed sum counts surviving
+    degree — nodes below K are peeled.  2 bucketed exchanges per round
+    over (node, int64) pairs only; survivors shrink monotonically.
+    Removed rounds accumulate as tiny (node, round) tables unioned at
+    the end."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.io import read_parquet_sized
+    from .grouping import bucketed_cogroup, bucketed_group_apply
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    survivors = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+        rows_per_block=2000).map_batches(
+            lambda b: pa.table({"node": b.column("doc_id")}),
+            batch_format="pyarrow")
+
+    peeled: list[rd.Dataset] = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        survivors = survivors.materialize()   # consumed 3x this round
+
+        def edges_of(batch: pa.Table) -> pa.Table:
+            u, v = _und_neighbors(
+                batch.column("node").to_numpy(zero_copy_only=False), n)
+            return pa.table({"u": pa.array(u), "nbr": pa.array(v)})
+
+        pairs = survivors.map_batches(edges_of, batch_format="pyarrow")
+
+        def alive_deg(pf: pd.DataFrame, sf: pd.DataFrame) -> pd.DataFrame:
+            keep = pf[pf.nbr.isin(sf.node)]
+            out = keep.groupby("u", as_index=False).size()
+            out.columns = ["node", "c"]
+            return out.astype({"node": np.int64, "c": np.int64})
+
+        partial = bucketed_cogroup(pairs, survivors, ["nbr"], ["node"],
+                                   alive_deg, num_buckets=16)
+
+        def total(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("node", as_index=False).c.sum()
+            return out.astype({"node": np.int64, "c": np.int64})
+
+        deg = bucketed_group_apply(partial, ["node"], total,
+                                   num_buckets=16)
+
+        def survive(df: pd.DataFrame, dg: pd.DataFrame,
+                    _r=r) -> pd.DataFrame:
+            m = df.merge(dg, on="node", how="left").fillna({"c": 0})
+            m["peeled_round"] = np.int64(_r)
+            dead = m[m.c < KCORE_K]
+            return dead[["node", "peeled_round"]].astype(
+                {"node": np.int64, "peeled_round": np.int64})
+
+        dead = bucketed_cogroup(survivors, deg, ["node"], ["node"],
+                                survive, num_buckets=16).materialize()
+        peeled.append(dead)
+
+        def still(df: pd.DataFrame, dd: pd.DataFrame) -> pd.DataFrame:
+            out = df[~df.node.isin(dd.node)][["node"]]
+            return out.astype({"node": np.int64})
+
+        survivors = bucketed_cogroup(survivors, dead, ["node"], ["node"],
+                                     still, num_buckets=16)
+
+    core = survivors.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "peeled_round": pa.array(
+                np.full(b.num_rows, KCORE_ROUNDS + 1, dtype=np.int64)),
+        }), batch_format="pyarrow")
+    out = core
+    for d in peeled:
+        out = out.union(d)
+    return out.sort("node")
+
+
+def _kcore_sql() -> str:
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        ("ed AS (SELECT DISTINCT LEAST(node, node // p.p) AS x, "
+         "GREATEST(node, node // p.p) AS y "
+         "FROM nodes, (VALUES (2), (4), (8)) p(p) "
+         "WHERE node // p.p <> node)"),
+        "edges AS (SELECT x AS a, y AS b FROM ed "
+        "UNION ALL SELECT y, x FROM ed)",
+        "s0 AS (SELECT node FROM nodes)",
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"d{r} AS (SELECT e.a AS node, COUNT(*) AS d FROM edges e "
+            f"JOIN s{r - 1} sa ON sa.node = e.a "
+            f"JOIN s{r - 1} sb ON sb.node = e.b GROUP BY 1)")
+        parts.append(
+            f"s{r} AS (SELECT node FROM d{r} WHERE d >= {KCORE_K})")
+        parts.append(
+            f"p{r} AS (SELECT node, CAST({r} AS BIGINT) AS peeled_round "
+            f"FROM s{r - 1} WHERE node NOT IN (SELECT node FROM s{r}))")
+    unions = " UNION ALL ".join(
+        [f"SELECT * FROM p{r}" for r in range(1, KCORE_ROUNDS + 1)]
+        + [f"SELECT node, CAST({KCORE_ROUNDS + 1} AS BIGINT) "
+           f"FROM s{KCORE_ROUNDS}"])
+    return (", ".join(parts)
+            + f" SELECT node, peeled_round FROM ({unions}) ORDER BY node")
+
+
+SQL_KCORE = _kcore_sql()
+
+
 GRAPH_QUERIES = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "kcore_peel": (q_kcore, SQL_KCORE),
     "anchor_text": (q_anchor_text, SQL_ANCHOR_TEXT),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),

@@ -385,8 +385,145 @@ FROM salted GROUP BY 1, 2 ORDER BY sketch_row, bucket
 """
 
 
+# ------------------------------------------------- association rules
+# Market-basket rules (Agrawal-Srikant): parts_coordered stops at
+# frequent PAIRS; this derives the directional rules A=>B with exact
+# integer-scaled confidence (1000*c2 // c1(A)) and lift
+# (1000*c2*N // (c1(A)*c1(B))), N = distinct baskets.  Top-100 by
+# (lift, confidence) — the interestingness ranking.
+_RULE_MIN_PAIRS = 2
+_RULE_TOPK = 100
+
+
+def q_assoc_rules(sf_dir: str) -> pd.DataFrame:
+    """Shape at scale: pair expansion inside an orderkey-bucketed group
+    apply (bounded by per-basket line counts); pair and item counts each
+    take ONE bucketed sum; metrics attach via TWO pair-vs-item bucketed
+    cogroups (antecedent side, then consequent side) — the item table is
+    vocabulary-sized and never broadcast or driver-held.  The basket
+    count N is the only driver scalar (16 partial rows).  Final top-100
+    is a semilattice: per-bucket top-100, <=100 x 16 rows merged."""
+    from .grouping import bucketed_cogroup, bucketed_group_apply
+
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m.l_partkey_a < m.l_partkey_b]
+        out = m.groupby(["l_partkey_a", "l_partkey_b"],
+                        as_index=False).agg(c2=("l_orderkey", "size"))
+        return out.rename(columns={"l_partkey_a": "pa",
+                                   "l_partkey_b": "pb"})
+
+    def items(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        out = d.groupby("l_partkey", as_index=False).agg(
+            c1=("l_orderkey", "size"))
+        return out.rename(columns={"l_partkey": "p"})
+
+    by_order_p = bucketed_group_apply(ds, ["l_orderkey"], pairs,
+                                      num_buckets=16)
+    by_order_i = bucketed_group_apply(ds, ["l_orderkey"], items,
+                                      num_buckets=16)
+
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["pa", "pb"], as_index=False).c2.sum()
+        out = out[out.c2 >= _RULE_MIN_PAIRS]
+        return out.astype({"pa": np.int64, "pb": np.int64,
+                           "c2": np.int64})
+
+    def sum_items(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("p", as_index=False).c1.sum()
+        return out.astype({"p": np.int64, "c1": np.int64})
+
+    pair_ct = bucketed_group_apply(by_order_p, ["pa", "pb"], sum_pairs,
+                                   num_buckets=16)
+    item_ct = bucketed_group_apply(by_order_i, ["p"], sum_items,
+                                   num_buckets=16)
+    # N: per-orderkey-bucket distinct-basket partials (16 tiny rows);
+    # orderkeys hash to exactly one bucket, so the partial sum is exact
+    def basket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"nb": pd.Series([df.l_orderkey.nunique()],
+                                             dtype=np.int64)})
+
+    nb = int(bucketed_group_apply(ds, ["l_orderkey"], basket_partial,
+                                  num_buckets=16).to_pandas().nb.sum())
+
+    def attach_a(pf: pd.DataFrame, itf: pd.DataFrame) -> pd.DataFrame:
+        m = pf.merge(itf.rename(columns={"p": "pa", "c1": "c1a"}),
+                     on="pa", how="inner")
+        return m.astype({"c1a": np.int64})
+
+    withA = bucketed_cogroup(pair_ct, item_ct, ["pa"], ["p"], attach_a,
+                             num_buckets=16)
+
+    def attach_b(pf: pd.DataFrame, itf: pd.DataFrame,
+                 _nb=nb) -> pd.DataFrame:
+        m = pf.merge(itf.rename(columns={"p": "pb", "c1": "c1b"}),
+                     on="pb", how="inner")
+        fwd = pd.DataFrame({
+            "antecedent": m.pa, "consequent": m.pb, "n_pairs": m.c2,
+            "n_ante": m.c1a,
+            "conf_milli": (1000 * m.c2) // m.c1a,
+            "lift_milli": (1000 * m.c2 * _nb) // (m.c1a * m.c1b)})
+        rev = pd.DataFrame({
+            "antecedent": m.pb, "consequent": m.pa, "n_pairs": m.c2,
+            "n_ante": m.c1b,
+            "conf_milli": (1000 * m.c2) // m.c1b,
+            "lift_milli": (1000 * m.c2 * _nb) // (m.c1a * m.c1b)})
+        out = pd.concat([fwd, rev], ignore_index=True)
+        out = out.sort_values(
+            ["lift_milli", "conf_milli", "antecedent", "consequent"],
+            ascending=[False, False, True, True]).head(_RULE_TOPK)
+        return out.astype({c: np.int64 for c in out.columns})
+
+    merged = bucketed_cogroup(withA, item_ct, ["pb"], ["p"], attach_b,
+                              num_buckets=16).to_pandas()
+    return (merged.sort_values(
+        ["lift_milli", "conf_milli", "antecedent", "consequent"],
+        ascending=[False, False, True, True])
+        .head(_RULE_TOPK).reset_index(drop=True))
+
+
+SQL_ASSOC_RULES = f"""
+WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS nb FROM lineitem),
+c1 AS (SELECT l_partkey AS p, COUNT(*) AS c FROM dp GROUP BY 1),
+c2 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+              COUNT(*) AS c
+       FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING COUNT(*) >= {_RULE_MIN_PAIRS}),
+j AS (SELECT pa, pb, c2.c, ca.c AS c1a, cb.c AS c1b, n.nb
+      FROM c2 JOIN c1 ca ON ca.p = c2.pa
+              JOIN c1 cb ON cb.p = c2.pb CROSS JOIN n),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, c AS n_pairs, c1a AS n_ante,
+         (1000 * c) // c1a AS conf_milli,
+         (1000 * c * nb) // (c1a * c1b) AS lift_milli
+  FROM j
+  UNION ALL
+  SELECT pb, pa, c, c1b,
+         (1000 * c) // c1b,
+         (1000 * c * nb) // (c1a * c1b)
+  FROM j
+)
+SELECT CAST(antecedent AS BIGINT) AS antecedent,
+       CAST(consequent AS BIGINT) AS consequent,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_ante AS BIGINT) AS n_ante,
+       CAST(conf_milli AS BIGINT) AS conf_milli,
+       CAST(lift_milli AS BIGINT) AS lift_milli
+FROM rules
+ORDER BY lift_milli DESC, conf_milli DESC, antecedent, consequent
+LIMIT {_RULE_TOPK}
+"""
+
+
 MINING_QUERIES = {
     "events_pit_join": (q_events_pit_join, SQL_EVENTS_PIT_JOIN),
+    "assoc_rules": (q_assoc_rules, SQL_ASSOC_RULES),
     "value_outliers": (q_value_outliers, SQL_VALUE_OUTLIERS),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "count_min": (q_count_min, SQL_COUNT_MIN),

@@ -1,0 +1,188 @@
+"""Structural pins for the session-6 operator batch (value equality vs
+DuckDB is the driver gate; these localize semantics the hash alone
+wouldn't — coverage guarantees, brute-force equivalence, resume)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- winnowing
+def _brute_winnow(toks: list[str], k: int, w: int):
+    """Straight-from-the-paper reference: every window picks its min
+    hash, rightmost on ties; distinct (pos, hash) selections."""
+    import hashlib
+    g = len(toks) - k + 1
+    if g <= 0:
+        return set()
+    hs = [hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+          for i in range(g)]
+    sel = set()
+    if g <= w:
+        windows = [(0, g)]
+    else:
+        windows = [(s, s + w) for s in range(g - w + 1)]
+    for lo, hi in windows:
+        best = None
+        for i in range(lo, hi):
+            if best is None or hs[i] <= hs[best]:   # <= => rightmost wins
+                best = i
+        sel.add((best + 1, hs[best]))
+    return sel
+
+
+def test_winnow_matches_brute_force() -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.winnow import (
+        K, W, _winnow_doc,
+    )
+    rng = np.random.RandomState(7)
+    vocab = ["a", "bb", "ccc", "dd", "e", "ff"]
+    for trial in range(40):
+        n = int(rng.randint(0, 30))
+        toks = [vocab[i] for i in rng.randint(0, len(vocab), n)]
+        g, nw, sel = _winnow_doc(toks)
+        assert set(sel) == _brute_winnow(toks, K, W)
+        assert g == max(0, n - K + 1)
+        if g:
+            assert nw == (1 if g <= W else g - W + 1)
+            assert 1 <= len(sel) <= nw
+
+
+def test_winnow_coverage_guarantee() -> None:
+    """Two docs sharing >= W+K-1 consecutive tokens share a fingerprint
+    hash (the winnowing theorem), regardless of surrounding context."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.winnow import (
+        K, W, _winnow_doc,
+    )
+    shared = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    assert len(shared) >= W + K - 1
+    d1 = ["xx", "yy"] + shared + ["zz"]
+    d2 = ["qq"] + shared + ["rr", "ss", "tt"]
+    h1 = {h for _, h in _winnow_doc(d1)[2]}
+    h2 = {h for _, h in _winnow_doc(d2)[2]}
+    assert h1 & h2
+
+
+def test_winnow_query_shape(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.winnow import (
+        q_winnow_fingerprint,
+    )
+    out = q_winnow_fingerprint(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    assert len(out) == len(docs)
+    nz = out[out.n_grams > 0]
+    assert (nz.n_fps >= 1).all()
+    assert (nz.n_fps <= nz.n_windows).all()
+    assert (nz.min_fp <= nz.max_fp).all()
+
+
+# ---------------------------------------------------------- max drawdown
+def test_value_drawdown_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.series import (
+        q_value_drawdown,
+    )
+    out = q_value_drawdown(SF).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["v"] = np.round(ev.value.to_numpy() * 100).astype(np.int64)
+    for ty, g in ev.groupby("event_type"):
+        s = g.groupby("ts").v.sum().sort_index()
+        pref = s.to_numpy().cumsum()
+        runmax = np.maximum.accumulate(pref)
+        row = out.loc[ty]
+        assert row.n_points == len(s)
+        assert row.total_cents == pref[-1]
+        assert row.max_prefix_cents == pref.max()
+        assert row.min_prefix_cents == pref.min()
+        assert row.max_drawdown_cents == (runmax - pref).max()
+        assert row.max_drawdown_cents >= 0
+
+
+# --------------------------------------------------------- k-core peel
+def test_kcore_matches_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.graph import (
+        KCORE_K, KCORE_ROUNDS, q_kcore,
+    )
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    adj: list[set] = [set() for _ in range(n)]
+    for u in range(n):
+        for j in (1, 2, 3):
+            v = u >> j
+            if v != u:
+                adj[u].add(v)
+                adj[v].add(u)
+    expected = {}
+    alive = set(range(n))
+    for r in range(1, KCORE_ROUNDS + 1):
+        dead = {u for u in alive if len(adj[u] & alive) < KCORE_K}
+        for u in dead:
+            expected[u] = r
+        alive -= dead
+    for u in alive:
+        expected[u] = KCORE_ROUNDS + 1
+
+    out = q_kcore(SF).to_pandas()
+    assert len(out) == n
+    got = dict(zip(out.node, out.peeled_round))
+    assert got == expected
+    # the onion is non-trivial at this scale: every round peels someone
+    # and a core survives
+    rounds = set(expected.values())
+    assert rounds == set(range(1, KCORE_ROUNDS + 2))
+
+
+# ------------------------------------------------------ association rules
+def test_assoc_rules_metrics(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.mining import (
+        q_assoc_rules,
+    )
+    out = q_assoc_rules(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    dp = li.drop_duplicates()
+    nb = dp.l_orderkey.nunique()
+    c1 = dp.groupby("l_partkey").size()
+    baskets = dp.groupby("l_orderkey").l_partkey.apply(set)
+    for r in out.itertuples():
+        assert 0 < r.conf_milli <= 1000
+        assert r.n_pairs >= 2
+        assert r.n_ante == c1[r.antecedent]
+        assert r.n_pairs <= r.n_ante
+        true_pairs = sum(1 for b in baskets
+                         if r.antecedent in b and r.consequent in b)
+        assert r.n_pairs == true_pairs
+        assert r.lift_milli == (1000 * r.n_pairs * nb) // (
+            c1[r.antecedent] * c1[r.consequent])
+    # ranking is by (lift, conf) descending
+    key = list(zip(-out.lift_milli, -out.conf_milli,
+                   out.antecedent, out.consequent))
+    assert key == sorted(key)
+
+
+# -------------------------------------------------- ORC / IPC round-trip
+def test_orc_ipc_roundtrip_resume(ray_session, tmp_path) -> None:
+    """The custom shards reproduce the source table exactly, and the
+    _DONE marker makes the write resumable (second call is a no-op)."""
+    import os
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.altsource import (
+        _read_shards, _write_shards,
+    )
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "lang", "source", "n_chars"])
+    for fmt in ("orc", "ipc"):
+        out = _write_shards(SF, fmt)
+        mt = {f: os.path.getmtime(os.path.join(out, f))
+              for f in os.listdir(out)}
+        assert _write_shards(SF, fmt) == out    # resume: no rewrite
+        assert mt == {f: os.path.getmtime(os.path.join(out, f))
+                      for f in os.listdir(out)}
+        got = (_read_shards(out, fmt).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = (src.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[want.columns], want)
