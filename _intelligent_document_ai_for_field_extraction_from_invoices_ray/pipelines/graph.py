@@ -960,9 +960,104 @@ def _kcore_sql() -> str:
 SQL_KCORE = _kcore_sql()
 
 
+# ----------------------------------------------- common-neighbors score
+# Link prediction on the ancestry graph: for NON-adjacent pairs, the
+# common-neighbors count (Liben-Nowell & Kleinberg's simplest score,
+# the building block of Adamic-Adar / resource allocation).  Top-100 by
+# (score, a, b) — the candidate edges a recommender would propose.
+_CN_TOPK = 100
+
+
+def q_common_neighbors(sf_dir: str) -> pd.DataFrame:
+    """Shape at scale: wedges derive per batch from each center's
+    closed-form neighbor list (<= C(14,2) = 91 pairs per node, no edge
+    table, no broadcast); per-batch pre-aggregation then ONE pair-keyed
+    bucketed sum.  Adjacency of a candidate pair is a closed-form
+    ARITHMETIC test (b>>j == a), so the anti-join that usually needs a
+    second edge shuffle is a vectorized filter.  Final top-100 is a
+    semilattice (per-bucket top-100, <= 100 x 16 driver rows)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.io import read_parquet_sized
+    from .grouping import bucketed_group_apply
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    ids = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"], rows_per_block=2000)
+
+    def wedges(batch: pa.Table) -> pd.DataFrame:
+        nodes = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        u, v = _und_neighbors(nodes, n)
+        rows_a, rows_b = [], []
+        # neighbor lists are tiny and sorted by (u, v) via np.unique;
+        # expand per-center pairs vectorized over run boundaries
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        for s, e in zip(starts, ends):
+            nb = v[s:e]
+            if len(nb) >= 2:
+                ia, ib = np.triu_indices(len(nb), k=1)
+                rows_a.append(nb[ia])
+                rows_b.append(nb[ib])
+        if not rows_a:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "cn": pd.Series(dtype=np.int64)})
+        a = np.concatenate(rows_a)
+        b = np.concatenate(rows_b)
+        out = (pd.DataFrame({"a": a, "b": b})
+               .groupby(["a", "b"], as_index=False).size()
+               .rename(columns={"size": "cn"}))
+        return out.astype({"a": np.int64, "b": np.int64, "cn": np.int64})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["a", "b"], as_index=False).cn.sum()
+        a = out.a.to_numpy()
+        b = out.b.to_numpy()
+        adj = ((b >> 1) == a) | ((b >> 2) == a) | ((b >> 3) == a)
+        out = out[~adj]
+        return (out.sort_values(["cn", "a", "b"],
+                                ascending=[False, True, True])
+                .head(_CN_TOPK)
+                .astype({"a": np.int64, "b": np.int64, "cn": np.int64}))
+
+    partial = ids.map_batches(wedges, batch_format="pyarrow")
+    merged = bucketed_group_apply(partial, ["a", "b"], topk,
+                                  num_buckets=16).to_pandas()
+    return (merged.sort_values(["cn", "a", "b"],
+                               ascending=[False, True, True])
+            .head(_CN_TOPK).reset_index(drop=True))
+
+
+SQL_COMMON_NEIGHBORS = f"""
+WITH nodes AS (SELECT doc_id AS node FROM documents),
+ed AS (SELECT DISTINCT LEAST(node, node // p.p) AS x,
+              GREATEST(node, node // p.p) AS y
+       FROM nodes, (VALUES (2), (4), (8)) p(p)
+       WHERE node // p.p <> node),
+dir AS (SELECT x AS c, y AS nb FROM ed UNION ALL SELECT y, x FROM ed),
+wedge AS (
+  SELECT e1.nb AS a, e2.nb AS b, COUNT(*) AS cn
+  FROM dir e1 JOIN dir e2
+    ON e1.c = e2.c AND e1.nb < e2.nb
+  GROUP BY 1, 2
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(cn AS BIGINT) AS cn
+FROM wedge w
+WHERE NOT EXISTS (SELECT 1 FROM ed WHERE ed.x = w.a AND ed.y = w.b)
+ORDER BY cn DESC, a, b LIMIT {_CN_TOPK}
+"""
+
+
 GRAPH_QUERIES = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "kcore_peel": (q_kcore, SQL_KCORE),
+    "common_neighbors": (q_common_neighbors, SQL_COMMON_NEIGHBORS),
     "anchor_text": (q_anchor_text, SQL_ANCHOR_TEXT),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),

@@ -521,9 +521,73 @@ LIMIT {_RULE_TOPK}
 """
 
 
+# -------------------------------------------------- Benford digit audit
+def q_events_benford(sf_dir: str) -> rd.Dataset:
+    """First-significant-digit distribution of value cents per
+    event_type — the classic fraud/data-entry QA screen (Benford's law:
+    organic amounts lean toward low leading digits; fabricated ones
+    don't).  Output is the exact digit histogram plus the observed
+    per-mille share; the judgment against log10(1+1/d) stays a human
+    call (no float ships).
+
+    Shape at scale: per-batch (type, digit) partial counts — the digit
+    comes from a vectorized integer divide-down loop (<= 7 halvings at
+    cents magnitudes; no string formatting, no log10 float edge cases)
+    — then ONE bucketed sum per type; shares compute inside the type's
+    bucket where all 9 digits co-locate."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.abs(_cents(df.value))
+        ty = df.event_type.to_numpy()
+        keep = v > 0
+        v, ty = v[keep], ty[keep]
+        while (v >= 10).any():
+            big = v >= 10
+            v[big] //= 10
+        out = (pd.DataFrame({"event_type": ty, "digit": v})
+               .groupby(["event_type", "digit"], as_index=False).size()
+               .rename(columns={"size": "cnt"}))
+        return out.astype({"digit": np.int64, "cnt": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "digit"], as_index=False).cnt.sum()
+        tot = g.groupby("event_type").cnt.transform("sum")
+        g["obs_milli"] = (1000 * g.cnt) // tot
+        return g.astype({"digit": np.int64, "cnt": np.int64,
+                         "obs_milli": np.int64})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_group_apply(partials, ["event_type"], final,
+                                num_buckets=8).sort(["event_type",
+                                                     "digit"])
+
+
+SQL_EVENTS_BENFORD = """
+WITH v AS (
+  SELECT event_type, abs(CAST(round(value * 100) AS BIGINT)) AS a
+  FROM events
+  WHERE abs(CAST(round(value * 100) AS BIGINT)) > 0
+), d AS (
+  SELECT event_type,
+         CAST(substr(CAST(a AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM v
+), c AS (
+  SELECT event_type, digit, COUNT(*) AS cnt FROM d GROUP BY 1, 2
+)
+SELECT event_type, digit, CAST(cnt AS BIGINT) AS cnt,
+       CAST((1000 * cnt) // SUM(cnt) OVER (PARTITION BY event_type)
+            AS BIGINT) AS obs_milli
+FROM c ORDER BY event_type, digit
+"""
+
+
 MINING_QUERIES = {
     "events_pit_join": (q_events_pit_join, SQL_EVENTS_PIT_JOIN),
     "assoc_rules": (q_assoc_rules, SQL_ASSOC_RULES),
+    "events_benford": (q_events_benford, SQL_EVENTS_BENFORD),
     "value_outliers": (q_value_outliers, SQL_VALUE_OUTLIERS),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "count_min": (q_count_min, SQL_COUNT_MIN),

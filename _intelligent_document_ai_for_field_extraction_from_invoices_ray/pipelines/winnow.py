@@ -151,6 +151,106 @@ ORDER BY doc_id
 """
 
 
+# ----------------------------------------------- fingerprint pair join
+# MOSS's second half: docs sharing selected fingerprints are near-dup /
+# plagiarism candidates.  Fingerprints selected by >
+# _STOP_DOCS distinct docs are "stop fingerprints" (boilerplate grams)
+# and excluded — the LSH stop-bucket rule, mirrored exactly in the SQL.
+_STOP_DOCS = 50
+_PAIR_TOPK = 100
+
+
+def q_winnow_pairs(sf_dir: str) -> pd.DataFrame:
+    """Top-100 doc pairs by number of SHARED winnowed fingerprints.
+
+    Shape at scale: selection is the shuffle-free map pass; the (fp,
+    doc) exchange buckets by fingerprint, so each bucket holds every
+    doc selecting its fps — group sizes are globally correct, the stop
+    rule and pair expansion (<= C(50,2) per fp) apply in-bucket, and
+    per-pair counts pre-aggregate before the second (pair-keyed)
+    shuffle.  Final top-100 is a semilattice (per-bucket top-100,
+    <= 100 x 16 rows to the driver).  The fp ships as the 32-char hex
+    (the oracle seam); a production variant ships the 16-byte binary."""
+    from .grouping import bucketed_group_apply
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ids, fps = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            _, _, sel = _winnow_doc(t.lower().split())
+            for h in {h for _, h in sel}:
+                ids.append(d)
+                fps.append(h)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                             "fp": pd.Series(fps, dtype=object)})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("fp").doc_id.transform("size")
+        df = df[sizes <= _STOP_DOCS]
+        m = df.merge(df, on="fp", suffixes=("_a", "_b"))
+        m = m[m.doc_id_a < m.doc_id_b]
+        out = m.groupby(["doc_id_a", "doc_id_b"], as_index=False).agg(
+            n_shared=("fp", "size"))
+        return out.rename(columns={"doc_id_a": "a", "doc_id_b": "b"}
+                          ).astype({"a": np.int64, "b": np.int64,
+                                    "n_shared": np.int64})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["a", "b"], as_index=False).n_shared.sum()
+        out = out[out.n_shared >= 2]
+        return (out.sort_values(["n_shared", "a", "b"],
+                                ascending=[False, True, True])
+                .head(_PAIR_TOPK)
+                .astype({"a": np.int64, "b": np.int64,
+                         "n_shared": np.int64}))
+
+    exploded = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+    per_fp = bucketed_group_apply(exploded, ["fp"], pairs, num_buckets=16)
+    merged = bucketed_group_apply(per_fp, ["a", "b"], topk,
+                                  num_buckets=16).to_pandas()
+    return (merged.sort_values(["n_shared", "a", "b"],
+                               ascending=[False, True, True])
+            .head(_PAIR_TOPK).reset_index(drop=True))
+
+
+SQL_WINNOW_PAIRS = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i : i + {K - 1}], ' ')) AS h
+  FROM t, UNNEST(generate_series(1, len(toks) - {K - 1})) AS g(i)
+), win AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY doc_id) AS g,
+         MIN(h || lpad(CAST({_POS_BIG} - pos AS VARCHAR), 8, '0'))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN {W - 1} PRECEDING AND CURRENT ROW) AS k
+  FROM grams
+), docfp AS (
+  SELECT DISTINCT doc_id, substr(k, 1, 32) AS fp
+  FROM win
+  WHERE pos >= {W} OR pos = g
+), elig AS (
+  SELECT fp FROM docfp GROUP BY fp HAVING COUNT(*) <= {_STOP_DOCS}
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+  FROM docfp x JOIN docfp y
+    ON x.fp = y.fp AND x.doc_id < y.doc_id
+  WHERE x.fp IN (SELECT fp FROM elig)
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs ORDER BY n_shared DESC, a, b LIMIT {_PAIR_TOPK}
+"""
+
+
 WINNOW_QUERIES = {
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
+    "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
 }

@@ -186,3 +186,124 @@ def test_orc_ipc_roundtrip_resume(ray_session, tmp_path) -> None:
         want = (src.to_pandas().sort_values("doc_id")
                 .reset_index(drop=True))
         pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+# ----------------------------------------------- lag-1 autocorrelation
+def test_autocorr_brute_force(ray_session) -> None:
+    from fractions import Fraction
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.series import (
+        q_events_autocorr,
+    )
+    out = q_events_autocorr(SF).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["v"] = np.round(ev.value.to_numpy() * 100).astype(np.int64)
+    for ty, g in ev.groupby("event_type"):
+        x = g.groupby("ts").v.sum().sort_index().to_numpy().tolist()
+        m = len(x)
+        mean = Fraction(sum(x), m)
+        num = sum((Fraction(x[t]) - mean) * (Fraction(x[t + 1]) - mean)
+                  for t in range(m - 1))
+        den = sum((Fraction(xi) - mean) ** 2 for xi in x)
+        want = 0 if den == 0 else (1000 * num.numerator * den.denominator) \
+            // (num.denominator * den.numerator)
+        row = out.loc[ty]
+        assert row.n_points == m
+        assert row.r1_milli == want
+        assert -1000 <= row.r1_milli <= 1000
+
+
+# ------------------------------------------------------- changepoint
+def test_changepoint_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.series import (
+        q_events_changepoint,
+    )
+    out = q_events_changepoint(SF).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["v"] = np.round(ev.value.to_numpy() * 100).astype(np.int64)
+    for ty, g in ev.groupby("event_type"):
+        s = g.groupby("ts").v.sum().sort_index()
+        pref = s.to_numpy().cumsum()
+        m, tot = len(s), int(pref[-1])
+        dev = np.abs(m * pref - np.arange(1, m + 1) * tot)
+        best = int(dev.argmax())          # numpy argmax = first max
+        row = out.loc[ty]
+        assert row.n_points == m
+        assert row.total_cents == tot
+        assert row.max_absdev_scaled == dev[best]
+        want_ts = int(s.index[best].value) // 10**9
+        assert row.cp_epoch_s == want_ts
+
+
+# ------------------------------------------------------- winnow pairs
+def test_winnow_pairs_brute_force(ray_session) -> None:
+    from collections import defaultdict
+    from itertools import combinations
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.winnow import (
+        _STOP_DOCS, _winnow_doc, q_winnow_pairs,
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    by_fp = defaultdict(set)
+    for r in docs.itertuples():
+        for _, h in _winnow_doc(r.text.lower().split())[2]:
+            by_fp[h].add(r.doc_id)
+    shared = defaultdict(int)
+    for h, ds_ in by_fp.items():
+        if len(ds_) <= _STOP_DOCS:
+            for a, b in combinations(sorted(ds_), 2):
+                shared[(a, b)] += 1
+    want = sorted(((c, a, b) for (a, b), c in shared.items() if c >= 2),
+                  key=lambda t: (-t[0], t[1], t[2]))[:100]
+    out = q_winnow_pairs(SF)
+    got = [(r.n_shared, r.a, r.b) for r in out.itertuples()]
+    assert got == want
+
+
+# -------------------------------------------------- common neighbors
+def test_common_neighbors_brute_force(ray_session) -> None:
+    from collections import defaultdict
+    from itertools import combinations
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.graph import (
+        q_common_neighbors,
+    )
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    adj = [set() for _ in range(n)]
+    for u in range(n):
+        for j in (1, 2, 3):
+            v = u >> j
+            if v != u:
+                adj[u].add(v)
+                adj[v].add(u)
+    cn = defaultdict(int)
+    for c in range(n):
+        for a, b in combinations(sorted(adj[c]), 2):
+            cn[(a, b)] += 1
+    want = sorted(((v, a, b) for (a, b), v in cn.items()
+                   if b not in adj[a]),
+                  key=lambda t: (-t[0], t[1], t[2]))[:100]
+    out = q_common_neighbors(SF)
+    got = [(r.cn, r.a, r.b) for r in out.itertuples()]
+    assert got == want
+
+
+# ------------------------------------------------------------ benford
+def test_benford_counts(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.mining import (
+        q_events_benford,
+    )
+    out = q_events_benford(SF).to_pandas()
+    assert out.digit.between(1, 9).all()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    v = np.abs(np.round(ev.value.to_numpy() * 100).astype(np.int64))
+    ev = ev[v > 0]
+    v = v[v > 0]
+    first = np.array([int(str(x)[0]) for x in v])
+    want = (pd.DataFrame({"event_type": ev.event_type.to_numpy(),
+                          "digit": first})
+            .groupby(["event_type", "digit"]).size())
+    for r in out.itertuples():
+        assert r.cnt == want.loc[(r.event_type, r.digit)]
+        assert 0 <= r.obs_milli <= 1000
