@@ -158,6 +158,14 @@ def _q_media_features(sf_dir: str):
     return q_media_features(sf_dir)
 
 
+def _q_media_phash(sf_dir: str):
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.media import (
+        q_media_phash,
+    )
+
+    return q_media_phash(sf_dir)
+
+
 def _q_extract_with_fallback(sf_dir: str):
     """Flagship + low-confidence fallback branch (T3 analog): filter →
     actor-pool second-opinion extraction → merge policies → union."""
@@ -437,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_cost_analysis": _q_extract_cost_analysis,
         "extract_calibration": _q_extract_calibration,
         "media_features": _q_media_features,
+        "media_phash": _q_media_phash,
         "span_scalars": _q_span_scalars,
     }
     for bank in _query_banks():

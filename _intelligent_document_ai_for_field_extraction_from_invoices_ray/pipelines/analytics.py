@@ -2132,8 +2132,98 @@ def q_value_quantile_sketch(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+# -------------------------------------------------- Pareto coverage
+def q_brand_pareto(sf_dir: str) -> rd.Dataset:
+    """Per-brand Pareto (80/20) audit over gross part revenue: how many
+    of the brand's parts cover >= 80% of its revenue (integer test
+    5*cum >= 4*total — no ratio forms), plus the top part's per-mille
+    share.  The concentration screen a catalog/assortment pipeline runs.
+
+    Shape at scale: per-batch (partkey, cents) combiners -> ONE
+    partkey-bucketed sum -> ONE partkey-bucketed cogroup against the
+    part dim for the brand -> ONE brand-bucketed finish (parts are
+    vocabulary-sized; the in-bucket sort is per brand).  Raw lineitem
+    rows never reshuffle."""
+    from .grouping import bucketed_cogroup, bucketed_group_apply
+
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+    parts = _pq(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def part_rev(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(rev=_cents(df.l_extendedprice)).groupby(
+            "l_partkey", as_index=False).rev.sum()
+        return g.astype({"l_partkey": np.int64, "rev": np.int64})
+
+    def rev_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("l_partkey", as_index=False).rev.sum()
+                .astype({"l_partkey": np.int64, "rev": np.int64}))
+
+    per_part = bucketed_group_apply(
+        li.map_batches(part_rev, batch_format="pandas"),
+        ["l_partkey"], rev_merge, num_buckets=16)
+
+    def attach_brand(rf: pd.DataFrame, pf: pd.DataFrame) -> pd.DataFrame:
+        m = rf.merge(pf.rename(columns={"p_partkey": "l_partkey"}),
+                     on="l_partkey", how="inner")
+        return m[["p_brand", "l_partkey", "rev"]]
+
+    branded = bucketed_cogroup(per_part, parts, ["l_partkey"],
+                               ["p_partkey"], attach_brand,
+                               num_buckets=16)
+
+    def pareto(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for brand, sub in df.groupby("p_brand", sort=True):
+            sub = sub.sort_values(["rev", "l_partkey"],
+                                  ascending=[False, True])
+            rev = sub.rev.to_numpy()
+            tot = int(rev.sum())
+            cum = rev.cumsum()
+            n80 = int(np.argmax(5 * cum >= 4 * tot)) + 1
+            rows.append((brand, len(rev), tot, n80,
+                         int(1000 * rev[0]) // tot if tot else 0))
+        return pd.DataFrame(rows, columns=[
+            "p_brand", "n_parts", "total_cents", "n_parts_80",
+            "top_share_milli"]).astype({
+                "n_parts": np.int64, "total_cents": np.int64,
+                "n_parts_80": np.int64, "top_share_milli": np.int64})
+
+    return bucketed_group_apply(branded, ["p_brand"], pareto,
+                                num_buckets=8).sort("p_brand")
+
+
+SQL_BRAND_PARETO = """
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+), b AS (
+  SELECT p.p_brand, pr.l_partkey, pr.rev
+  FROM pr JOIN part p ON p.p_partkey = pr.l_partkey
+), c AS (
+  SELECT p_brand, rev,
+         SUM(rev) OVER (PARTITION BY p_brand
+                        ORDER BY rev DESC, l_partkey) AS cum,
+         SUM(rev) OVER (PARTITION BY p_brand) AS tot,
+         COUNT(*) OVER (PARTITION BY p_brand) AS np,
+         MAX(rev) OVER (PARTITION BY p_brand) AS mx,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY rev DESC, l_partkey) AS rn
+  FROM b
+)
+SELECT p_brand, CAST(MAX(np) AS BIGINT) AS n_parts,
+       CAST(MAX(tot) AS BIGINT) AS total_cents,
+       CAST(MIN(CASE WHEN 5 * cum >= 4 * tot THEN rn END)
+            AS BIGINT) AS n_parts_80,
+       CAST((1000 * MAX(mx)) // MAX(tot) AS BIGINT) AS top_share_milli
+FROM c GROUP BY 1 ORDER BY p_brand
+"""
+
+
 ANALYTICS_QUERIES = {
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
+    "brand_pareto": (q_brand_pareto, SQL_BRAND_PARETO),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
     "user_scd2": (q_user_scd2, SQL_USER_SCD2),
     "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),

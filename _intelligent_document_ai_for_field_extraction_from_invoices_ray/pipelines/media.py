@@ -270,3 +270,85 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
 
     return (feats.map_batches(flatten, batch_format="pandas")
             .sort(["doc_id", "media_ref"]))
+
+
+class MediaPerceptualHasher:
+    """Actor-pool stage: decode P6 images → 64-bit average-hash (aHash),
+    the classic perceptual fingerprint: integer Rec.601 luma → exact
+    8x8 block means (floor-partition block bounds, integer floor
+    division — no float resize) → bit i = block_mean_i > mean-of-means.
+    Two images differing by small noise/re-encoding collide; distinct
+    content doesn't — the content-level dedup exact payload hashing
+    misses.  Emitted as fixed-width hex so grouping/sorting order is
+    identical everywhere."""
+
+    def __init__(self):
+        self._grid = np.arange(9)
+
+    @staticmethod
+    def _ahash(pixels: np.ndarray) -> str:
+        luma = rm.luminance(pixels).astype(np.int64)
+        h, w = luma.shape
+        rb = (np.arange(9) * h) // 8
+        cb = (np.arange(9) * w) // 8
+        # exact block sums via the 2-D summed-area table
+        ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+        np.cumsum(np.cumsum(luma, axis=0), axis=1, out=ii[1:, 1:])
+        bs = (ii[rb[1:, None], cb[None, 1:]] - ii[rb[:-1, None], cb[None, 1:]]
+              - ii[rb[1:, None], cb[None, :-1]]
+              + ii[rb[:-1, None], cb[None, :-1]])
+        cnt = ((rb[1:] - rb[:-1])[:, None] * (cb[1:] - cb[:-1])[None, :])
+        means = bs // cnt
+        bits = (means > (int(means.sum()) // 64)).ravel()
+        val = 0
+        for b in bits:
+            val = (val << 1) | int(b)
+        return f"{val:016x}"
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        for r in batch.select(["doc_id", "media_ref", "payload"]).to_pylist():
+            if rm.sniff_kind(r["payload"]) != "image":
+                continue
+            rows.append((r["doc_id"], r["media_ref"],
+                         self._ahash(rm.decode_ppm(r["payload"]))))
+        # doc_id is the corpus's string id — no cast
+        return pd.DataFrame(rows, columns=["doc_id", "media_ref", "phash"])
+
+
+def q_media_phash(sf_dir: str) -> rd.Dataset:
+    """Perceptual-hash image dedup groups over the derived corpus
+    (rows-only: pixel decode is not SQL-expressible).  One row per
+    distinct aHash with its occurrence/ref counts — identical phash
+    under DIFFERENT refs is a perceptual duplicate exact payload
+    dedup cannot see.
+
+    Shape at scale: decode+hash on an actor pool (small batches for the
+    binary rows), then ONE phash-bucketed count; output is
+    distinct-image-sized, never collected driver-side."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .extract import generate_corpus_ray
+    from .grouping import bucketed_group_apply
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    docs_path, _ = generate_corpus_ray(
+        n_docs, f"/tmp/dai_corpus/{tag}-{n_docs}")
+    media = media_table_from_docs(rd.read_parquet(docs_path))
+    hashed = media.map_batches(MediaPerceptualHasher,
+                               batch_format="pyarrow", batch_size=256,
+                               concurrency=2)
+
+    def groups(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("phash", as_index=False).agg(
+            n_rows=("media_ref", "size"),
+            n_refs=("media_ref", "nunique"),
+            min_ref=("media_ref", "min"))
+        return out.astype({"n_rows": np.int64, "n_refs": np.int64})
+
+    return bucketed_group_apply(hashed, ["phash"], groups,
+                                num_buckets=16).sort("phash")

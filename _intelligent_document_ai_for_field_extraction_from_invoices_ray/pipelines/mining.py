@@ -565,6 +565,276 @@ def q_events_benford(sf_dir: str) -> rd.Dataset:
                                                      "digit"])
 
 
+# --------------------------------------------------------- t-closeness
+# Completes the privacy triad (k_anonymity: group size; l_diversity:
+# distinct sensitive values; t_closeness: a large DIVERSE group still
+# leaks if its sensitive DISTRIBUTION is skewed vs the table's).
+_T_MILLI = 200
+
+
+def q_t_closeness(sf_dir: str) -> rd.Dataset:
+    """t-closeness audit over the (segment, nation) quasi-identifier
+    with the ordered $1000-balance bucket as the sensitive attribute:
+    per group, the Earth-Mover's Distance between the group's and the
+    global sensitive distribution,
+
+        EMD = (1/(b-1)) * sum_i |cumP_i - cumQ_i|
+
+    evaluated EXACTLY as floor(1000 * sum_i |cg_i*n - ca_i*gn| /
+    ((b-1)*gn*n)) — cross-multiplied integer cumulative counts, no
+    float ratio ever forms.
+
+    Shape at scale: per-batch (qi, sens) count partials (bounded by
+    |QI| x |sens| per batch, never row count); the global distribution
+    is the tiny sens-marginal of those partials (<= |sens| driver rows,
+    shipped back as a closure constant); ONE QI-bucketed merge computes
+    every group's EMD vectorized over the fixed sens domain."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "customer", ["c_mktsegment", "c_nationkey",
+                                  "c_acctbal"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(sens=_cents(df.c_acctbal) // 100_000)
+        out = g.groupby(["c_mktsegment", "c_nationkey", "sens"],
+                        as_index=False).agg(cnt=("c_acctbal", "size"))
+        return out.astype({"sens": np.int64, "cnt": np.int64})
+
+    partials = ds.map_batches(part, batch_format="pandas").materialize()
+
+    # global sensitive marginal: <= |sens buckets| x n_blocks tiny rows
+    gl = (partials.to_pandas().groupby("sens").cnt.sum().sort_index())
+    domain = gl.index.to_numpy()
+    gcounts = gl.to_numpy()
+    n = int(gcounts.sum())
+    b = len(domain)
+    gcum = gcounts.cumsum()
+
+    def emd(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        cells = df.groupby(["c_mktsegment", "c_nationkey", "sens"],
+                           as_index=False).cnt.sum()
+        for (seg, nat), sub in cells.groupby(
+                ["c_mktsegment", "c_nationkey"], sort=True):
+            cnt = np.zeros(b, dtype=np.int64)
+            idx = np.searchsorted(domain, sub.sens.to_numpy())
+            cnt[idx] = sub.cnt.to_numpy()
+            gn = int(cnt.sum())
+            cg = cnt.cumsum()
+            num = int(np.abs(cg.astype(object) * n
+                             - gcum.astype(object) * gn).sum())
+            emd_milli = 0 if b <= 1 else \
+                (1000 * num) // ((b - 1) * gn * n)
+            rows.append((seg, int(nat), gn, emd_milli,
+                         int(emd_milli <= _T_MILLI)))
+        return pd.DataFrame(rows, columns=[
+            "segment", "nationkey", "n_rows", "emd_milli", "meets_t"]
+            ).astype({"nationkey": np.int64, "n_rows": np.int64,
+                      "emd_milli": np.int64, "meets_t": np.int64})
+
+    return bucketed_group_apply(partials,
+                                ["c_mktsegment", "c_nationkey"], emd,
+                                num_buckets=8).sort(["segment",
+                                                     "nationkey"])
+
+
+SQL_T_CLOSENESS = f"""
+WITH s AS (
+  SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(floor(CAST(round(c_acctbal*100) AS BIGINT) / 100000)
+              AS BIGINT) AS sens
+  FROM customer
+), dom AS (SELECT DISTINCT sens FROM s),
+tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT sens) AS b FROM s),
+gl AS (SELECT sens, COUNT(*) AS gc FROM s GROUP BY 1),
+gcum AS (SELECT sens, SUM(gc) OVER (ORDER BY sens) AS ca FROM gl),
+grp AS (SELECT segment, nationkey, COUNT(*) AS gn FROM s GROUP BY 1, 2),
+cell AS (SELECT segment, nationkey, sens, COUNT(*) AS c
+         FROM s GROUP BY 1, 2, 3),
+grid AS (
+  SELECT g.segment, g.nationkey, d.sens, g.gn, COALESCE(c.c, 0) AS c
+  FROM grp g CROSS JOIN dom d
+  LEFT JOIN cell c ON c.segment = g.segment
+                  AND c.nationkey = g.nationkey AND c.sens = d.sens
+), cum AS (
+  SELECT segment, nationkey, gn, sens,
+         SUM(c) OVER (PARTITION BY segment, nationkey ORDER BY sens)
+           AS cg
+  FROM grid
+)
+SELECT cum.segment, cum.nationkey,
+       CAST(MAX(cum.gn) AS BIGINT) AS n_rows,
+       CAST(CASE WHEN MAX(t.b) <= 1 THEN 0 ELSE
+         (1000 * SUM(abs(cum.cg * t.n - gcum.ca * cum.gn)))
+         // ((MAX(t.b) - 1) * MAX(cum.gn) * MAX(t.n)) END
+         AS BIGINT) AS emd_milli,
+       CAST(CASE WHEN MAX(t.b) <= 1 THEN 1 ELSE
+         CASE WHEN (1000 * SUM(abs(cum.cg * t.n - gcum.ca * cum.gn)))
+              // ((MAX(t.b) - 1) * MAX(cum.gn) * MAX(t.n))
+              <= {_T_MILLI} THEN 1 ELSE 0 END END AS BIGINT) AS meets_t
+FROM cum JOIN gcum ON gcum.sens = cum.sens CROSS JOIN tot t
+GROUP BY 1, 2 ORDER BY segment, nationkey
+"""
+
+
+# ------------------------------------------------------ RFM segmentation
+def q_user_rfm(sf_dir: str) -> rd.Dataset:
+    """Recency / frequency / monetary quintile segmentation — the classic
+    customer-scoring warehouse job, built on an EXACT distributed global
+    rank per metric (no global sort): the sorted_neighborhood range-
+    histogram trick, generalized to three metrics in ONE stacked
+    exchange.
+
+    Quintile = ((rank - 1) * 5) // n + 1 over the total order
+    (metric value ASC, user_id ASC) — the even-spread bucket formula
+    (NOT SQL NTILE, whose remainder all lands in the first buckets);
+    the oracle uses the identical formula.
+
+    Shape at scale: (1) per-batch user partials -> ONE user-bucketed
+    merge = the user metric table (materialized; read three ways);
+    (2) per-batch (metric, range-bucket) histogram partials -> driver
+    prefix offsets (<= 3 x 64 rows — the only driver state); (3) the
+    stacked (metric, v, uid) rows shuffle ONCE by (metric, range
+    bucket), rank locally against the broadcast offsets, and (4) one
+    uid-bucketed pivot assembles the 3 quintiles per user.  The range
+    bucket is a monotone shift ``v >> s`` with s from the metric's max
+    bit length, so bucket order == value order and local rank + offset
+    is the exact global rank."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def upart(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_s=_epoch_s(df.ts), _v=_cents(df.value))
+        out = df.groupby("user_id", as_index=False).agg(
+            last_s=("_s", "max"), freq=("_s", "size"), mon=("_v", "sum"))
+        return out.astype({"user_id": np.int64, "last_s": np.int64,
+                           "freq": np.int64, "mon": np.int64})
+
+    def umerge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False).agg(
+            last_s=("last_s", "max"), freq=("freq", "sum"),
+            mon=("mon", "sum"))
+        return out.astype({"user_id": np.int64, "last_s": np.int64,
+                           "freq": np.int64, "mon": np.int64})
+
+    users = bucketed_group_apply(
+        ds.map_batches(upart, batch_format="pandas"), ["user_id"],
+        umerge, num_buckets=16).materialize()
+
+    # driver scalars: global last-event second + per-metric extremes
+    # (one bounded partial row per block)
+    def extremes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "mt": [df.last_s.max()], "min_last": [df.last_s.min()],
+            "max_f": [df.freq.max()], "min_m": [df.mon.min()],
+            "max_m": [df.mon.max()], "cnt": [len(df)]})
+
+    ex = users.map_batches(extremes, batch_format="pandas").to_pandas()
+    mt = int(ex.mt.max())
+    n_users = int(ex.cnt.sum())
+    spans = {0: mt - int(ex.min_last.min()),
+             1: int(ex.max_f.max()),
+             2: max(abs(int(ex.min_m.min())), abs(int(ex.max_m.max())))}
+    shifts = {m: max(0, int(spans[m]).bit_length() - 6)
+              for m in spans}
+
+    def stack(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df.user_id.to_numpy()
+        frames = []
+        for m, v in ((0, mt - df.last_s.to_numpy()),
+                     (1, df.freq.to_numpy()),
+                     (2, df.mon.to_numpy())):
+            frames.append(pd.DataFrame({
+                "metric": np.full(len(uid), m, dtype=np.int64),
+                "rb": (v >> shifts[m]).astype(np.int64),
+                "v": v.astype(np.int64), "uid": uid}))
+        return pd.concat(frames, ignore_index=True)
+
+    stacked = users.map_batches(stack, batch_format="pandas")
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["metric", "rb"], as_index=False).size()
+               .rename(columns={"size": "c"}))
+        return out.astype({"metric": np.int64, "rb": np.int64,
+                           "c": np.int64})
+
+    h = (stacked.map_batches(hist, batch_format="pandas").to_pandas()
+         .groupby(["metric", "rb"], as_index=False).c.sum()
+         .sort_values(["metric", "rb"]))
+    offsets: dict[tuple[int, int], int] = {}
+    for m, sub in h.groupby("metric"):
+        off = np.concatenate(([0], sub.c.to_numpy().cumsum()[:-1]))
+        for rb, o in zip(sub.rb, off):
+            offsets[(int(m), int(rb))] = int(o)
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (m, rb), sub in df.groupby(["metric", "rb"], sort=True):
+            sub = sub.sort_values(["v", "uid"])
+            rnk = offsets[(int(m), int(rb))] + np.arange(
+                1, len(sub) + 1, dtype=np.int64)
+            q = ((rnk - 1) * 5) // n_users + 1
+            rows.append(pd.DataFrame({
+                "uid": sub.uid.to_numpy(), "metric": int(m),
+                "v": sub.v.to_numpy(), "q": q}))
+        out = (pd.concat(rows, ignore_index=True) if rows
+               else pd.DataFrame({"uid": pd.Series(dtype=np.int64),
+                                  "metric": pd.Series(dtype=np.int64),
+                                  "v": pd.Series(dtype=np.int64),
+                                  "q": pd.Series(dtype=np.int64)}))
+        return out.astype({"uid": np.int64, "metric": np.int64,
+                           "v": np.int64, "q": np.int64})
+
+    ranked = bucketed_group_apply(stacked, ["metric", "rb"], rank,
+                                  num_buckets=16)
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.pivot_table(index="uid", columns="metric",
+                           values=["v", "q"], aggfunc="first")
+        out = pd.DataFrame({
+            "user_id": p.index.to_numpy(),
+            "rec_s": p[("v", 0)].to_numpy(),
+            "freq": p[("v", 1)].to_numpy(),
+            "mon_cents": p[("v", 2)].to_numpy(),
+            "r_q": p[("q", 0)].to_numpy(),
+            "f_q": p[("q", 1)].to_numpy(),
+            "m_q": p[("q", 2)].to_numpy()})
+        out["rfm_code"] = 100 * out.r_q + 10 * out.f_q + out.m_q
+        return out.astype({c: np.int64 for c in out.columns})
+
+    return bucketed_group_apply(ranked, ["uid"], pivot,
+                                num_buckets=16).sort("user_id")
+
+
+SQL_USER_RFM = """
+WITH u AS (
+  SELECT user_id,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_s,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+           AS mon_cents
+  FROM events GROUP BY 1
+), m AS (SELECT MAX(last_s) AS mt FROM u),
+r AS (
+  SELECT user_id, (SELECT mt FROM m) - last_s AS rec_s, freq, mon_cents,
+         COUNT(*) OVER () AS n,
+         ROW_NUMBER() OVER (ORDER BY (SELECT mt FROM m) - last_s,
+                            user_id) AS rr,
+         ROW_NUMBER() OVER (ORDER BY freq, user_id) AS fr,
+         ROW_NUMBER() OVER (ORDER BY mon_cents, user_id) AS mr
+  FROM u
+)
+SELECT user_id, rec_s, freq, mon_cents,
+       CAST((rr-1)*5//n + 1 AS BIGINT) AS r_q,
+       CAST((fr-1)*5//n + 1 AS BIGINT) AS f_q,
+       CAST((mr-1)*5//n + 1 AS BIGINT) AS m_q,
+       CAST(100*((rr-1)*5//n + 1) + 10*((fr-1)*5//n + 1)
+            + ((mr-1)*5//n + 1) AS BIGINT) AS rfm_code
+FROM r ORDER BY user_id
+"""
+
+
 SQL_EVENTS_BENFORD = """
 WITH v AS (
   SELECT event_type, abs(CAST(round(value * 100) AS BIGINT)) AS a
@@ -588,6 +858,8 @@ MINING_QUERIES = {
     "events_pit_join": (q_events_pit_join, SQL_EVENTS_PIT_JOIN),
     "assoc_rules": (q_assoc_rules, SQL_ASSOC_RULES),
     "events_benford": (q_events_benford, SQL_EVENTS_BENFORD),
+    "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),
+    "user_rfm": (q_user_rfm, SQL_USER_RFM),
     "value_outliers": (q_value_outliers, SQL_VALUE_OUTLIERS),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "count_min": (q_count_min, SQL_COUNT_MIN),

@@ -307,3 +307,128 @@ def test_benford_counts(ray_session) -> None:
     for r in out.itertuples():
         assert r.cnt == want.loc[(r.event_type, r.digit)]
         assert 0 <= r.obs_milli <= 1000
+
+
+# ----------------------------------------------------- brand pareto
+def test_brand_pareto_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_brand_pareto,
+    )
+    out = q_brand_pareto(SF).to_pandas().set_index("p_brand")
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_partkey", "l_extendedprice"]).to_pandas()
+    pt = pq.read_table(f"{SF}/part.parquet",
+                       columns=["p_partkey", "p_brand"]).to_pandas()
+    li["rev"] = np.round(li.l_extendedprice.to_numpy() * 100).astype(np.int64)
+    pr = li.groupby("l_partkey", as_index=False).rev.sum().merge(
+        pt, left_on="l_partkey", right_on="p_partkey")
+    for brand, g in pr.groupby("p_brand"):
+        g = g.sort_values(["rev", "l_partkey"], ascending=[False, True])
+        rev = g.rev.to_numpy()
+        tot = int(rev.sum())
+        cum = rev.cumsum()
+        row = out.loc[brand]
+        assert row.n_parts == len(rev)
+        assert row.total_cents == tot
+        assert row.n_parts_80 == int(np.argmax(5 * cum >= 4 * tot)) + 1
+        assert row.top_share_milli == (1000 * int(rev[0])) // tot
+
+
+# ------------------------------------------------------ t-closeness
+def test_t_closeness_brute_force(ray_session) -> None:
+    from fractions import Fraction
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.mining import (
+        q_t_closeness,
+    )
+    out = q_t_closeness(SF).to_pandas().set_index(["segment", "nationkey"])
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    cu["sens"] = (np.round(cu.c_acctbal.to_numpy() * 100).astype(np.int64)
+                  // 100_000)
+    dom = np.sort(cu.sens.unique())
+    n, b = len(cu), len(dom)
+    gcum = np.cumsum([int((cu.sens == s).sum()) for s in dom])
+    for (seg, nat), g in cu.groupby(["c_mktsegment", "c_nationkey"]):
+        gn = len(g)
+        cg = np.cumsum([int((g.sens == s).sum()) for s in dom])
+        emd = sum(Fraction(abs(int(a) * n - int(c) * gn), gn * n * (b - 1))
+                  for a, c in zip(cg, gcum))
+        want = (1000 * emd.numerator) // emd.denominator
+        row = out.loc[(seg, nat)]
+        assert row.n_rows == gn
+        assert row.emd_milli == want
+        assert row.meets_t == int(want <= 200)
+        assert 0 <= row.emd_milli < 1000
+
+
+# ------------------------------------------------------------- RFM
+def test_user_rfm_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.mining import (
+        q_user_rfm,
+    )
+    out = q_user_rfm(SF).to_pandas().set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["s"] = ev.ts.astype("datetime64[ns]").astype("int64") // 10**9
+    ev["v"] = np.round(ev.value.to_numpy() * 100).astype(np.int64)
+    u = ev.groupby("user_id").agg(last_s=("s", "max"), freq=("s", "size"),
+                                  mon=("v", "sum")).reset_index()
+    mt = int(u.last_s.max())
+    u["rec_s"] = mt - u.last_s
+    nu = len(u)
+
+    def quint(col):
+        order = u.sort_values([col, "user_id"]).user_id.to_numpy()
+        rank = {uid: i + 1 for i, uid in enumerate(order)}
+        return {uid: (rank[uid] - 1) * 5 // nu + 1 for uid in order}
+
+    rq, fq, mq = quint("rec_s"), quint("freq"), quint("mon")
+    for r in u.itertuples():
+        row = out.loc[r.user_id]
+        assert row.rec_s == r.rec_s
+        assert row.freq == r.freq
+        assert row.mon_cents == r.mon
+        assert (row.r_q, row.f_q, row.m_q) == \
+            (rq[r.user_id], fq[r.user_id], mq[r.user_id])
+        assert row.rfm_code == 100 * row.r_q + 10 * row.f_q + row.m_q
+    # quintiles actually spread (even-split formula)
+    assert set(out.r_q) | set(out.f_q) | set(out.m_q) <= set(range(1, 6))
+
+
+# ------------------------------------------------------ media phash
+def test_media_phash_properties(ray_session) -> None:
+    """aHash is deterministic, invariant to small per-pixel noise, and
+    separates structurally different images."""
+    import numpy as np
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions import rawmedia as rm
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.media import (
+        MediaPerceptualHasher,
+    )
+    ah = MediaPerceptualHasher._ahash
+    rng = np.random.RandomState(3)
+    gx = np.linspace(0, 255, 96, dtype=np.float32)
+    base = np.clip(np.broadcast_to(gx, (64, 96))[..., None]
+                   + np.zeros((64, 96, 3), np.float32), 0, 255)
+    img = base.astype(np.uint8)
+    noisy = np.clip(base + rng.randint(-6, 7, size=img.shape), 0,
+                    255).astype(np.uint8)
+    flipped = img[:, ::-1]
+    assert ah(img) == ah(img)                       # deterministic
+    h1, h2 = int(ah(img), 16), int(ah(noisy), 16)
+    assert bin(h1 ^ h2).count("1") <= 4             # noise-robust
+    h3 = int(ah(flipped), 16)
+    assert bin(h1 ^ h3).count("1") >= 16            # content-sensitive
+    # encode -> decode roundtrip hashes identically
+    assert ah(rm.decode_ppm(rm.encode_ppm(img))) == ah(img)
+
+
+def test_media_phash_query(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.media import (
+        q_media_phash,
+    )
+    out = q_media_phash(SF).to_pandas()
+    assert len(out) > 0
+    assert out.phash.str.len().eq(16).all()
+    assert out.phash.is_unique
+    assert (out.n_refs <= out.n_rows).all()
+    assert int(out.n_rows.sum()) >= int(out.n_refs.sum())
