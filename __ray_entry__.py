@@ -166,6 +166,14 @@ def _q_media_phash(sf_dir: str):
     return q_media_phash(sf_dir)
 
 
+def _q_media_phash_pairs(sf_dir: str):
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.media import (
+        q_media_phash_pairs,
+    )
+
+    return q_media_phash_pairs(sf_dir)
+
+
 def _q_extract_with_fallback(sf_dir: str):
     """Flagship + low-confidence fallback branch (T3 analog): filter →
     actor-pool second-opinion extraction → merge policies → union."""
@@ -382,6 +390,11 @@ _GATE_ORDER = [
     "event_percentile", "events_interpolated", "priority_gini",
     "zorder_layout", "late_events", "type_trend",
     "value_outliers", "l_diversity", "count_min", "events_pit_join",
+    "t_closeness", "events_benford", "user_rfm", "value_drawdown",
+    "events_autocorr", "events_changepoint", "brand_pareto",
+    "assoc_rules", "kcore_peel", "common_neighbors",
+    "orc_source_stats", "ipc_source_stats", "winnow_fingerprint",
+    "winnow_pairs",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",
@@ -425,7 +438,8 @@ _GATE_ORDER = [
     "embed_semantic_dedup", "embed_kmeans", "embed_ann_lsh",
     "embed_ann_ivf", "embed_ann_ivfpq",
     "simhash_pairs", "minhash_pairs",
-    "extract_with_fallback", "media_features", "extract_fields",
+    "extract_with_fallback", "media_features", "media_phash",
+    "media_phash_pairs", "extract_fields",
 ]
 
 
@@ -446,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_calibration": _q_extract_calibration,
         "media_features": _q_media_features,
         "media_phash": _q_media_phash,
+        "media_phash_pairs": _q_media_phash_pairs,
         "span_scalars": _q_span_scalars,
     }
     for bank in _query_banks():

@@ -34,14 +34,44 @@ MEDIA_KINDS = ("image", "audio", "video")
 AUDIO_RATE = 4000                       # Hz — small synth payloads
 
 
-def _image_pixels(rng: np.random.RandomState, w: int, h: int) -> np.ndarray:
-    """Deterministic gradient + seeded noise — structured enough that
-    resize/luminance stats are non-trivial."""
-    gx = np.linspace(0, 255, w, dtype=np.float32)
-    gy = np.linspace(0, 255, h, dtype=np.float32)
-    base = (gy[:, None] + gx[None, :]) / 2
-    noise = rng.randint(0, 64, size=(h, w, 3)).astype(np.float32)
+def _image_pixels(rng: np.random.RandomState, w: int, h: int,
+                  signs: np.ndarray | None = None) -> np.ndarray:
+    """Deterministic per-ref CONTENT: an 8x8 +/-1 sign pattern rendered
+    at block scale over a mid-gray base, plus seeded pixel noise.  The
+    pattern gives every ref ~64 bits of visual identity (the earlier
+    global gradient made every image perceptually identical — aHash is
+    gradient-invariant by construction); ``signs`` lets the caller plant
+    near-duplicate families by flipping a few cells of a shared root."""
+    if signs is None:
+        signs = rng.choice(np.array([-1, 1], dtype=np.int64), (8, 8))
+    by = (8 * np.arange(h)) // h
+    bx = (8 * np.arange(w)) // w
+    base = 128 + 48 * signs[by[:, None], bx[None, :]]
+    noise = rng.randint(-16, 17, size=(h, w, 3))
     return np.clip(base[..., None] + noise, 0, 255).astype(np.uint8)
+
+
+_FAMILY_SHARE_MOD = 10        # ~1 in 10 images joins a planted family
+_N_FAMILIES = 32
+
+
+def _image_signs(h: bytes) -> np.ndarray:
+    """Sign pattern for an image ref digest: most refs draw an
+    independent random pattern; ~10% derive from one of 32 family ROOT
+    patterns with 0-3 cell flips — planted perceptual near-duplicates
+    at aHash hamming distance <= 3 (the re-encode/re-noise/near-crop
+    analog real corpora contain), so the phash dedup family has a
+    truthful, bounded target."""
+    if h[10] % _FAMILY_SHARE_MOD == 0:
+        fam = h[11] % _N_FAMILIES
+        prng = np.random.RandomState(1_000_000 + fam)
+        signs = prng.choice(np.array([-1, 1], dtype=np.int64), (8, 8))
+        nflip = h[12] % 4
+        frng = np.random.RandomState(int.from_bytes(h[13:17], "little"))
+        for flat in frng.choice(64, size=nflip, replace=False):
+            signs.flat[flat] *= -1
+        return signs
+    return None
 
 
 def synthesize_payload(media_ref: str) -> tuple[str, bytes, dict]:
@@ -55,7 +85,8 @@ def synthesize_payload(media_ref: str) -> tuple[str, bytes, dict]:
     rng = np.random.RandomState(int.from_bytes(h[3:7], "little"))
     if kind == "image":
         w, hh = 64 + h[8] % 192, 64 + h[9] % 192
-        payload = rm.encode_ppm(_image_pixels(rng, w, hh))
+        payload = rm.encode_ppm(_image_pixels(rng, w, hh,
+                                              signs=_image_signs(h)))
         meta = {"kind": kind, "width": w, "height": hh, "duration_ms": 0}
     elif kind == "audio":
         dur_ms = 250 + int.from_bytes(h[10:12], "little") % 2750
@@ -352,3 +383,104 @@ def q_media_phash(sf_dir: str) -> rd.Dataset:
 
     return bucketed_group_apply(hashed, ["phash"], groups,
                                 num_buckets=16).sort("phash")
+
+
+def q_media_phash_pairs(sf_dir: str) -> rd.Dataset:
+    """Perceptual NEAR-dup image pairs: hamming(aHash) <= 3 over distinct
+    image refs — the multimodal analog of simhash_pairs, and it REUSES
+    that machinery wholesale (pigeonhole segment buckets via
+    dedup._pairs_from_keys with the hot-key grid, exact XOR-popcount
+    verification via dedup.verify_hamming).  Finds the planted
+    re-encode/near-crop families the synthesis embeds (~10% of images
+    derive from 32 family roots with <= 3 block flips).
+
+    Rows-only (pixel decode is not SQL-expressible); equivalence vs a
+    brute-force all-pairs NumPy reference is pytest-pinned.
+
+    Shape at scale: decode+hash on the actor pool; ONE ref-bucketed
+    dedup to distinct refs; the candidate/verify exchanges ship only
+    (int64 id, int64 sig) — refs re-attach via two bounded cogroups at
+    the end."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .dedup import _pairs_from_keys, _sig_u64, verify_hamming
+    from .extract import generate_corpus_ray
+    from .grouping import bucketed_cogroup, bucketed_group_apply
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    docs_path, _ = generate_corpus_ray(
+        n_docs, f"/tmp/dai_corpus/{tag}-{n_docs}")
+    media = media_table_from_docs(rd.read_parquet(docs_path))
+    hashed = media.map_batches(MediaPerceptualHasher,
+                               batch_format="pyarrow", batch_size=256,
+                               concurrency=2)
+
+    def distinct_refs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates("media_ref")
+        rid = np.array([int.from_bytes(
+            hashlib.blake2b(r.encode(), digest_size=8).digest(),
+            "little") >> 1 for r in d.media_ref], dtype=np.int64)
+        sig = np.array([np.uint64(int(p, 16)) for p in d.phash],
+                       dtype=np.uint64)
+        return pd.DataFrame({
+            "doc_id": rid,
+            "media_ref": d.media_ref.to_numpy(),
+            "sig": (sig - np.uint64(1 << 63)).view(np.int64)})
+
+    refs = bucketed_group_apply(hashed, ["media_ref"], distinct_refs,
+                                num_buckets=16).materialize()
+    sigs = refs.select_columns(["doc_id", "sig"])
+
+    def seg_keys(batch: pa.Table) -> pa.Table:
+        from .dedup import _sig_u64 as su
+        u = su(batch.column("sig").to_numpy(zero_copy_only=False))
+        segs, idxs = [], []
+        n = len(u)
+        for seg in range(4):
+            val = (u >> np.uint64(16 * seg)) & np.uint64(0xFFFF)
+            segs.append((np.int64(seg) << np.int64(16))
+                        | val.astype(np.int64))
+            idxs.append(np.arange(n))
+        out = pa.table({
+            "seg_key": pa.array(np.concatenate(segs)),
+            "doc_id": batch.column("doc_id").combine_chunks().take(
+                pa.array(np.concatenate(idxs))),
+        })
+        return out.replace_schema_metadata(None)
+
+    cands = _pairs_from_keys(sigs.map_batches(seg_keys,
+                                              batch_format="pyarrow"),
+                             "seg_key", dedup=True)
+    ver = verify_hamming(cands, sigs, max_h=3)
+
+    def attach(side: str, out_col: str):
+        def fn(vf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+            m = vf.merge(rf.rename(columns={"doc_id": side,
+                                            "media_ref": out_col}),
+                         on=side, how="inner")
+            return m.drop(columns=[c for c in ("sig",) if c in m])
+        return fn
+
+    withA = bucketed_cogroup(ver, refs.select_columns(
+        ["doc_id", "media_ref"]), ["doc_a"], ["doc_id"],
+        attach("doc_a", "ref_a"), num_buckets=8)
+    withB = bucketed_cogroup(withA, refs.select_columns(
+        ["doc_id", "media_ref"]), ["doc_b"], ["doc_id"],
+        attach("doc_b", "ref_b"), num_buckets=8)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        a = df[["ref_a", "ref_b"]].min(axis=1)
+        b = df[["ref_a", "ref_b"]].max(axis=1)
+        return pa.table({"ref_a": pa.array(a, pa.string()),
+                         "ref_b": pa.array(b, pa.string()),
+                         "hamming": pa.array(
+                             df.hamming.astype(np.int64))})
+
+    return withB.map_batches(finish,
+                             batch_format="pyarrow").sort(["ref_a",
+                                                           "ref_b"])

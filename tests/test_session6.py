@@ -432,3 +432,37 @@ def test_media_phash_query(ray_session) -> None:
     assert out.phash.is_unique
     assert (out.n_refs <= out.n_rows).all()
     assert int(out.n_rows.sum()) >= int(out.n_refs.sum())
+
+
+def test_media_phash_pairs_brute_force(ray_session) -> None:
+    """Pipeline pairs == brute-force all-pairs hamming<=3 over distinct
+    refs, and the planted near-dup families are actually found."""
+    import ray.data as rd
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.extract import (
+        generate_corpus_ray,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.media import (
+        MediaPerceptualHasher, media_table_from_docs, q_media_phash_pairs,
+    )
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    docs_path, _ = generate_corpus_ray(n, f"/tmp/dai_corpus/sf0.001-{n}")
+    hashed = (media_table_from_docs(rd.read_parquet(docs_path))
+              .map_batches(MediaPerceptualHasher, batch_format="pyarrow",
+                           batch_size=256, concurrency=2)
+              .to_pandas().drop_duplicates("media_ref"))
+    u = np.array([int(h, 16) for h in hashed.phash], dtype=np.uint64)
+    refs = hashed.media_ref.to_numpy()
+    want = set()
+    for i in range(len(u)):
+        x = u[i] ^ u[i + 1:]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for s in range(64):
+            ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+        for j in np.flatnonzero(ham <= 3):
+            a, b = sorted((refs[i], refs[i + 1 + int(j)]))
+            want.add((a, b, int(ham[j])))
+    out = q_media_phash_pairs(SF).to_pandas()
+    got = {(r.ref_a, r.ref_b, r.hamming) for r in out.itertuples()}
+    assert got == want
+    assert len(got) > 0          # the planted families exist at sf0.001
