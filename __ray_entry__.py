@@ -394,7 +394,7 @@ _GATE_ORDER = [
     "events_autocorr", "events_changepoint", "brand_pareto",
     "assoc_rules", "kcore_peel", "common_neighbors",
     "orc_source_stats", "ipc_source_stats", "winnow_fingerprint",
-    "winnow_pairs",
+    "winnow_pairs", "shipping_priority", "source_lang_chi2",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",

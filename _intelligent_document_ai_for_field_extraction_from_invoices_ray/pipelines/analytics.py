@@ -2132,6 +2132,170 @@ def q_value_quantile_sketch(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+# ------------------------------------------- Q3-shaped top-k join
+def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: BUILDING-segment customers' orders placed before
+    a date cutoff, revenue from lineitems shipped after it, top-10 by
+    revenue — the canonical selective 3-way join + top-k benchmark
+    (Q5-shaped regional_revenue covers the dim-star variant; this is
+    the fact-fact variant with predicates on BOTH join sides).
+
+    Money stays exact: revenue = sum of round(ext*100) * (100 - disc%)
+    in units of cents/100 (disc is a whole percent in this corpus,
+    pinned by order_balance_audit's identical convention).
+
+    Shape at scale: the customer semi-join ships only the filtered
+    custkey set through a custkey-bucketed cogroup (never broadcast);
+    surviving orders cogroup with pre-aggregated per-order lineitem
+    revenue on ONE orderkey-bucketed exchange; top-10 is a semilattice
+    (per-bucket top-10, <= 10 x 16 driver rows)."""
+    from .grouping import bucketed_cogroup, bucketed_group_apply
+
+    cutoff = np.datetime64("1995-03-15")
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_orderpriority"])
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def keep_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df.c_mktsegment == "BUILDING"][["c_custkey"]]
+
+    def keep_orders(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.o_orderdate.to_numpy() < cutoff
+        return df[m]
+
+    def semi(of: pd.DataFrame, cf: pd.DataFrame) -> pd.DataFrame:
+        out = of[of.o_custkey.isin(cf.c_custkey)]
+        return out[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    surviving = bucketed_cogroup(
+        orders.map_batches(keep_orders, batch_format="pandas"),
+        cust.map_batches(keep_cust, batch_format="pandas"),
+        ["o_custkey"], ["c_custkey"], semi, num_buckets=16)
+
+    def li_rev(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.l_shipdate.to_numpy() > cutoff
+        d = df[m]
+        rev = (_cents(d.l_extendedprice)
+               * (100 - np.round(d.l_discount.to_numpy() * 100)
+                  .astype(np.int64)))
+        out = (pd.DataFrame({"l_orderkey": d.l_orderkey, "rev": rev})
+               .groupby("l_orderkey", as_index=False).rev.sum())
+        return out.astype({"l_orderkey": np.int64, "rev": np.int64})
+
+    rev = li.map_batches(li_rev, batch_format="pandas")
+
+    def join_top(of: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        r = rf.groupby("l_orderkey", as_index=False).rev.sum()
+        m = of.merge(r, left_on="o_orderkey", right_on="l_orderkey",
+                     how="inner")
+        m["o_date_s"] = (m.o_orderdate.astype("datetime64[ns]")
+                         .astype("int64") // 10**9)
+        out = m[["o_orderkey", "rev", "o_date_s", "o_orderpriority"]]
+        return (out.sort_values(["rev", "o_orderkey"],
+                                ascending=[False, True]).head(10)
+                .astype({"o_orderkey": np.int64, "rev": np.int64,
+                         "o_date_s": np.int64}))
+
+    merged = bucketed_cogroup(surviving, rev, ["o_orderkey"],
+                              ["l_orderkey"], join_top,
+                              num_buckets=16).to_pandas()
+    return (merged.sort_values(["rev", "o_orderkey"],
+                               ascending=[False, True]).head(10)
+            .reset_index(drop=True))
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS rev,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS o_date_s,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o.o_orderkey, o_date_s, o.o_orderpriority
+ORDER BY rev DESC, o.o_orderkey LIMIT 10
+"""
+
+
+# ----------------------------------------- chi-square drift screen
+def q_source_lang_chi2(sf_dir: str) -> rd.Dataset:
+    """Pearson chi-square homogeneity of the language distribution per
+    SOURCE vs the whole corpus — the drift/imbalance screen a crawl
+    mixer runs per upstream feed.  Exact integer arithmetic: each
+    cell's (O*n - r*c)^2 // (r*c*n) contribution is summed in Python
+    bigints and floor-scaled to milli.
+
+    Shape at scale: per-batch (source, lang) partials (bounded by
+    |sources| x |langs| per batch) -> ONE source-bucketed merge with
+    the tiny lang-marginal closure."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "documents", ["source", "lang"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["source", "lang"], as_index=False).size()
+               .rename(columns={"size": "cnt"}))
+        return out.astype({"cnt": np.int64})
+
+    partials = ds.map_batches(part, batch_format="pandas").materialize()
+
+    lg = partials.to_pandas().groupby("lang").cnt.sum().sort_index()
+    langs = lg.index.to_numpy()
+    col = lg.to_numpy().astype(object)
+    n = int(col.sum())
+
+    def chi2(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        cells = df.groupby(["source", "lang"], as_index=False).cnt.sum()
+        for src, sub in cells.groupby("source", sort=True):
+            obs = np.zeros(len(langs), dtype=object)
+            idx = np.searchsorted(langs, sub.lang.to_numpy())
+            obs[idx] = sub.cnt.to_numpy().astype(object)
+            r = int(sum(obs))
+            num = 0
+            for o, c in zip(obs, col):
+                num += (1000 * (int(o) * n - r * int(c)) ** 2) \
+                    // (r * int(c) * n)
+            rows.append((src, r, int(num)))
+        return pd.DataFrame(rows, columns=[
+            "source", "n_docs", "chi2_milli"]).astype(
+                {"n_docs": np.int64, "chi2_milli": np.int64})
+
+    return bucketed_group_apply(partials, ["source"], chi2,
+                                num_buckets=8).sort("source")
+
+
+SQL_SOURCE_LANG_CHI2 = """
+WITH cell AS (
+  SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2
+), dom AS (SELECT DISTINCT lang FROM documents),
+lg AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM documents),
+src AS (SELECT source, COUNT(*) AS r FROM documents GROUP BY 1),
+grid AS (
+  SELECT s.source, CAST(s.r AS HUGEINT) AS r, d.lang,
+         CAST(lg.c AS HUGEINT) AS c,
+         CAST(COALESCE(cell.o, 0) AS HUGEINT) AS o,
+         CAST(t.n AS HUGEINT) AS n
+  FROM src s CROSS JOIN dom d
+  JOIN lg ON lg.lang = d.lang CROSS JOIN tot t
+  LEFT JOIN cell ON cell.source = s.source AND cell.lang = d.lang
+)
+SELECT source, CAST(MAX(r) AS BIGINT) AS n_docs,
+       CAST(SUM((1000 * (o * n - r * c) * (o * n - r * c))
+                // (r * c * n)) AS BIGINT) AS chi2_milli
+FROM grid GROUP BY 1 ORDER BY source
+"""
+
+
 # -------------------------------------------------- Pareto coverage
 def q_brand_pareto(sf_dir: str) -> rd.Dataset:
     """Per-brand Pareto (80/20) audit over gross part revenue: how many
@@ -2224,6 +2388,8 @@ FROM c GROUP BY 1 ORDER BY p_brand
 ANALYTICS_QUERIES = {
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "brand_pareto": (q_brand_pareto, SQL_BRAND_PARETO),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "source_lang_chi2": (q_source_lang_chi2, SQL_SOURCE_LANG_CHI2),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
     "user_scd2": (q_user_scd2, SQL_USER_SCD2),
     "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),

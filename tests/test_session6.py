@@ -466,3 +466,51 @@ def test_media_phash_pairs_brute_force(ray_session) -> None:
     got = {(r.ref_a, r.ref_b, r.hamming) for r in out.itertuples()}
     assert got == want
     assert len(got) > 0          # the planted families exist at sf0.001
+
+
+# ---------------------------------------------- Q3 shipping priority
+def test_shipping_priority_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_shipping_priority,
+    )
+    out = q_shipping_priority(SF)
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    cutoff = pd.Timestamp("1995-03-15")
+    keys = set(cu[cu.c_mktsegment == "BUILDING"].c_custkey)
+    od = od[(od.o_orderdate < cutoff) & od.o_custkey.isin(keys)]
+    li = li[li.l_shipdate > cutoff]
+    li = li[li.l_orderkey.isin(set(od.o_orderkey))]
+    rev = (np.round(li.l_extendedprice.to_numpy() * 100).astype(np.int64)
+           * (100 - np.round(li.l_discount.to_numpy() * 100)
+              .astype(np.int64)))
+    want = (pd.DataFrame({"k": li.l_orderkey, "rev": rev})
+            .groupby("k").rev.sum()
+            .sort_values(ascending=False))
+    want = sorted(zip(-want.to_numpy(), want.index))[:10]
+    got = [(-r.rev, r.o_orderkey) for r in out.itertuples()]
+    assert got == want
+    assert len(out) == 10
+
+
+# ----------------------------------------------- chi-square drift
+def test_source_lang_chi2_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_source_lang_chi2,
+    )
+    out = q_source_lang_chi2(SF).to_pandas().set_index("source")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "lang"]).to_pandas()
+    n = len(docs)
+    col = docs.groupby("lang").size()
+    for src, g in docs.groupby("source"):
+        r = len(g)
+        num = 0
+        for lang, c in col.items():
+            o = int((g.lang == lang).sum())
+            num += (1000 * (o * n - r * c) ** 2) // (r * c * n)
+        row = out.loc[src]
+        assert row.n_docs == r
+        assert row.chi2_milli == num
+        assert row.chi2_milli >= 0
