@@ -395,6 +395,8 @@ _GATE_ORDER = [
     "assoc_rules", "kcore_peel", "common_neighbors",
     "orc_source_stats", "ipc_source_stats", "winnow_fingerprint",
     "winnow_pairs", "shipping_priority", "source_lang_chi2",
+    "custdist", "user_streaks", "idle_balance", "table_checksum",
+    "vocab_overlap", "gram_novelty",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",

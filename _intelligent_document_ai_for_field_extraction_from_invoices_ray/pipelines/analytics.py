@@ -2385,6 +2385,271 @@ FROM c GROUP BY 1 ORDER BY p_brand
 """
 
 
+# ----------------------------------------- Q13 count-of-counts
+def q_custdist(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: the customer-order-count DISTRIBUTION including
+    zero-order customers — the filtered LEFT join whose aggregate
+    becomes the key of a SECOND aggregate (count-of-counts).  The
+    predicate (priority <> '1-URGENT') sits on the JOIN, not a WHERE,
+    so excluded orders still leave their customers in the histogram.
+
+    Shape at scale: per-batch (custkey, cnt) combiners -> ONE
+    custkey-bucketed LEFT cogroup against the customer key column
+    (zero-fill happens in-bucket) that emits each bucket's LOCAL
+    count-of-counts, already histogram-sized; the driver merge is
+    bounded by max-orders-per-customer x buckets, never customers."""
+    from .grouping import bucketed_cogroup
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df.o_orderpriority != "1-URGENT"]
+        out = (d.groupby("o_custkey", as_index=False).size()
+               .rename(columns={"size": "cnt"}))
+        return out.astype({"o_custkey": np.int64, "cnt": np.int64})
+
+    parts = orders.map_batches(part, batch_format="pandas")
+
+    def hist(cf: pd.DataFrame, of: pd.DataFrame) -> pd.DataFrame:
+        per = of.groupby("o_custkey").cnt.sum()
+        c_count = (cf.c_custkey.map(per).fillna(0).astype(np.int64)
+                   if len(cf) else pd.Series(dtype=np.int64))
+        out = (pd.DataFrame({"c_count": c_count})
+               .groupby("c_count", as_index=False).size()
+               .rename(columns={"size": "custdist"}))
+        return out.astype({"c_count": np.int64, "custdist": np.int64})
+
+    merged = bucketed_cogroup(cust, parts, ["c_custkey"], ["o_custkey"],
+                              hist, num_buckets=16).to_pandas()
+    out = (merged.groupby("c_count", as_index=False).custdist.sum()
+           .astype({"c_count": np.int64, "custdist": np.int64}))
+    return (out.sort_values(["custdist", "c_count"], ascending=False)
+            .reset_index(drop=True))
+
+
+SQL_CUSTDIST = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ------------------------------------------- gaps-and-islands streaks
+def q_user_streaks(sf_dir: str) -> rd.Dataset:
+    """Longest consecutive-active-DAY streak per user — the classic
+    gaps-and-islands on a distinct-day grid (user_scd2 islands on value
+    CHANGE; this islands on calendar ADJACENCY, the retention-streak
+    shape product analytics runs).
+
+    Shape at scale: per-batch distinct (user, day) partials (bounded by
+    users x days per batch) -> ONE user-bucketed exchange; the island
+    scan is one vectorized np.diff per user on its deduped sorted days
+    (bounded by the calendar span, not events)."""
+    from .grouping import bucketed_group_apply
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df.user_id.to_numpy(),
+            "d": _epoch_s(df.ts).to_numpy() // 86400}).drop_duplicates()
+        return out.astype({"user_id": np.int64, "d": np.int64})
+
+    parts = ev.map_batches(part, batch_format="pandas")
+
+    def streaks(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in df.groupby("user_id", sort=True):
+            days = np.unique(g.d.to_numpy())
+            brk = np.flatnonzero(np.diff(days) != 1)
+            runs = np.diff(np.r_[0, brk + 1, len(days)])
+            rows.append((uid, len(days), len(runs), int(runs.max())))
+        return pd.DataFrame(rows, columns=[
+            "user_id", "n_days", "n_streaks", "max_streak"]).astype(
+                np.int64)
+
+    return bucketed_group_apply(parts, ["user_id"], streaks,
+                                num_buckets=16).sort("user_id")
+
+
+SQL_USER_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d FROM events
+), grp AS (
+  SELECT user_id, d,
+         d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS g
+  FROM days
+), runs AS (
+  SELECT user_id, g, COUNT(*) AS run FROM grp GROUP BY 1, 2
+)
+SELECT user_id, CAST(SUM(run) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(run) AS BIGINT) AS max_streak
+FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------- Q22-shaped anti-join
+IDLE_CUTOFF = "2001-01-01"
+
+
+def q_idle_balance(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q22 shape: high-balance customers gone IDLE — balance
+    above the global average of positive-balance customers AND no order
+    on/after the cutoff — grouped by nation.  The global-scalar
+    threshold + anti-join composition.
+
+    Exactness: the average is never formed; the filter cross-multiplies
+    (bal_cents * n_pos > sum_pos_cents) in int64 — exact to ~9e16
+    customers x max balance.
+
+    Shape at scale: pass 1 is a two-int global (sum, count) reduce;
+    pass 2 pre-shrinks orders to distinct recent custkeys per batch,
+    then ONE custkey-bucketed LEFT cogroup does the anti-join and emits
+    per-nation partials (bounded by nations x buckets)."""
+    from .grouping import bucketed_cogroup
+
+    cust = _pq(sf_dir, "customer",
+               ["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    cutoff = np.datetime64(IDLE_CUTOFF)
+
+    def pos_part(df: pd.DataFrame) -> pd.DataFrame:
+        bal = _cents(df.c_acctbal)
+        keep = bal > 0
+        return pd.DataFrame({"s": [int(bal[keep].sum())],
+                             "n": [int(keep.sum())]}).astype(np.int64)
+
+    tot = cust.map_batches(pos_part, batch_format="pandas").to_pandas()
+    s_pos, n_pos = int(tot.s.sum()), int(tot.n.sum())
+
+    def recent(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df.o_orderdate.to_numpy() >= cutoff]
+        return (d[["o_custkey"]].drop_duplicates()
+                .astype({"o_custkey": np.int64}))
+
+    active = orders.map_batches(recent, batch_format="pandas")
+
+    def anti(cf: pd.DataFrame, of: pd.DataFrame) -> pd.DataFrame:
+        bal = _cents(cf.c_acctbal)
+        keep = (bal * n_pos > s_pos) & ~cf.c_custkey.isin(
+            set(of.o_custkey)).to_numpy()
+        d = pd.DataFrame({"c_nationkey": cf.c_nationkey.to_numpy()[keep],
+                          "bal": bal[keep]})
+        out = d.groupby("c_nationkey", as_index=False).agg(
+            n_cust=("bal", "size"), total_bal_cents=("bal", "sum"))
+        return out.astype(np.int64)
+
+    merged = bucketed_cogroup(cust, active, ["c_custkey"], ["o_custkey"],
+                              anti, num_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("c_nationkey", as_index=False).agg(
+            n_cust=("n_cust", "sum"),
+            total_bal_cents=("total_bal_cents", "sum"))
+        return out.astype(np.int64)
+
+    from .grouping import bucketed_group_apply
+    return bucketed_group_apply(merged, ["c_nationkey"], finish,
+                                num_buckets=4).sort("c_nationkey")
+
+
+SQL_IDLE_BALANCE = f"""
+WITH pos AS (
+  SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+), k AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer, pos
+  WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}')
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(bal) AS BIGINT) AS total_bal_cents
+FROM k GROUP BY 1 ORDER BY c_nationkey
+"""
+
+
+# ------------------------------------------ partition checksums
+def q_table_checksum(sf_dir: str) -> rd.Dataset:
+    """Order-independent per-bucket content checksums of the orders
+    table — the anti-entropy / replica-reconciliation primitive (two
+    replicas compare 64 (bucket, n_rows, xor-of-row-hashes) rows
+    instead of the table; a mismatched bucket localizes the repair).
+    XOR is the merge, so row order, block order and batch boundaries
+    are all irrelevant by construction.
+
+    Canonical row form: ints as decimal, money in cents, timestamps in
+    floored epoch seconds, '|'-joined — then md5's top 15 hex digits as
+    int64 (the repo's established SQL-reproducible hash).
+
+    Shape at scale: per-batch (bucket, xor, cnt) partials -> ONE
+    64-row-bounded bucketed merge.  Raw rows never reshuffle."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "orders",
+             ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df.o_totalprice)
+        es = _epoch_s(df.o_orderdate).to_numpy()
+        hv = np.fromiter(
+            (int(hashlib.md5(
+                f"{k}|{c}|{st}|{ct}|{e}|{pr}".encode()).hexdigest()[:15],
+                 16)
+             for k, c, st, ct, e, pr in zip(
+                 df.o_orderkey.to_numpy(), df.o_custkey.to_numpy(),
+                 df.o_orderstatus, cents, es, df.o_orderpriority)),
+            dtype=np.int64, count=len(df))
+        d = pd.DataFrame({"bucket": df.o_orderkey.to_numpy() % 64,
+                          "hv": hv})
+        out = d.groupby("bucket", as_index=False).agg(
+            n_rows=("hv", "size"),
+            checksum=("hv", lambda s: int(np.bitwise_xor.reduce(
+                s.to_numpy()))))
+        return out.astype(np.int64)
+
+    parts = ds.map_batches(part, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("bucket", as_index=False).agg(
+            n_rows=("n_rows", "sum"),
+            checksum=("checksum", lambda s: int(np.bitwise_xor.reduce(
+                s.to_numpy()))))
+        return out.astype(np.int64)
+
+    return bucketed_group_apply(parts, ["bucket"], merge,
+                                num_buckets=8).sort("bucket")
+
+
+SQL_TABLE_CHECKSUM = """
+WITH h AS (
+  SELECT o_orderkey % 64 AS bucket,
+         CAST(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|'
+             || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+             || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+             || '|'
+             || CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) AS VARCHAR)
+             || '|' || o_orderpriority), 1, 15)) AS BIGINT) AS hv
+  FROM orders)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(hv) AS BIGINT) AS checksum
+FROM h GROUP BY 1 ORDER BY bucket
+"""
+
+
 ANALYTICS_QUERIES = {
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "brand_pareto": (q_brand_pareto, SQL_BRAND_PARETO),
@@ -2420,4 +2685,8 @@ ANALYTICS_QUERIES = {
     "late_events": (q_late_events, SQL_LATE_EVENTS),
     "type_trend": (q_type_trend, SQL_TYPE_TREND),
     "value_quantile_sketch": (q_value_quantile_sketch, None),
+    "custdist": (q_custdist, SQL_CUSTDIST),
+    "user_streaks": (q_user_streaks, SQL_USER_STREAKS),
+    "idle_balance": (q_idle_balance, SQL_IDLE_BALANCE),
+    "table_checksum": (q_table_checksum, SQL_TABLE_CHECKSUM),
 }

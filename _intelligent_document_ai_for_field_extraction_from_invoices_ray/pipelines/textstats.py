@@ -1218,8 +1218,198 @@ FROM scored ORDER BY pmi_scaled DESC, a, b LIMIT {_PMI_TOPK}
 """
 
 
+# ------------------------------------------ first-occurrence novelty
+def q_gram_novelty(sf_dir: str) -> rd.Dataset:
+    """Per-doc 3-gram NOVELTY: the share of a doc's distinct word
+    3-grams whose global first occurrence (min doc_id) is this doc —
+    the contribution-vs-repetition audit a corpus curator runs before
+    adding a new crawl slice (a doc that introduces nothing is a dedup
+    candidate even when no single passage crosses dup_passages' bar).
+
+    Scale shape: stage 1 ships distinct (h1, h2, doc_id) gram anchors
+    (the 128-bit double siphash convention of dup_passages — gram text
+    never leaves the batch); stage 2 buckets by gram hash, computes
+    each gram's min doc_id with ONE vectorized transform, and emits
+    per-doc (n_grams, n_novel) partials already shrunk to docs-per-
+    bucket; stage 3 is a doc-bucketed sum LEFT-cogrouped against the
+    doc-id column so gramless docs report zeros.  Two content-sized
+    exchanges, histogram-sized output."""
+    from .grouping import bucketed_cogroup, bucketed_group_apply
+
+    K = 3
+    docs = _docs(sf_dir)
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ids, grams = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = t.lower().split()
+            for i in range(len(toks) - K + 1):
+                ids.append(d)
+                grams.append(" ".join(toks[i:i + K]))
+        g = pd.Series(grams, dtype=object)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype=np.int64),
+            "h1": pd.util.hash_pandas_object(g, index=False).to_numpy()
+                    .astype(np.int64),
+            "h2": pd.util.hash_pandas_object(
+                g, index=False, hash_key="gram_novelty_k2!").to_numpy()
+                    .astype(np.int64),
+        }).drop_duplicates()
+
+    anchors = docs.map_batches(explode, batch_format="pyarrow")
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()          # across-batch distinct
+        first = df.groupby(["h1", "h2"])["doc_id"].transform("min")
+        d = pd.DataFrame({
+            "doc_id": df.doc_id.to_numpy(),
+            "novel": (df.doc_id.to_numpy() == first.to_numpy())
+            .astype(np.int64)})
+        out = d.groupby("doc_id", as_index=False).agg(
+            n_grams=("novel", "size"), n_novel=("novel", "sum"))
+        return out.astype(np.int64)
+
+    partials = bucketed_group_apply(anchors, ["h1", "h2"], per_doc,
+                                    num_buckets=32)
+    ids = _docs(sf_dir, ("doc_id",))
+
+    def finish(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        per = rf.groupby("doc_id").agg(n_grams=("n_grams", "sum"),
+                                       n_novel=("n_novel", "sum"))
+        out = pd.DataFrame({"doc_id": lf.doc_id.to_numpy()})
+        out["n_grams"] = out.doc_id.map(per.n_grams).fillna(0)
+        out["n_novel"] = out.doc_id.map(per.n_novel).fillna(0)
+        out = out.astype(np.int64)
+        ng = out.n_grams.to_numpy()
+        out["novelty_milli"] = np.where(
+            ng > 0, (1000 * out.n_novel.to_numpy()) // np.maximum(ng, 1),
+            0).astype(np.int64)
+        return out
+
+    return bucketed_cogroup(ids, partials, ["doc_id"], ["doc_id"],
+                            finish, num_buckets=16).sort("doc_id")
+
+
+SQL_GRAM_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT DISTINCT doc_id,
+         arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+  FROM toks, unnest(generate_series(1, len(arr) - 2)) AS t(i)
+), firsts AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+), per AS (
+  SELECT gr.doc_id, COUNT(*) AS n_grams,
+         COUNT(*) FILTER (WHERE f.first_doc = gr.doc_id) AS n_novel
+  FROM grams gr JOIN firsts f ON f.g = gr.g GROUP BY 1
+)
+SELECT d.doc_id, CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(CASE WHEN p.n_grams IS NULL THEN 0
+            ELSE (1000 * p.n_novel) // p.n_grams END AS BIGINT)
+         AS novelty_milli
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ------------------------------------------- source vocabulary overlap
+def q_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise source-vocabulary Jaccard — the corpus-mixing overlap
+    matrix (how much of feed A's vocabulary feed B already covers).
+    Sources are a FIXED-cardinality dimension (like nation/region), so
+    the pair table is bounded; the vocabulary is not, and never leaves
+    the cluster: per-batch distinct (token-hash, source) partials
+    bucket by token, each bucket folds its tokens' source sets into
+    per-pair intersection counts and per-source vocab counts, and the
+    driver merges |sources|^2-bounded partials.  jaccard_milli =
+    1000*|A∩B| // (|A|+|B|-|A∩B|), exact integers end-to-end."""
+    from .grouping import bucketed_group_apply
+
+    docs = _docs(sf_dir, ("text", "source"))
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        srcs, toks = [], []
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for w in set(t.lower().split()):
+                srcs.append(s)
+                toks.append(w)
+        g = pd.Series(toks, dtype=object)
+        return pd.DataFrame({
+            "h1": pd.util.hash_pandas_object(g, index=False).to_numpy()
+                    .astype(np.int64),
+            "h2": pd.util.hash_pandas_object(
+                g, index=False, hash_key="vocab_overlap_2!").to_numpy()
+                    .astype(np.int64),
+            "source": pd.Series(srcs, dtype=object),
+        }).drop_duplicates()
+
+    anchors = docs.map_batches(part, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        size = (df.groupby("source", as_index=False).size()
+                .rename(columns={"size": "cnt"}))
+        m = df.merge(df, on=["h1", "h2"])
+        m = m[m.source_x < m.source_y]
+        inter = (m.groupby(["source_x", "source_y"], as_index=False)
+                 .size().rename(columns={"size": "cnt"}))
+        size["kind"] = np.int64(0)
+        size["source_x"] = size.source
+        size["source_y"] = size.source
+        inter["kind"] = np.int64(1)
+        out = pd.concat([size[["kind", "source_x", "source_y", "cnt"]],
+                         inter], ignore_index=True)
+        return out.astype({"kind": np.int64, "cnt": np.int64})
+
+    parts = bucketed_group_apply(anchors, ["h1", "h2"], fold,
+                                 num_buckets=32).to_pandas()
+    merged = parts.groupby(["kind", "source_x", "source_y"],
+                           as_index=False).cnt.sum()
+    vocab = (merged[merged.kind == 0].set_index("source_x").cnt)
+    inter = merged[merged.kind == 1]
+    va = inter.source_x.map(vocab).to_numpy()
+    vb = inter.source_y.map(vocab).to_numpy()
+    i = inter.cnt.to_numpy()
+    out = pd.DataFrame({
+        "src_a": inter.source_x.to_numpy(),
+        "src_b": inter.source_y.to_numpy(),
+        "inter": i.astype(np.int64),
+        "jaccard_milli": ((1000 * i) // (va + vb - i)).astype(np.int64)})
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+SQL_VOCAB_OVERLAP = r"""
+WITH ts AS (
+  SELECT DISTINCT tok, source FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+           source
+    FROM documents WHERE trim(text) <> '')
+), sz AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM ts GROUP BY 1
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS i
+  FROM ts a JOIN ts b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, i AS inter,
+       CAST((1000 * i) // (za.v + zb.v - i) AS BIGINT) AS jaccard_milli
+FROM inter
+JOIN sz za ON za.source = src_a
+JOIN sz zb ON zb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
 TEXT_QUERIES = {
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
+    "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
+    "vocab_overlap": (q_vocab_overlap, SQL_VOCAB_OVERLAP),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "pii_mask": (q_pii_mask, SQL_PII_MASK),

@@ -1,0 +1,157 @@
+"""Structural pins for the session-7 operator batch (value equality vs
+DuckDB is the driver gate; these localize semantics the hash alone
+wouldn't — order independence, boundary handling, conservation laws)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------ Q13 count-of-counts
+def test_custdist_conserves_customers(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_custdist,
+    )
+    out = q_custdist(SF)
+    n_cust = len(pq.read_table(f"{SF}/customer.parquet",
+                               columns=["c_custkey"]))
+    # every customer lands in exactly one histogram bin (zero included)
+    assert int(out.custdist.sum()) == n_cust
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_custkey", "o_orderpriority"]).to_pandas()
+    kept = od[od.o_orderpriority != "1-URGENT"]
+    # total order mass is conserved: sum(c_count * custdist) = kept orders
+    assert int((out.c_count * out.custdist).sum()) == len(kept)
+
+
+# ------------------------------------------------ gaps-and-islands
+def test_user_streaks_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_user_streaks,
+    )
+    out = q_user_streaks(SF).to_pandas().set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["d"] = ev.ts.astype("datetime64[ns]").astype("int64") \
+        // 1_000_000_000 // 86400
+    for uid, g in ev.groupby("user_id"):
+        days = np.unique(g.d.to_numpy())
+        runs, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        row = out.loc[uid]
+        assert row.n_days == len(days)
+        assert row.n_streaks == len(runs)
+        assert row.max_streak == max(runs)
+
+
+# ------------------------------------------------ Q22-shaped anti-join
+def test_idle_balance_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        IDLE_CUTOFF,
+        q_idle_balance,
+    )
+    out = q_idle_balance(SF).to_pandas().set_index("c_nationkey")
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_custkey", "o_orderdate"]).to_pandas()
+    bal = np.round(cu.c_acctbal.to_numpy() * 100).astype(np.int64)
+    pos = bal[bal > 0]
+    active = set(od[od.o_orderdate >= pd.Timestamp(IDLE_CUTOFF)].o_custkey)
+    keep = (bal * len(pos) > int(pos.sum())) \
+        & ~cu.c_custkey.isin(active).to_numpy()
+    want = pd.DataFrame({
+        "n": cu.c_nationkey.to_numpy()[keep],
+        "bal": bal[keep]}).groupby("n").agg(
+            n_cust=("bal", "size"), total=("bal", "sum"))
+    assert len(out) == len(want)
+    for n, row in want.iterrows():
+        assert out.loc[n].n_cust == row.n_cust
+        assert out.loc[n].total_bal_cents == row.total
+    assert keep.sum() > 0               # cutoff is non-trivial at sf0.001
+
+
+# ------------------------------------------------ partition checksums
+def test_table_checksum_order_independent(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_table_checksum,
+    )
+    out = q_table_checksum(SF).to_pandas().set_index("bucket")
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    # brute force over a REVERSED row order — XOR must not care
+    od = od.iloc[::-1].reset_index(drop=True)
+    cents = np.round(od.o_totalprice.to_numpy() * 100).astype(np.int64)
+    es = od.o_orderdate.astype("datetime64[ns]").astype("int64") \
+        // 1_000_000_000
+    agg: dict[int, tuple[int, int]] = {}
+    for k, c, st, ct, e, pr in zip(od.o_orderkey, od.o_custkey,
+                                   od.o_orderstatus, cents, es,
+                                   od.o_orderpriority):
+        hv = int(hashlib.md5(
+            f"{k}|{c}|{st}|{ct}|{e}|{pr}".encode()).hexdigest()[:15], 16)
+        b = int(k) % 64
+        n, x = agg.get(b, (0, 0))
+        agg[b] = (n + 1, x ^ hv)
+    assert len(out) == len(agg)
+    for b, (n, x) in agg.items():
+        assert out.loc[b].n_rows == n
+        assert out.loc[b].checksum == x
+
+
+# ------------------------------------------------ novelty conservation
+def test_gram_novelty_invariants(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import (
+        q_gram_novelty,
+    )
+    out = q_gram_novelty(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    grams_by_doc = {}
+    for d, t in zip(docs.doc_id, docs.text):
+        toks = t.lower().split()
+        grams_by_doc[d] = {" ".join(toks[i:i + 3])
+                           for i in range(len(toks) - 2)}
+    all_grams = set().union(*grams_by_doc.values())
+    # conservation: every distinct gram is novel in exactly one doc
+    assert int(out.n_novel.sum()) == len(all_grams)
+    byid = out.set_index("doc_id")
+    for d, gs in grams_by_doc.items():
+        assert byid.loc[d].n_grams == len(gs)
+    # the lowest doc_id that has grams is 100% novel
+    first = min(d for d, gs in grams_by_doc.items() if gs)
+    assert byid.loc[first].novelty_milli == 1000
+
+
+# ------------------------------------------------ vocabulary overlap
+def test_vocab_overlap_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import (
+        q_vocab_overlap,
+    )
+    out = q_vocab_overlap(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    vocab: dict[str, set] = {}
+    for s, t in zip(docs.source, docs.text):
+        vocab.setdefault(s, set()).update(t.lower().split())
+    srcs = sorted(vocab)
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            if inter:
+                want[(a, b)] = (inter, 1000 * inter
+                                // len(vocab[a] | vocab[b]))
+    got = {(r.src_a, r.src_b): (r.inter, r.jaccard_milli)
+           for r in out.itertuples()}
+    assert got == want
