@@ -396,7 +396,8 @@ _GATE_ORDER = [
     "orc_source_stats", "ipc_source_stats", "winnow_fingerprint",
     "winnow_pairs", "shipping_priority", "source_lang_chi2",
     "custdist", "user_streaks", "idle_balance", "table_checksum",
-    "vocab_overlap", "gram_novelty",
+    "vocab_overlap", "gram_novelty", "small_qty_revenue", "fk_audit",
+    "first_touch", "user_kendall",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",

@@ -2650,6 +2650,344 @@ FROM h GROUP BY 1 ORDER BY bucket
 """
 
 
+# ------------------------------------- Q17 decorrelated self-aggregate
+def q_small_qty_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q17 shape: revenue locked in SMALL orders — lineitems whose
+    quantity is below 20% of their part's average — per brand.  The
+    canonical correlated-subquery-over-the-same-fact decorrelation:
+    aggregate the fact per key, join the fact back to its own aggregate.
+
+    Exactness: the 0.2·avg threshold is never a float —
+    5·q·n_part < sum_q_part cross-multiplied in int64 (quantities are
+    integer-valued in this corpus; round() pins the cast).
+
+    Shape at scale: per-batch (partkey, Σq, n) combiners -> ONE
+    partkey-bucketed cogroup of the slimmed fact rows (partkey, q,
+    cents) against their own stats (the single content-sized exchange
+    Q17 fundamentally needs) -> per-part survivors pre-aggregate in
+    bucket -> ONE vocabulary-sized cogroup against the part dim for the
+    brand -> bounded brand merge."""
+    from .grouping import bucketed_cogroup, bucketed_group_apply
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_partkey", "l_quantity", "l_extendedprice"])
+    parts = _pq(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def stats_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "l_partkey": df.l_partkey.to_numpy(),
+            "sq": np.round(df.l_quantity.to_numpy()).astype(np.int64)})
+        out = d.groupby("l_partkey", as_index=False).agg(
+            sq=("sq", "sum"), n=("sq", "size"))
+        return out.astype(np.int64)
+
+    stats = li.map_batches(stats_part, batch_format="pandas")
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": df.l_partkey.to_numpy().astype(np.int64),
+            "q": np.round(df.l_quantity.to_numpy()).astype(np.int64),
+            "cents": _cents(df.l_extendedprice)})
+
+    rows = li.map_batches(slim, batch_format="pandas")
+
+    def qualify(rf: pd.DataFrame, sf: pd.DataFrame) -> pd.DataFrame:
+        s = sf.groupby("l_partkey").agg(sq=("sq", "sum"), n=("n", "sum"))
+        sq = rf.l_partkey.map(s.sq).to_numpy()
+        n = rf.l_partkey.map(s.n).to_numpy()
+        keep = 5 * rf.q.to_numpy() * n < sq
+        d = rf[keep]
+        out = d.groupby("l_partkey", as_index=False).agg(
+            n_items=("cents", "size"), rev_cents=("cents", "sum"))
+        return out.astype(np.int64)
+
+    qual = bucketed_cogroup(rows, stats, ["l_partkey"], ["l_partkey"],
+                            qualify, num_buckets=16)
+
+    def brandify(qf: pd.DataFrame, pf: pd.DataFrame) -> pd.DataFrame:
+        m = qf.merge(pf.rename(columns={"p_partkey": "l_partkey"}),
+                     on="l_partkey", how="inner")
+        out = m.groupby("p_brand", as_index=False).agg(
+            n_items=("n_items", "sum"), rev_cents=("rev_cents", "sum"))
+        return out.astype({"n_items": np.int64, "rev_cents": np.int64})
+
+    branded = bucketed_cogroup(qual, parts, ["l_partkey"], ["p_partkey"],
+                               brandify, num_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("p_brand", as_index=False).agg(
+            n_items=("n_items", "sum"), rev_cents=("rev_cents", "sum"))
+        return out.astype({"n_items": np.int64, "rev_cents": np.int64})
+
+    return bucketed_group_apply(branded, ["p_brand"], finish,
+                                num_buckets=8).sort("p_brand")
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH s AS (
+  SELECT l_partkey, SUM(CAST(round(l_quantity) AS BIGINT)) AS sq,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+), q AS (
+  SELECT l.l_partkey,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l JOIN s ON s.l_partkey = l.l_partkey
+  WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * s.n < s.sq
+)
+SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(q.cents) AS BIGINT) AS rev_cents
+FROM q JOIN part p ON p.p_partkey = q.l_partkey
+GROUP BY 1 ORDER BY p_brand
+"""
+
+
+# ------------------------------------------ referential-integrity audit
+_FK_RELATIONS = [
+    # (label, child table, child key col, parent table, parent key col)
+    ("customer->nation", "customer", "c_nationkey", "nation",
+     "n_nationkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders",
+     "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+     "s_suppkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation",
+     "n_nationkey"),
+]
+
+
+def q_fk_audit(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit over every foreign key in the star —
+    the ingestion-QA gate a warehouse load runs before publishing a
+    snapshot (orphan children mean a torn load or an out-of-order CDC
+    apply).  Reports child row count, orphan ROW count and orphan KEY
+    count per relation; all-zero orphan columns are the assertion, not
+    a tautology — the oracle checks the counts, a corrupted load would
+    go red.
+
+    Shape at scale: per relation, per-batch (key, cnt) combiners ->
+    ONE key-bucketed cogroup against the parent key column; each
+    bucket emits ONE (n_rows, orphan_rows, orphan_keys) triple, so the
+    driver merge is |relations| x buckets rows.  Child rows never
+    reshuffle; parent tables ship key columns only."""
+    from .grouping import bucketed_cogroup
+
+    out_rows = []
+    for label, child, ckey, parent, pkey in _FK_RELATIONS:
+        cds = _pq(sf_dir, child, [ckey])
+        pds = _pq(sf_dir, parent, [pkey])
+
+        def part(df: pd.DataFrame, _k=ckey) -> pd.DataFrame:
+            out = (df.groupby(_k, as_index=False).size()
+                   .rename(columns={"size": "cnt"}))
+            return out.astype(np.int64)
+
+        def audit(cf: pd.DataFrame, pf: pd.DataFrame,
+                  _k=ckey, _p=pkey) -> pd.DataFrame:
+            orphan = ~cf[_k].isin(set(pf[_p])).to_numpy()
+            return pd.DataFrame({
+                "n_rows": [int(cf.cnt.sum())],
+                "orphan_rows": [int(cf.cnt.to_numpy()[orphan].sum())],
+                "orphan_keys": [int(orphan.sum())]}).astype(np.int64)
+
+        parts = cds.map_batches(part, batch_format="pandas")
+        merged = bucketed_cogroup(parts, pds, [ckey], [pkey], audit,
+                                  num_buckets=8).to_pandas()
+        out_rows.append((label, int(merged.n_rows.sum()),
+                         int(merged.orphan_rows.sum()),
+                         int(merged.orphan_keys.sum())))
+    out = pd.DataFrame(out_rows, columns=[
+        "relation", "n_rows", "orphan_rows", "orphan_keys"])
+    return (out.sort_values("relation").reset_index(drop=True)
+            .astype({"n_rows": np.int64, "orphan_rows": np.int64,
+                     "orphan_keys": np.int64}))
+
+
+def _fk_audit_sql() -> str:
+    selects = []
+    for label, child, ckey, parent, pkey in _FK_RELATIONS:
+        selects.append(f"""
+SELECT '{label}' AS relation,
+       CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM {child} c WHERE NOT EXISTS
+             (SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey}))
+            AS BIGINT) AS orphan_rows,
+       CAST((SELECT COUNT(DISTINCT {ckey}) FROM {child} c WHERE NOT EXISTS
+             (SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey}))
+            AS BIGINT) AS orphan_keys""")
+    return " UNION ALL ".join(selects) + " ORDER BY relation"
+
+
+SQL_FK_AUDIT = _fk_audit_sql()
+
+
+# --------------------------------------------- first-touch attribution
+def q_first_touch(sf_dir: str) -> pd.DataFrame:
+    """First-touch conversion attribution: each purchase is credited to
+    the event TYPE that OPENED its session (30-min inactivity gap, the
+    exact user_sessions boundary rule) — the marketing-attribution shape
+    product analytics runs on top of sessionization.
+
+    Shape at scale: ONE user-bucketed exchange; sessionize + first-row
+    pick + purchase count are all vectorized inside the bucket, which
+    emits (first_type, n_sessions, n_purchases) partials bounded by
+    |event types|; driver merge is types x buckets rows."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts",
+                                "event_type"])
+    gap_ns = 30 * 60 * 1_000_000_000
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        ns = df.ts.astype("datetime64[ns]").astype("int64")
+        new_session = (df.user_id != df.user_id.shift()) | \
+                      (ns - ns.shift() > gap_ns)
+        sid = new_session.cumsum()
+        first_type = df.event_type.groupby(sid.to_numpy()).transform(
+            "first")
+        d = pd.DataFrame({
+            "first_type": first_type.to_numpy(),
+            "sid": sid.to_numpy(),
+            "purchase": (df.event_type == "purchase").to_numpy()
+            .astype(np.int64)})
+        per = d.groupby(["first_type", "sid"], as_index=False).agg(
+            np=("purchase", "sum"))
+        out = per.groupby("first_type", as_index=False).agg(
+            n_sessions=("np", "size"), n_purchases=("np", "sum"))
+        return out.astype({"n_sessions": np.int64,
+                           "n_purchases": np.int64})
+
+    parts = bucketed_group_apply(ds, ["user_id"], attribute,
+                                 num_buckets=16).to_pandas()
+    out = (parts.groupby("first_type", as_index=False).agg(
+        n_sessions=("n_sessions", "sum"),
+        n_purchases=("n_purchases", "sum"))
+        .astype({"n_sessions": np.int64, "n_purchases": np.int64}))
+    return out.sort_values("first_type").reset_index(drop=True)
+
+
+SQL_FIRST_TOUCH = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                               ORDER BY ts, event_id) AS rn
+  FROM s
+), f AS (
+  SELECT user_id, sid,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+  FROM r GROUP BY 1, 2
+)
+SELECT first_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(np) AS BIGINT) AS n_purchases
+FROM f GROUP BY 1 ORDER BY first_type
+"""
+
+
+# ------------------------------------------- Kendall rank concordance
+def _count_inversions(vals: np.ndarray) -> int:
+    """Strict inversions (# pairs i<j with vals[i] > vals[j]) in
+    O(n log^2 n), fully vectorized: bottom-up mergesort where each
+    level counts cross-run pairs with ONE flattened row-offset
+    searchsorted (pads rank n sit in the global suffix, so a padded
+    A-run implies an all-pad B-run and pads can never miscount)."""
+    n = len(vals)
+    if n < 2:
+        return 0
+    sv = np.sort(vals)
+    ranks = np.searchsorted(sv, vals).astype(np.int64)    # ties share rank
+    k = 1 << int(n - 1).bit_length()
+    a = np.concatenate([ranks, np.full(k - n, n, dtype=np.int64)])
+    inv, run = 0, 1
+    while run < k:
+        m = k // (2 * run)
+        pairs = a.reshape(m, 2, run)
+        A = np.sort(pairs[:, 0, :], axis=1)
+        B = pairs[:, 1, :]
+        off = np.arange(m, dtype=np.int64)[:, None] * np.int64(n + 2)
+        pos = np.searchsorted((A + off).ravel(), (B + off).ravel(),
+                              side="right")
+        within = pos.reshape(m, run) - np.arange(m)[:, None] * run
+        inv += int((run - within).sum())
+        a = np.sort(pairs.reshape(m, 2 * run), axis=1).ravel()
+        run *= 2
+    return inv
+
+
+def q_user_kendall(sf_dir: str) -> rd.Dataset:
+    """Kendall tau-a concordance between EVENT ORDER and VALUE per user
+    — "do this user's spends trend with time?" as a rank statistic, the
+    nonparametric cousin of type_trend's OLS slope.  Discordant pairs
+    are strict inversions of the value sequence in (ts, event_id)
+    order; ties count to neither side; tau_milli =
+    floor(1000·(C−D)/total) in exact integers.
+
+    Shape at scale: ONE user-bucketed exchange; the per-user inversion
+    count is the vectorized O(n log^2 n) merge counter above (no
+    per-pair work, no Python DP), so a heavy user costs log-factors
+    over linear, not n^2."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def kendall(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in df.groupby("user_id", sort=True):
+            g = g.sort_values(["ts", "event_id"])
+            v = _cents(g.value)
+            n = len(v)
+            total = n * (n - 1) // 2
+            d = _count_inversions(v)
+            _, cnt = np.unique(v, return_counts=True)
+            t = int((cnt * (cnt - 1) // 2).sum())
+            tau = int((1000 * (total - t - 2 * d)) // total) if total \
+                else 0
+            rows.append((uid, n, total, d, tau))
+        return pd.DataFrame(rows, columns=[
+            "user_id", "n_events", "n_pairs", "n_discordant",
+            "tau_milli"]).astype(np.int64)
+
+    return bucketed_group_apply(ds, ["user_id"], kendall,
+                                num_buckets=16).sort("user_id")
+
+
+SQL_USER_KENDALL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), p AS (
+  SELECT a.user_id,
+         SUM(CASE WHEN a.v > b.v THEN 1 ELSE 0 END) AS d,
+         SUM(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS t,
+         COUNT(*) AS tot
+  FROM e a JOIN e b ON a.user_id = b.user_id
+       AND (a.tus < b.tus OR (a.tus = b.tus AND a.event_id < b.event_id))
+  GROUP BY 1
+), n AS (SELECT user_id, COUNT(*) AS n FROM e GROUP BY 1)
+SELECT n.user_id, CAST(n.n AS BIGINT) AS n_events,
+       CAST(COALESCE(p.tot, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(p.d, 0) AS BIGINT) AS n_discordant,
+       CAST(CASE WHEN p.tot IS NULL OR p.tot = 0 THEN 0 ELSE
+         (1000*(p.tot - p.t - 2*p.d)
+          - ((((1000*(p.tot - p.t - 2*p.d)) % p.tot) + p.tot) % p.tot))
+         // p.tot END AS BIGINT) AS tau_milli
+FROM n LEFT JOIN p ON p.user_id = n.user_id ORDER BY n.user_id
+"""
+
+
 ANALYTICS_QUERIES = {
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "brand_pareto": (q_brand_pareto, SQL_BRAND_PARETO),
@@ -2689,4 +3027,8 @@ ANALYTICS_QUERIES = {
     "user_streaks": (q_user_streaks, SQL_USER_STREAKS),
     "idle_balance": (q_idle_balance, SQL_IDLE_BALANCE),
     "table_checksum": (q_table_checksum, SQL_TABLE_CHECKSUM),
+    "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
+    "fk_audit": (q_fk_audit, SQL_FK_AUDIT),
+    "first_touch": (q_first_touch, SQL_FIRST_TOUCH),
+    "user_kendall": (q_user_kendall, SQL_USER_KENDALL),
 }

@@ -155,3 +155,116 @@ def test_vocab_overlap_brute_force(ray_session) -> None:
     got = {(r.src_a, r.src_b): (r.inter, r.jaccard_milli)
            for r in out.itertuples()}
     assert got == want
+
+
+# ------------------------------------------------ inversion counter
+def test_count_inversions_brute_force() -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        _count_inversions,
+    )
+    rng = np.random.default_rng(7)
+    cases = [np.array([], dtype=np.int64), np.array([5]),
+             np.array([1, 2, 3]), np.array([3, 2, 1]),
+             np.array([2, 2, 2, 2])]
+    for n in (2, 3, 7, 8, 16, 33, 100, 257):
+        cases.append(rng.integers(0, 10, n))       # heavy ties
+        cases.append(rng.integers(0, 10**9, n))    # distinct-ish
+    for v in cases:
+        want = sum(int(v[i] > v[j])
+                   for i in range(len(v)) for j in range(i + 1, len(v)))
+        assert _count_inversions(np.asarray(v, dtype=np.int64)) == want
+
+
+# ------------------------------------------------ Kendall vs brute force
+def test_user_kendall_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_user_kendall,
+    )
+    out = q_user_kendall(SF).to_pandas().set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["v"] = np.round(ev.value.to_numpy() * 100).astype(np.int64)
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        v = g.v.to_numpy()
+        n = len(v)
+        d = sum(int(v[i] > v[j])
+                for i in range(n) for j in range(i + 1, n))
+        t = sum(int(v[i] == v[j])
+                for i in range(n) for j in range(i + 1, n))
+        total = n * (n - 1) // 2
+        row = out.loc[uid]
+        assert row.n_pairs == total
+        assert row.n_discordant == d
+        assert row.tau_milli == (1000 * (total - t - 2 * d)) // total
+
+
+# ------------------------------------------------ attribution conservation
+def test_first_touch_conserves_purchases(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_first_touch,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
+        q_user_sessions,
+    )
+    out = q_first_touch(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type"]).to_pandas()
+    # every purchase lands in exactly one session's credit
+    assert int(out.n_purchases.sum()) == int((ev.event_type ==
+                                              "purchase").sum())
+    # every session has exactly one first-touch type
+    n_sessions = q_user_sessions(SF).count()
+    assert int(out.n_sessions.sum()) == n_sessions
+
+
+# ------------------------------------------------ fk audit detects orphans
+def test_fk_audit_detects_injected_orphans(ray_session, tmp_path) -> None:
+    import pyarrow as pa
+    import shutil
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_fk_audit,
+    )
+    clean = q_fk_audit(SF)
+    assert (clean.orphan_rows == 0).all()
+    assert (clean.orphan_keys == 0).all()
+    # corrupt a copy: give 3 orders a custkey no customer has (2 distinct)
+    for t in ("customer", "orders", "lineitem", "part", "supplier",
+              "nation", "region"):
+        shutil.copy(f"{SF}/{t}.parquet", tmp_path / f"{t}.parquet")
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    bad = od.head(3).copy()
+    bad["o_custkey"] = np.int64(10**12) + np.array([0, 0, 1])
+    bad["o_orderkey"] = od.o_orderkey.max() + np.arange(1, 4)
+    corrupted = pd.concat([od, bad], ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(corrupted, preserve_index=False),
+                   tmp_path / "orders.parquet")
+    dirty = q_fk_audit(str(tmp_path)).set_index("relation")
+    assert dirty.loc["orders->customer"].orphan_rows == 3
+    assert dirty.loc["orders->customer"].orphan_keys == 2
+    assert dirty.loc["orders->customer"].n_rows == len(od) + 3
+    # the other relations stay clean
+    assert dirty.drop("orders->customer").orphan_rows.sum() == 0
+
+
+# ------------------------------------------------ Q17 brute force
+def test_small_qty_revenue_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_small_qty_revenue,
+    )
+    out = q_small_qty_revenue(SF).to_pandas().set_index("p_brand")
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    pt = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    li["q"] = np.round(li.l_quantity.to_numpy()).astype(np.int64)
+    li["cents"] = np.round(li.l_extendedprice.to_numpy() * 100) \
+        .astype(np.int64)
+    st = li.groupby("l_partkey").agg(sq=("q", "sum"), n=("q", "size"))
+    keep = li[5 * li.q.to_numpy()
+              * li.l_partkey.map(st.n).to_numpy()
+              < li.l_partkey.map(st.sq).to_numpy()]
+    m = keep.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    want = m.groupby("p_brand").agg(n_items=("cents", "size"),
+                                    rev=("cents", "sum"))
+    assert len(out) == len(want)
+    for b, row in want.iterrows():
+        assert out.loc[b].n_items == row.n_items
+        assert out.loc[b].rev_cents == row.rev
