@@ -397,7 +397,8 @@ _GATE_ORDER = [
     "winnow_pairs", "shipping_priority", "source_lang_chi2",
     "custdist", "user_streaks", "idle_balance", "table_checksum",
     "vocab_overlap", "gram_novelty", "small_qty_revenue", "fk_audit",
-    "first_touch", "user_kendall",
+    "first_touch", "user_kendall", "disjunctive_revenue", "market_share",
+    "above_median_orders", "orders_yoy",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",

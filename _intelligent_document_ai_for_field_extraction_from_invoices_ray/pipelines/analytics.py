@@ -2988,6 +2988,313 @@ FROM n LEFT JOIN p ON p.user_id = n.user_id ORDER BY n.user_id
 """
 
 
+# ------------------------------------- Q19 disjunctive predicate join
+_Q19_CLAUSES = [
+    # (label, brand, size_lo, size_hi, qty_lo, qty_hi) — all inclusive
+    ("c1", "Brand#12", 1, 10, 1, 11),
+    ("c2", "Brand#23", 10, 20, 10, 20),
+    ("c3", "Brand#34", 20, 35, 20, 30),
+]
+
+
+def q_disjunctive_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    BOTH join sides (part attrs AND lineitem quantity per disjunct) —
+    the shape that defeats naive predicate pushdown because no single
+    conjunct can be pushed below the join.  Reported per clause so the
+    result localizes which disjunct drifted.
+
+    Shape at scale: lineitem pre-slims to (partkey, q, cents) with the
+    UNION of the quantity ranges pushed down (rows outside every qty
+    window never ship); ONE partkey-bucketed cogroup against the part
+    dim evaluates all clauses vectorized; per-clause partials merge in
+    a bounded final."""
+    from .grouping import bucketed_cogroup, bucketed_group_apply
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_partkey", "l_quantity", "l_extendedprice"])
+    parts = _pq(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    qlo = min(c[4] for c in _Q19_CLAUSES)
+    qhi = max(c[5] for c in _Q19_CLAUSES)
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.round(df.l_quantity.to_numpy()).astype(np.int64)
+        keep = (q >= qlo) & (q <= qhi)          # union-of-ranges pushdown
+        return pd.DataFrame({
+            "l_partkey": df.l_partkey.to_numpy()[keep].astype(np.int64),
+            "q": q[keep], "cents": _cents(df.l_extendedprice)[keep]})
+
+    rows = li.map_batches(slim, batch_format="pandas")
+
+    def clauses(rf: pd.DataFrame, pf: pd.DataFrame) -> pd.DataFrame:
+        m = rf.merge(pf.rename(columns={"p_partkey": "l_partkey"}),
+                     on="l_partkey", how="inner")
+        out = []
+        q = m.q.to_numpy()
+        size = m.p_size.to_numpy()
+        for label, brand, slo, shi, lo, hi in _Q19_CLAUSES:
+            keep = ((m.p_brand == brand).to_numpy()
+                    & (size >= slo) & (size <= shi)
+                    & (q >= lo) & (q <= hi))
+            out.append((label, int(keep.sum()),
+                        int(m.cents.to_numpy()[keep].sum())))
+        return pd.DataFrame(out, columns=[
+            "clause", "n_items", "rev_cents"]).astype(
+                {"n_items": np.int64, "rev_cents": np.int64})
+
+    merged = bucketed_cogroup(rows, parts, ["l_partkey"], ["p_partkey"],
+                              clauses, num_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("clause", as_index=False).agg(
+            n_items=("n_items", "sum"), rev_cents=("rev_cents", "sum"))
+        return out.astype({"n_items": np.int64, "rev_cents": np.int64})
+
+    return bucketed_group_apply(merged, ["clause"], finish,
+                                num_buckets=4).sort("clause")
+
+
+def _disjunctive_sql() -> str:
+    selects = []
+    for label, brand, slo, shi, lo, hi in _Q19_CLAUSES:
+        selects.append(f"""
+SELECT '{label}' AS clause, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COALESCE(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)),
+                     0) AS BIGINT) AS rev_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = '{brand}' AND p.p_size BETWEEN {slo} AND {shi}
+  AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN {lo} AND {hi}""")
+    return " UNION ALL ".join(selects) + " ORDER BY clause"
+
+
+SQL_DISJUNCTIVE_REVENUE = _disjunctive_sql()
+
+
+# ---------------------------------------------- Q8 market share
+MS_REGION = "ASIA"
+MS_NATION = "NATION_2"
+
+
+def q_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape: NATION_2 suppliers' share of revenue sold to
+    ASIA customers, per order year — the two-dimension-path join
+    (supplier->nation on one leg, customer->nation->region on the
+    other) whose answer is a ratio of two aggregates over the same
+    join tree.
+
+    Shape at scale: nation/region are FIXED-cardinality dims — their
+    keys broadcast as plain sets (the region_customers convention);
+    customer, supplier, orders, lineitem all co-partition through
+    bucketed cogroups (custkey -> suppkey -> orderkey), each stage
+    emitting slimmed columns only.  Per-year partials are bounded;
+    share_milli = 1000*nation_cents // total_cents exact."""
+    from .grouping import bucketed_cogroup
+
+    nat = _pq(sf_dir, "nation",
+              ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia_rk = int(reg[reg.r_name == MS_REGION].r_regionkey.iloc[0])
+    asia_nations = set(nat[nat.n_regionkey == asia_rk].n_nationkey)
+    target_nk = int(nat[nat.n_name == MS_NATION].n_nationkey.iloc[0])
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_extendedprice"])
+    supp = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def o_slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df.o_orderkey.to_numpy().astype(np.int64),
+            "o_custkey": df.o_custkey.to_numpy().astype(np.int64),
+            "yr": df.o_orderdate.dt.year.to_numpy().astype(np.int64)})
+
+    def asia_orders(of: pd.DataFrame, cf: pd.DataFrame) -> pd.DataFrame:
+        keep_c = set(cf.c_custkey[cf.c_nationkey.isin(asia_nations)])
+        keep = of.o_custkey.isin(keep_c).to_numpy()
+        return of[keep][["o_orderkey", "yr"]]
+
+    ao = bucketed_cogroup(orders.map_batches(o_slim,
+                                             batch_format="pandas"),
+                          cust, ["o_custkey"], ["c_custkey"],
+                          asia_orders, num_buckets=16)
+
+    def li_slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df.l_orderkey.to_numpy().astype(np.int64),
+            "l_suppkey": df.l_suppkey.to_numpy().astype(np.int64),
+            "cents": _cents(df.l_extendedprice)})
+
+    def tag_nation(lf: pd.DataFrame, sf: pd.DataFrame) -> pd.DataFrame:
+        target = set(sf.s_suppkey[sf.s_nationkey == target_nk])
+        out = lf[["l_orderkey", "cents"]].copy()
+        out["is_nat"] = lf.l_suppkey.isin(target).to_numpy() \
+            .astype(np.int64)
+        return out
+
+    tagged = bucketed_cogroup(li.map_batches(li_slim,
+                                             batch_format="pandas"),
+                              supp, ["l_suppkey"], ["s_suppkey"],
+                              tag_nation, num_buckets=16)
+
+    def per_year(af: pd.DataFrame, tf: pd.DataFrame) -> pd.DataFrame:
+        m = tf.merge(af.rename(columns={"o_orderkey": "l_orderkey"}),
+                     on="l_orderkey", how="inner")
+        m["nat_cents"] = m.cents.to_numpy() * m.is_nat.to_numpy()
+        out = m.groupby("yr", as_index=False).agg(
+            total_cents=("cents", "sum"), nation_cents=("nat_cents",
+                                                         "sum"))
+        return out.astype(np.int64)
+
+    parts = bucketed_cogroup(ao, tagged, ["o_orderkey"], ["l_orderkey"],
+                             per_year, num_buckets=16).to_pandas()
+    out = parts.groupby("yr", as_index=False).agg(
+        total_cents=("total_cents", "sum"),
+        nation_cents=("nation_cents", "sum")).astype(np.int64)
+    out["share_milli"] = (1000 * out.nation_cents.to_numpy()
+                          // out.total_cents.to_numpy()).astype(np.int64)
+    return out.sort_values("yr").reset_index(drop=True)
+
+
+SQL_MARKET_SHARE = f"""
+WITH base AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+         CASE WHEN sn.n_name = '{MS_NATION}' THEN 1 ELSE 0 END AS is_nat
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = '{MS_REGION}'
+)
+SELECT yr, CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(cents * is_nat) AS BIGINT) AS nation_cents,
+       CAST((1000 * SUM(cents * is_nat)) // SUM(cents) AS BIGINT)
+         AS share_milli
+FROM base GROUP BY yr ORDER BY yr
+"""
+
+
+# --------------------------------------- above-customer-median orders
+def q_above_median_orders(sf_dir: str) -> pd.DataFrame:
+    """Orders strictly above their OWN customer's (lower) median order
+    value, aggregated per priority — Q17's decorrelation shape with a
+    MEDIAN, which unlike avg is not a semilattice: the per-key
+    statistic needs the key's full value multiset co-located, which is
+    exactly what ONE custkey-bucketed exchange provides.
+
+    The in-bucket median is vectorized (sort once, pick each group's
+    (n-1)//2-th element via run-boundary arithmetic — no per-group
+    Python).  Per-priority partials merge in a bounded final."""
+    from .grouping import bucketed_group_apply
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_custkey", "o_totalprice", "o_orderpriority"])
+
+    def above(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "k": df.o_custkey.to_numpy().astype(np.int64),
+            "cents": _cents(df.o_totalprice),
+            "pri": df.o_orderpriority.to_numpy()})
+        s = d.sort_values(["k", "cents"])
+        keys = s.k.to_numpy()
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        sizes = np.diff(np.r_[starts, len(s)])
+        med_at = starts + (sizes - 1) // 2
+        med = pd.Series(s.cents.to_numpy()[med_at], index=keys[starts])
+        keep = d.cents.to_numpy() > d.k.map(med).to_numpy()
+        out = d[keep].groupby("pri", as_index=False).agg(
+            n_orders=("cents", "size"), rev_cents=("cents", "sum"))
+        return out.astype({"n_orders": np.int64, "rev_cents": np.int64})
+
+    parts = bucketed_group_apply(orders, ["o_custkey"], above,
+                                 num_buckets=16).to_pandas()
+    out = (parts.groupby("pri", as_index=False).agg(
+        n_orders=("n_orders", "sum"), rev_cents=("rev_cents", "sum"))
+        .rename(columns={"pri": "o_orderpriority"})
+        .astype({"n_orders": np.int64, "rev_cents": np.int64}))
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_ABOVE_MEDIAN_ORDERS = """
+WITH o AS (
+  SELECT o_custkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM o
+), m AS (
+  SELECT o_custkey, MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+           AS med
+  FROM r GROUP BY 1
+)
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.cents) AS BIGINT) AS rev_cents
+FROM o JOIN m ON m.o_custkey = o.o_custkey
+WHERE o.cents > m.med
+GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
+# ------------------------------------------------ year-over-year growth
+def q_orders_yoy(sf_dir: str) -> pd.DataFrame:
+    """Year-over-year revenue growth — the period-over-period report:
+    per-batch (year, cents) combiners -> a years-sized driver series ->
+    LAG + exact floored per-mille delta (the only LAG that is correct
+    to run driver-side: the series is bounded by the calendar, not the
+    data)."""
+    orders = _pq(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "yr": df.o_orderdate.dt.year.to_numpy().astype(np.int64),
+            "cents": _cents(df.o_totalprice)})
+        return d.groupby("yr", as_index=False).cents.sum().astype(
+            np.int64)
+
+    parts = orders.map_batches(part, batch_format="pandas").to_pandas()
+    out = (parts.groupby("yr", as_index=False).cents.sum()
+           .rename(columns={"cents": "rev_cents"}).sort_values("yr")
+           .reset_index(drop=True))
+    prev = out.rev_cents.shift(1).fillna(0).astype(np.int64)
+    out["prev_cents"] = prev
+    delta = out.rev_cents.to_numpy() - prev.to_numpy()
+    out["yoy_milli"] = np.where(
+        prev.to_numpy() > 0,
+        (1000 * delta) // np.maximum(prev.to_numpy(), 1),
+        0).astype(np.int64)
+    return out.astype({"yr": np.int64, "rev_cents": np.int64})
+
+
+SQL_ORDERS_YOY = """
+WITH y AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+), l AS (
+  SELECT yr, rev_cents,
+         CAST(COALESCE(LAG(rev_cents) OVER (ORDER BY yr), 0) AS BIGINT)
+           AS prev_cents
+  FROM y
+)
+SELECT yr, rev_cents, prev_cents,
+       CAST(CASE WHEN prev_cents = 0 THEN 0 ELSE
+         (1000*(rev_cents - prev_cents)
+          - ((((1000*(rev_cents - prev_cents)) % prev_cents)
+              + prev_cents) % prev_cents))
+         // prev_cents END AS BIGINT) AS yoy_milli
+FROM l ORDER BY yr
+"""
+
+
 ANALYTICS_QUERIES = {
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "brand_pareto": (q_brand_pareto, SQL_BRAND_PARETO),
@@ -3031,4 +3338,10 @@ ANALYTICS_QUERIES = {
     "fk_audit": (q_fk_audit, SQL_FK_AUDIT),
     "first_touch": (q_first_touch, SQL_FIRST_TOUCH),
     "user_kendall": (q_user_kendall, SQL_USER_KENDALL),
+    "disjunctive_revenue": (q_disjunctive_revenue,
+                            SQL_DISJUNCTIVE_REVENUE),
+    "market_share": (q_market_share, SQL_MARKET_SHARE),
+    "above_median_orders": (q_above_median_orders,
+                            SQL_ABOVE_MEDIAN_ORDERS),
+    "orders_yoy": (q_orders_yoy, SQL_ORDERS_YOY),
 }

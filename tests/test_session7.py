@@ -268,3 +268,98 @@ def test_small_qty_revenue_brute_force(ray_session) -> None:
     for b, row in want.iterrows():
         assert out.loc[b].n_items == row.n_items
         assert out.loc[b].rev_cents == row.rev
+
+
+# ------------------------------------------------ Q19 disjuncts
+def test_disjunctive_revenue_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        _Q19_CLAUSES,
+        q_disjunctive_revenue,
+    )
+    out = q_disjunctive_revenue(SF).to_pandas().set_index("clause")
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    pt = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    m = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    q = np.round(m.l_quantity.to_numpy()).astype(np.int64)
+    cents = np.round(m.l_extendedprice.to_numpy() * 100).astype(np.int64)
+    for label, brand, slo, shi, lo, hi in _Q19_CLAUSES:
+        keep = ((m.p_brand == brand).to_numpy()
+                & (m.p_size.to_numpy() >= slo)
+                & (m.p_size.to_numpy() <= shi)
+                & (q >= lo) & (q <= hi))
+        assert out.loc[label].n_items == keep.sum()
+        assert out.loc[label].rev_cents == cents[keep].sum()
+    assert out.n_items.sum() > 0        # predicates are live at sf0.001
+
+
+# ------------------------------------------------ Q8 market share
+def test_market_share_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        MS_NATION,
+        MS_REGION,
+        q_market_share,
+    )
+    out = q_market_share(SF).set_index("yr")
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    su = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    na = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    re = pq.read_table(f"{SF}/region.parquet").to_pandas()
+    rk = int(re[re.r_name == MS_REGION].r_regionkey.iloc[0])
+    asia = set(na[na.n_regionkey == rk].n_nationkey)
+    tnk = int(na[na.n_name == MS_NATION].n_nationkey.iloc[0])
+    m = (li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cu, left_on="o_custkey", right_on="c_custkey")
+         .merge(su, left_on="l_suppkey", right_on="s_suppkey"))
+    m = m[m.c_nationkey.isin(asia)]
+    cents = np.round(m.l_extendedprice.to_numpy() * 100).astype(np.int64)
+    yr = m.o_orderdate.dt.year.to_numpy()
+    is_nat = (m.s_nationkey == tnk).to_numpy().astype(np.int64)
+    want = pd.DataFrame({"yr": yr, "c": cents, "n": cents * is_nat}) \
+        .groupby("yr").agg(total=("c", "sum"), nat=("n", "sum"))
+    assert len(out) == len(want)
+    for y, row in want.iterrows():
+        assert out.loc[y].total_cents == row.total
+        assert out.loc[y].nation_cents == row.nat
+        assert out.loc[y].share_milli == 1000 * row.nat // row.total
+
+
+# ------------------------------------------------ above-median orders
+def test_above_median_orders_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_above_median_orders,
+    )
+    out = q_above_median_orders(SF).set_index("o_orderpriority")
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    od["cents"] = np.round(od.o_totalprice.to_numpy() * 100) \
+        .astype(np.int64)
+    med = od.groupby("o_custkey").cents.apply(
+        lambda s: np.sort(s.to_numpy())[(len(s) - 1) // 2])
+    keep = od[od.cents > od.o_custkey.map(med)]
+    want = keep.groupby("o_orderpriority").agg(n=("cents", "size"),
+                                               rev=("cents", "sum"))
+    assert len(out) == len(want)
+    for p, row in want.iterrows():
+        assert out.loc[p].n_orders == row.n
+        assert out.loc[p].rev_cents == row.rev
+
+
+# ------------------------------------------------ yoy growth
+def test_orders_yoy_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_orders_yoy,
+    )
+    out = q_orders_yoy(SF)
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    od["cents"] = np.round(od.o_totalprice.to_numpy() * 100) \
+        .astype(np.int64)
+    want = od.groupby(od.o_orderdate.dt.year).cents.sum().sort_index()
+    assert list(out.yr) == list(want.index)
+    assert list(out.rev_cents) == list(want.to_numpy())
+    for i in range(1, len(out)):
+        prev = int(want.iloc[i - 1])
+        delta = int(want.iloc[i]) - prev
+        assert out.prev_cents.iloc[i] == prev
+        assert out.yoy_milli.iloc[i] == (1000 * delta) // prev
+    assert out.prev_cents.iloc[0] == 0 and out.yoy_milli.iloc[0] == 0
