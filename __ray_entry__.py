@@ -398,7 +398,8 @@ _GATE_ORDER = [
     "custdist", "user_streaks", "idle_balance", "table_checksum",
     "vocab_overlap", "gram_novelty", "small_qty_revenue", "fk_audit",
     "first_touch", "user_kendall", "disjunctive_revenue", "market_share",
-    "above_median_orders", "orders_yoy",
+    "above_median_orders", "orders_yoy", "returned_revenue",
+    "promo_share", "top_supplier",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",

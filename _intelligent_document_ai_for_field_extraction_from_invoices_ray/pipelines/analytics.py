@@ -3295,6 +3295,221 @@ FROM l ORDER BY yr
 """
 
 
+# ------------------------------------------- Q10 returned-item report
+RET_LO, RET_HI = "1996-07-01", "1997-01-01"
+
+
+def q_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue LOST to returns
+    (returnflag = 'R') for orders placed in a half-year window — the
+    fact-fact-dim join + top-k report.  Revenue convention matches
+    shipping_priority: round(ext*100) * (100 - disc%) in cents/100.
+
+    Shape at scale: lineitem pre-filters to returned rows and
+    pre-aggregates per order; ONE orderkey-bucketed cogroup against the
+    windowed orders; per-customer sums then cogroup the customer dim on
+    custkey (name attaches in-bucket, never broadcast); top-20 is a
+    per-bucket semilattice, driver sees <= 20 x buckets rows."""
+    from .grouping import bucketed_cogroup
+
+    lo, hi = np.datetime64(RET_LO), np.datetime64(RET_HI)
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount",
+              "l_returnflag"])
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _pq(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_nationkey"])
+
+    def li_ret(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df.l_returnflag == "R"]
+        rev = (_cents(d.l_extendedprice)
+               * (100 - np.round(d.l_discount.to_numpy() * 100)
+                  .astype(np.int64)))
+        out = (pd.DataFrame({"l_orderkey": d.l_orderkey, "rev": rev})
+               .groupby("l_orderkey", as_index=False).rev.sum())
+        return out.astype(np.int64)
+
+    def o_window(df: pd.DataFrame) -> pd.DataFrame:
+        dt = df.o_orderdate.to_numpy()
+        return df[(dt >= lo) & (dt < hi)][["o_orderkey", "o_custkey"]]
+
+    def per_cust(rf: pd.DataFrame, of: pd.DataFrame) -> pd.DataFrame:
+        m = rf.merge(of.rename(columns={"o_orderkey": "l_orderkey"}),
+                     on="l_orderkey", how="inner")
+        out = (m.groupby("o_custkey", as_index=False).rev.sum()
+               .rename(columns={"o_custkey": "c_custkey"}))
+        return out.astype(np.int64)
+
+    pc = bucketed_cogroup(li.map_batches(li_ret, batch_format="pandas"),
+                          orders.map_batches(o_window,
+                                             batch_format="pandas"),
+                          ["l_orderkey"], ["o_orderkey"], per_cust,
+                          num_buckets=16)
+
+    def named_topk(rf: pd.DataFrame, cf: pd.DataFrame) -> pd.DataFrame:
+        per = rf.groupby("c_custkey", as_index=False).rev.sum()
+        m = per.merge(cf, on="c_custkey", how="inner")
+        m["c_nationkey"] = m.c_nationkey.astype(np.int64)
+        return (m.sort_values(["rev", "c_custkey"],
+                              ascending=[False, True]).head(20)
+                .astype({"rev": np.int64}))
+
+    merged = bucketed_cogroup(pc, cust, ["c_custkey"], ["c_custkey"],
+                              named_topk, num_buckets=16).to_pandas()
+    return (merged.sort_values(["rev", "c_custkey"],
+                               ascending=[False, True]).head(20)
+            .reset_index(drop=True)
+            [["c_custkey", "c_name", "c_nationkey", "rev"]])
+
+
+SQL_RETURNED_REVENUE = f"""
+SELECT c.c_custkey, c.c_name, CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS rev
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{RET_LO}'
+  AND o.o_orderdate < TIMESTAMP '{RET_HI}'
+GROUP BY 1, 2, 3 ORDER BY rev DESC, c.c_custkey LIMIT 20
+"""
+
+
+# ----------------------------------------------- Q14 promo share
+def q_promo_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: PROMO parts' per-mille share of discounted
+    revenue per ship month — the conditional-aggregate ratio over a
+    fact-dim join, reported as a bounded calendar series.
+
+    Shape at scale: lineitem slims to (partkey, month, rev); ONE
+    partkey-bucketed cogroup tags promo parts (the dim ships its
+    (key, is_promo) columns only); per-month partials merge in a
+    months-bounded final; share is exact integer per-mille."""
+    from .grouping import bucketed_cogroup
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_partkey", "l_shipdate", "l_extendedprice",
+              "l_discount"])
+    parts = _pq(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        rev = (_cents(df.l_extendedprice)
+               * (100 - np.round(df.l_discount.to_numpy() * 100)
+                  .astype(np.int64)))
+        ym = (df.l_shipdate.dt.year * 100
+              + df.l_shipdate.dt.month).to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "l_partkey": df.l_partkey.to_numpy().astype(np.int64),
+            "ym": ym, "rev": rev})
+
+    def tag(rf: pd.DataFrame, pf: pd.DataFrame) -> pd.DataFrame:
+        promo = set(pf.p_partkey[pf.p_type == "PROMO"])
+        d = pd.DataFrame({
+            "ym": rf.ym.to_numpy(), "rev": rf.rev.to_numpy(),
+            "p": rf.l_partkey.isin(promo).to_numpy().astype(np.int64)})
+        d["prev"] = d.rev * d.p
+        out = d.groupby("ym", as_index=False).agg(
+            total=("rev", "sum"), promo=("prev", "sum"))
+        return out.astype(np.int64)
+
+    merged = bucketed_cogroup(li.map_batches(slim,
+                                             batch_format="pandas"),
+                              parts, ["l_partkey"], ["p_partkey"], tag,
+                              num_buckets=16).to_pandas()
+    out = merged.groupby("ym", as_index=False).agg(
+        total_cents=("total", "sum"),
+        promo_cents=("promo", "sum")).astype(np.int64)
+    out["promo_milli"] = (1000 * out.promo_cents.to_numpy()
+                          // out.total_cents.to_numpy()).astype(np.int64)
+    return (out.sort_values("ym").reset_index(drop=True)
+            [["ym", "promo_cents", "total_cents", "promo_milli"]])
+
+
+SQL_PROMO_SHARE = """
+WITH b AS (
+  SELECT CAST(EXTRACT(year FROM l.l_shipdate) * 100
+              + EXTRACT(month FROM l.l_shipdate) AS BIGINT) AS ym,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev,
+         CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS pr
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT ym, CAST(SUM(rev * pr) AS BIGINT) AS promo_cents,
+       CAST(SUM(rev) AS BIGINT) AS total_cents,
+       CAST((1000 * SUM(rev * pr)) // SUM(rev) AS BIGINT) AS promo_milli
+FROM b GROUP BY ym ORDER BY ym
+"""
+
+
+# ---------------------------------------- Q15 global argmax with ties
+TS_LO, TS_HI = "1996-01-01", "1996-04-01"
+
+
+def q_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving MAXIMUM quarterly
+    revenue — global argmax where ties must ALL surface (the
+    view-then-max-then-filter composition).  Two-level semilattice:
+    each suppkey bucket emits only ITS max-revenue rows, the driver
+    takes the max-of-maxes and filters — ties survive both levels by
+    construction.
+
+    Shape at scale: per-batch (suppkey, rev) combiners -> ONE
+    suppkey-bucketed sum; the exchange is supplier-sized, the driver
+    sees <= ties x buckets rows."""
+    from .grouping import bucketed_group_apply
+
+    lo, hi = np.datetime64(TS_LO), np.datetime64(TS_HI)
+    li = _pq(sf_dir, "lineitem",
+             ["l_suppkey", "l_shipdate", "l_extendedprice",
+              "l_discount"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        dt = df.l_shipdate.to_numpy()
+        d = df[(dt >= lo) & (dt < hi)]
+        rev = (_cents(d.l_extendedprice)
+               * (100 - np.round(d.l_discount.to_numpy() * 100)
+                  .astype(np.int64)))
+        out = (pd.DataFrame({"l_suppkey": d.l_suppkey, "rev": rev})
+               .groupby("l_suppkey", as_index=False).rev.sum())
+        return out.astype(np.int64)
+
+    def bucket_max(df: pd.DataFrame) -> pd.DataFrame:
+        per = df.groupby("l_suppkey", as_index=False).rev.sum()
+        if per.empty:
+            return per.astype(np.int64)
+        return per[per.rev == per.rev.max()].astype(np.int64)
+
+    cand = bucketed_group_apply(
+        li.map_batches(part, batch_format="pandas"),
+        ["l_suppkey"], bucket_max, num_buckets=16).to_pandas()
+    best = int(cand.rev.max())
+    out = (cand[cand.rev == best]
+           .rename(columns={"l_suppkey": "s_suppkey",
+                            "rev": "total_rev"})
+           .sort_values("s_suppkey").reset_index(drop=True))
+    return out.astype({"s_suppkey": np.int64, "total_rev": np.int64})
+
+
+SQL_TOP_SUPPLIER = f"""
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TS_LO}'
+    AND l_shipdate < TIMESTAMP '{TS_HI}'
+  GROUP BY 1
+)
+SELECT s_suppkey, total_rev FROM r
+WHERE total_rev = (SELECT MAX(total_rev) FROM r)
+ORDER BY s_suppkey
+"""
+
+
 ANALYTICS_QUERIES = {
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "brand_pareto": (q_brand_pareto, SQL_BRAND_PARETO),
@@ -3344,4 +3559,7 @@ ANALYTICS_QUERIES = {
     "above_median_orders": (q_above_median_orders,
                             SQL_ABOVE_MEDIAN_ORDERS),
     "orders_yoy": (q_orders_yoy, SQL_ORDERS_YOY),
+    "returned_revenue": (q_returned_revenue, SQL_RETURNED_REVENUE),
+    "promo_share": (q_promo_share, SQL_PROMO_SHARE),
+    "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
 }

@@ -363,3 +363,91 @@ def test_orders_yoy_brute_force(ray_session) -> None:
         assert out.prev_cents.iloc[i] == prev
         assert out.yoy_milli.iloc[i] == (1000 * delta) // prev
     assert out.prev_cents.iloc[0] == 0 and out.yoy_milli.iloc[0] == 0
+
+
+# ------------------------------------------------ Q10 returned revenue
+def test_returned_revenue_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        RET_HI,
+        RET_LO,
+        q_returned_revenue,
+    )
+    out = q_returned_revenue(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    od = od[(od.o_orderdate >= pd.Timestamp(RET_LO))
+            & (od.o_orderdate < pd.Timestamp(RET_HI))]
+    li = li[li.l_returnflag == "R"]
+    m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    rev = (np.round(m.l_extendedprice.to_numpy() * 100).astype(np.int64)
+           * (100 - np.round(m.l_discount.to_numpy() * 100)
+              .astype(np.int64)))
+    per = (pd.DataFrame({"k": m.o_custkey, "rev": rev})
+           .groupby("k").rev.sum())
+    want = sorted(zip(-per.to_numpy(), per.index))[:20]
+    got = [(-r.rev, r.c_custkey) for r in out.itertuples()]
+    assert got == want
+
+
+# ------------------------------------------------ Q14 promo share
+def test_promo_share_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_promo_share,
+    )
+    out = q_promo_share(SF).set_index("ym")
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    pt = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    m = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    rev = (np.round(m.l_extendedprice.to_numpy() * 100).astype(np.int64)
+           * (100 - np.round(m.l_discount.to_numpy() * 100)
+              .astype(np.int64)))
+    ym = (m.l_shipdate.dt.year * 100 + m.l_shipdate.dt.month).to_numpy()
+    pr = (m.p_type == "PROMO").to_numpy().astype(np.int64)
+    want = pd.DataFrame({"ym": ym, "t": rev, "p": rev * pr}) \
+        .groupby("ym").agg(t=("t", "sum"), p=("p", "sum"))
+    assert len(out) == len(want)
+    for y, row in want.iterrows():
+        assert out.loc[y].total_cents == row.t
+        assert out.loc[y].promo_cents == row.p
+        assert out.loc[y].promo_milli == 1000 * row.p // row.t
+
+
+# ------------------------------------------------ Q15 argmax ties survive
+def test_top_supplier_ties_survive(ray_session, tmp_path) -> None:
+    import pyarrow as pa
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        TS_LO,
+        q_top_supplier,
+    )
+    # craft an exact revenue tie between suppliers 1 and 2, far apart in
+    # key space so they land in different hash buckets; supplier 3 ships
+    # outside the window and must not count
+    t = pd.DataFrame({
+        "l_suppkey": np.array([1, 1, 100002, 3], dtype=np.int64),
+        "l_shipdate": pd.to_datetime([TS_LO, TS_LO, TS_LO, "1999-01-01"]),
+        "l_extendedprice": [100.0, 200.0, 300.0, 999.0],
+        "l_discount": [0.0, 0.0, 0.0, 0.0],
+    })
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False),
+                   tmp_path / "lineitem.parquet")
+    out = q_top_supplier(str(tmp_path))
+    assert list(out.s_suppkey) == [1, 100002]
+    assert list(out.total_rev) == [30000 * 100, 30000 * 100]
+
+    # and on the real corpus the winner matches brute force
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        TS_HI,
+    )
+    li = li[(li.l_shipdate >= pd.Timestamp(TS_LO))
+            & (li.l_shipdate < pd.Timestamp(TS_HI))]
+    rev = (np.round(li.l_extendedprice.to_numpy() * 100).astype(np.int64)
+           * (100 - np.round(li.l_discount.to_numpy() * 100)
+              .astype(np.int64)))
+    per = (pd.DataFrame({"k": li.l_suppkey, "rev": rev})
+           .groupby("k").rev.sum())
+    best = per.max()
+    want = sorted(per[per == best].index)
+    got = q_top_supplier(SF)
+    assert list(got.s_suppkey) == want
+    assert (got.total_rev == best).all()
