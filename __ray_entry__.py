@@ -399,7 +399,8 @@ _GATE_ORDER = [
     "vocab_overlap", "gram_novelty", "small_qty_revenue", "fk_audit",
     "first_touch", "user_kendall", "disjunctive_revenue", "market_share",
     "above_median_orders", "orders_yoy", "returned_revenue",
-    "promo_share", "top_supplier",
+    "promo_share", "top_supplier", "event_seasonality", "lang_confusion",
+    "lang_length_quantiles",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",

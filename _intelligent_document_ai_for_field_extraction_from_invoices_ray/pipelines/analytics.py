@@ -3510,6 +3510,53 @@ ORDER BY s_suppkey
 """
 
 
+# --------------------------------------------- calendar seasonality
+def q_event_seasonality(sf_dir: str) -> rd.Dataset:
+    """Per-type (ISO weekday, hour) traffic grid — the seasonality
+    profile a capacity planner reads.  isodow (Mon=1..Sun=7) is used
+    on BOTH sides because pandas dayofweek (Mon=0) and DuckDB dow
+    (Sun=0) disagree; the grid is bounded (types x 7 x 24), so partials
+    merge in ONE tiny bucketed exchange."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "event_type": df.event_type.to_numpy(),
+            "isodow": (df.ts.dt.dayofweek.to_numpy() + 1)
+            .astype(np.int64),
+            "hour": df.ts.dt.hour.to_numpy().astype(np.int64),
+            "cents": _cents(df.value)})
+        out = d.groupby(["event_type", "isodow", "hour"],
+                        as_index=False).agg(
+            n=("cents", "size"), value_cents=("cents", "sum"))
+        return out.astype({"n": np.int64, "value_cents": np.int64,
+                           "isodow": np.int64, "hour": np.int64})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["event_type", "isodow", "hour"],
+                         as_index=False).agg(
+            n=("n", "sum"), value_cents=("value_cents", "sum"))
+        return out.astype({"n": np.int64, "value_cents": np.int64,
+                           "isodow": np.int64, "hour": np.int64})
+
+    return bucketed_group_apply(
+        ds.map_batches(part, batch_format="pandas"),
+        ["event_type"], merge, num_buckets=4).sort(
+            ["event_type", "isodow", "hour"])
+
+
+SQL_EVENT_SEASONALITY = """
+SELECT event_type, CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS isodow,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY 1, 2, 3 ORDER BY event_type, isodow, hour
+"""
+
+
 ANALYTICS_QUERIES = {
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "brand_pareto": (q_brand_pareto, SQL_BRAND_PARETO),
@@ -3562,4 +3609,5 @@ ANALYTICS_QUERIES = {
     "returned_revenue": (q_returned_revenue, SQL_RETURNED_REVENUE),
     "promo_share": (q_promo_share, SQL_PROMO_SHARE),
     "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
+    "event_seasonality": (q_event_seasonality, SQL_EVENT_SEASONALITY),
 }

@@ -1406,10 +1406,131 @@ ORDER BY src_a, src_b
 """
 
 
+# ------------------------------------------ classifier-vs-label audit
+def q_lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """Confusion matrix of the script-heuristic language classifier
+    (the lang_id operator's kernel) against the corpus's labeled
+    ``lang`` column — the model-quality audit that turns a classifier
+    stage into a measured one (per-cell counts localize WHICH label
+    leaks into which prediction; this corpus is Latin-script-heavy so
+    most labels predict 'eng'/'mixed' — that skew is the finding).
+
+    Shape at scale: the classifier runs per batch (same kernel as
+    lang_id); per-batch (lang, pred, n) partials are bounded by
+    |labels| x |predictions|; ONE tiny bucketed merge."""
+    from .grouping import bucketed_group_apply
+
+    docs = _docs(sf_dir, ("text", "lang"))
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "lang": batch.column("lang").to_pylist(),
+            "lang_pred": [T.detect_language_ocr(t.strip())
+                          for t in batch.column("text").to_pylist()]})
+        out = (d.groupby(["lang", "lang_pred"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return out.astype({"n": np.int64})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["lang", "lang_pred"], as_index=False).n.sum()
+                .astype({"n": np.int64}))
+
+    parts = bucketed_group_apply(
+        docs.map_batches(part, batch_format="pyarrow"),
+        ["lang", "lang_pred"], merge, num_buckets=4).to_pandas()
+    out = (parts.groupby(["lang", "lang_pred"], as_index=False).n.sum()
+           .astype({"n": np.int64}))
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+SQL_LANG_CONFUSION = r"""
+WITH c AS (
+  SELECT doc_id, lang,
+         length(regexp_replace(text, '[^\x{0900}-\x{097F}]', '', 'g')) AS dev,
+         length(regexp_replace(text, '[^\x{0A80}-\x{0AFF}]', '', 'g')) AS guj,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS lat
+  FROM documents
+), p AS (
+  SELECT lang,
+         CASE WHEN dev + guj + lat = 0 THEN 'unknown'
+              WHEN dev * 1.0 / (dev + guj + lat) > 0.3 THEN 'hin'
+              WHEN guj * 1.0 / (dev + guj + lat) > 0.3 THEN 'guj'
+              WHEN lat * 1.0 / (dev + guj + lat) > 0.3 THEN 'eng'
+              ELSE 'mixed' END AS lang_pred
+  FROM c
+)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2 ORDER BY lang, lang_pred
+"""
+
+
+# ------------------------------------------- grouped exact quantiles
+def q_lang_length_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact per-LANGUAGE token-length p50/p90 — grouped quantiles,
+    which unlike grouped sums are not semilattice-mergeable: each
+    group's full value multiset must co-locate, which ONE lang-bucketed
+    exchange of (lang, n_tokens) pairs provides.  Ranks use the
+    integer ceil(p·n) convention ((n+1)//2, (9n+9)//10) on BOTH sides —
+    float p·n misranks exactly when n divides the quantile (the
+    value_winsor_mean gotcha)."""
+    from .grouping import bucketed_group_apply
+
+    docs = _docs(sf_dir, ("lang", "text"))
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": batch.column("lang").to_pylist(),
+            "n_tokens": pd.Series(
+                [len(t.split()) for t in
+                 batch.column("text").to_pylist()], dtype=np.int64)})
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang", sort=True):
+            v = np.sort(g.n_tokens.to_numpy())
+            n = len(v)
+            rows.append((lang, n, int(v[(n + 1) // 2 - 1]),
+                         int(v[(9 * n + 9) // 10 - 1])))
+        return pd.DataFrame(rows, columns=[
+            "lang", "n_docs", "p50_tokens", "p90_tokens"]).astype(
+                {"n_docs": np.int64, "p50_tokens": np.int64,
+                 "p90_tokens": np.int64})
+
+    return bucketed_group_apply(
+        docs.map_batches(part, batch_format="pyarrow"),
+        ["lang"], quant, num_buckets=4).sort("lang")
+
+
+SQL_LANG_LENGTH_QUANTILES = r"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(array_length(regexp_split_to_array(trim(text),
+                                                           '\s+'))
+                   AS BIGINT) END AS n_tokens
+  FROM documents
+), r AS (
+  SELECT lang, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM t
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END)
+            AS BIGINT) AS p50_tokens,
+       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tokens END)
+            AS BIGINT) AS p90_tokens
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
 TEXT_QUERIES = {
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
     "vocab_overlap": (q_vocab_overlap, SQL_VOCAB_OVERLAP),
+    "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
+    "lang_length_quantiles": (q_lang_length_quantiles,
+                              SQL_LANG_LENGTH_QUANTILES),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "pii_mask": (q_pii_mask, SQL_PII_MASK),

@@ -451,3 +451,62 @@ def test_top_supplier_ties_survive(ray_session, tmp_path) -> None:
     got = q_top_supplier(SF)
     assert list(got.s_suppkey) == want
     assert (got.total_rev == best).all()
+
+
+# ------------------------------------------------ lang confusion audit
+def test_lang_confusion_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.functions import (
+        textnorm as T,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import (
+        q_lang_confusion,
+    )
+    out = q_lang_confusion(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["lang", "text"]).to_pandas()
+    want: dict[tuple[str, str], int] = {}
+    for lang, t in zip(docs.lang, docs.text):
+        k = (lang, T.detect_language_ocr(t.strip()))
+        want[k] = want.get(k, 0) + 1
+    got = {(r.lang, r.lang_pred): r.n for r in out.itertuples()}
+    assert got == want
+    # conservation: every doc lands in exactly one cell
+    assert int(out.n.sum()) == len(docs)
+
+
+# ------------------------------------------------ grouped quantiles
+def test_lang_length_quantiles_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import (
+        q_lang_length_quantiles,
+    )
+    out = q_lang_length_quantiles(SF).to_pandas().set_index("lang")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["lang", "text"]).to_pandas()
+    docs["n_tokens"] = [len(t.split()) for t in docs.text]
+    for lang, g in docs.groupby("lang"):
+        v = np.sort(g.n_tokens.to_numpy())
+        n = len(v)
+        row = out.loc[lang]
+        assert row.n_docs == n
+        assert row.p50_tokens == v[(n + 1) // 2 - 1]
+        assert row.p90_tokens == v[(9 * n + 9) // 10 - 1]
+
+
+# ------------------------------------------------ seasonality grid
+def test_event_seasonality_brute_force(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_event_seasonality,
+    )
+    out = q_event_seasonality(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    cents = np.round(ev.value.to_numpy() * 100).astype(np.int64)
+    want = pd.DataFrame({
+        "t": ev.event_type, "d": ev.ts.dt.dayofweek + 1,
+        "h": ev.ts.dt.hour, "c": cents}).groupby(
+            ["t", "d", "h"]).agg(n=("c", "size"), v=("c", "sum"))
+    assert len(out) == len(want)
+    got = out.set_index(["event_type", "isodow", "hour"])
+    for (t, d, h), row in want.iterrows():
+        assert got.loc[(t, d, h)].n == row.n
+        assert got.loc[(t, d, h)].value_cents == row.v
+    assert int(out.n.sum()) == len(ev)
