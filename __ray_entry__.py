@@ -353,7 +353,8 @@ def _query_banks() -> list[dict]:
                            ("series", "SERIES_QUERIES"),
                            ("packing", "PACK_QUERIES"),
                            ("analytics", "ANALYTICS_QUERIES"),
-                           ("mining", "MINING_QUERIES")]:
+                           ("mining", "MINING_QUERIES"),
+                           ("tpchx", "TPCHX_QUERIES")]:
         try:
             mod = importlib.import_module(f"{pkg}.{mod_name}")
             banks.append(getattr(mod, attr))
@@ -401,6 +402,10 @@ _GATE_ORDER = [
     "above_median_orders", "orders_yoy", "returned_revenue",
     "promo_share", "top_supplier", "event_seasonality", "lang_confusion",
     "lang_length_quantiles",
+    "priority_waiting", "ship_class_counts", "large_orders",
+    "important_parts", "promo_suppliers", "waiting_suppliers",
+    "min_bal_supplier", "supplier_cnt", "nation_volume",
+    "product_profit",
     "html_main_text",
     "html_spans", "pdf_layout_text", "pdf_spans", "url_normalize",
     "domain_stats", "robots_filter", "crawl_schedule", "warc_records",
