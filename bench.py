@@ -271,6 +271,19 @@ def run_bench() -> dict:
     timed("late_events", analytics.q_late_events)
     timed("type_trend", analytics.q_type_trend)
     timed("sorted_neighborhood", dedup.q_sorted_neighborhood)
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines import (
+        tpchx,
+    )
+    timed("min_bal_supplier", tpchx.q_min_bal_supplier)
+    timed("priority_waiting", tpchx.q_priority_waiting)
+    timed("nation_volume", tpchx.q_nation_volume)
+    timed("product_profit", tpchx.q_product_profit)
+    timed("important_parts", tpchx.q_important_parts)
+    timed("ship_class_counts", tpchx.q_ship_class_counts)
+    timed("supplier_cnt", tpchx.q_supplier_cnt)
+    timed("large_orders", tpchx.q_large_orders)
+    timed("promo_suppliers", tpchx.q_promo_suppliers)
+    timed("waiting_suppliers", tpchx.q_waiting_suppliers)
 
     result = {
         "metric": "end-to-end extraction sec (flagship interleaved-doc pipeline) + per-query sec",
