@@ -150,6 +150,19 @@ def _q_extract_calibration(sf_dir: str):
     return calibration_frame(_run_flagship(sf_dir), gt)
 
 
+def _q_extract_auc(sf_dir: str):
+    """Per-field Mann-Whitney AUC of confidence vs field correctness."""
+    import pyarrow.parquet as pq
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.evaluate import (
+        auc_frame,
+    )
+
+    (_docs_path, gt_path), _ = _corpus_for(sf_dir)
+    gt = {r["doc_id"]: r for r in pq.read_table(gt_path).to_pylist()}
+    return auc_frame(_run_flagship(sf_dir), gt)
+
+
 def _q_media_features(sf_dir: str):
     from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.media import (
         q_media_features,
@@ -380,7 +393,8 @@ _GATE_ORDER = [
     "doc_quality", "bpe_tokens", "token_histogram", "distinct_flags",
     "events_json", "pii_mask", "repetition_stats", "doc_tokens",
     "stratified_sample", "source_quota", "lang_id", "ocr_correct",
-    "doc_sentences", "weighted_sample", "k_anonymity", "event_gaps",
+    "doc_sentences", "doc_chunks", "weighted_sample", "k_anonymity",
+    "event_gaps",
     "user_scd2", "customer_quartiles", "nation_top_names",
     "parts_coordered", "bfs_hops",
     "orders_moving_sum", "session_overlap", "snapshot_diff",
@@ -443,6 +457,7 @@ _GATE_ORDER = [
     "extract_perf_analysis", "extract_cost_analysis",
     "extract_confidence_analysis", "extract_spans", "extract_summary",
     "extract_evaluate", "extract_report", "extract_calibration",
+    "extract_auc",
     "span_scalars", "extract_error_samples", "extract_cost",
     "extract_error_buckets", "events_hll_users",
     "value_quantile_sketch",
@@ -469,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_perf_analysis": _q_extract_perf_analysis,
         "extract_cost_analysis": _q_extract_cost_analysis,
         "extract_calibration": _q_extract_calibration,
+        "extract_auc": _q_extract_auc,
         "media_features": _q_media_features,
         "media_phash": _q_media_phash,
         "media_phash_pairs": _q_media_phash_pairs,

@@ -166,6 +166,64 @@ def calibration_frame(results: rd.Dataset,
     return out[out.n_pairs > 0].reset_index(drop=True)
 
 
+def auc_frame(results: rd.Dataset,
+              ground_truth: dict[str, dict]) -> pd.DataFrame:
+    """Per-field ranking quality of the stated confidences (Mann-Whitney
+    AUC with exact midrank tie handling): does a higher confidence
+    actually mean a higher chance the field is correct?  Complements
+    calibration_frame (which scores the VALUES of the confidences, not
+    their ORDER).
+
+    Distributed shape: confidences are milli-resolution, so per-batch
+    partials aggregate to (field, conf_milli) -> (n_pos, n_neg) — a
+    bounded <=4x1001-row exchange regardless of corpus size; the AUC
+    itself is then exact integer arithmetic on the merged histogram:
+    2U = sum_c(2*pos_c*neg_below_c + pos_c*neg_c), auc_milli =
+    1000*2U // (2*n_pos*n_neg)."""
+    gt_ref = ray.put(ground_truth)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        gt_map = ray.get(gt_ref)
+        rows: dict[tuple, list[int]] = {}
+        for row in batch.to_pylist():
+            gt = gt_map.get(row["doc_id"])
+            if gt is None:
+                continue
+            checks = _doc_checks(row, gt)
+            for f in _CONF_FIELDS:
+                if checks[f] is None:
+                    continue
+                cm = int(float(row[f"{f}_confidence"] or 0.0) * 1000)
+                c = rows.setdefault((f, cm), [0, 0])
+                c[int(bool(checks[f]))] += 1
+        return pd.DataFrame(
+            [{"field": f, "conf_milli": cm, "n_neg": c[0], "n_pos": c[1]}
+             for (f, cm), c in sorted(rows.items())]) if rows else \
+            pd.DataFrame({"field": pd.Series([], dtype=str),
+                          "conf_milli": pd.Series([], dtype=np.int64),
+                          "n_neg": pd.Series([], dtype=np.int64),
+                          "n_pos": pd.Series([], dtype=np.int64)})
+
+    hist = (results.map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(["field", "conf_milli"], as_index=False).sum())
+    out_rows = []
+    for f, g in hist.groupby("field"):
+        g = g.sort_values("conf_milli")
+        pos = g.n_pos.to_numpy().astype(np.int64)
+        neg = g.n_neg.to_numpy().astype(np.int64)
+        neg_below = np.concatenate(([0], np.cumsum(neg)[:-1]))
+        u2 = int((2 * pos * neg_below + pos * neg).sum())
+        n1, n0 = int(pos.sum()), int(neg.sum())
+        auc_milli = (1000 * u2) // (2 * n1 * n0) if n1 and n0 else -1
+        out_rows.append({"field": f, "n_pos": n1, "n_neg": n0,
+                         "u2": u2, "auc_milli": auc_milli})
+    return (pd.DataFrame(out_rows)
+            .astype({"n_pos": np.int64, "n_neg": np.int64,
+                     "u2": np.int64, "auc_milli": np.int64})
+            .sort_values("field").reset_index(drop=True))
+
+
 def error_samples(results: rd.Dataset, k: int = 10) -> pd.DataFrame:
     """Bottom-k lowest-confidence documents (evaluate.py:551-578): a
     distributed sort + limit over the result table."""

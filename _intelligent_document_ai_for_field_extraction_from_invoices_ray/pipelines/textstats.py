@@ -1524,7 +1524,65 @@ FROM r GROUP BY lang ORDER BY lang
 """
 
 
+# ------------------------------------------------------------ doc_chunks
+CHUNK_SIZE = 240       # chars per chunk
+CHUNK_STRIDE = 180     # step between chunk starts (60-char overlap)
+
+
+def q_doc_chunks(sf_dir: str) -> rd.Dataset:
+    """Overlapping fixed-window chunking — the RAG/embedding
+    preprocessing primitive: one output row per (doc, window) with a
+    CHUNK_SIZE-char window every CHUNK_STRIDE chars (empty docs emit
+    one empty chunk, so no document silently disappears).
+
+    Shape at scale: pure flat_map — zero shuffle, output blocks stay
+    proportional to input blocks (×~len/stride).  The per-batch loop
+    is over the CHUNK ORDINAL (bounded by the longest doc in the
+    batch), each iteration a vectorized ``str.slice`` over every doc
+    that still has a k-th chunk — never over rows."""
+    ds = _docs(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.text.str.len().to_numpy()
+        n_chunks = (np.maximum(n, 1) - 1) // CHUNK_STRIDE + 1
+        frames = []
+        for k in range(int(n_chunks.max(initial=0))):
+            m = n_chunks > k
+            sl = df.text[m].str.slice(k * CHUNK_STRIDE,
+                                      k * CHUNK_STRIDE + CHUNK_SIZE)
+            frames.append(pd.DataFrame({
+                "doc_id": df.doc_id[m].to_numpy().astype(np.int64),
+                "chunk_id": np.full(int(m.sum()), k, dtype=np.int64),
+                "chunk_text": sl.to_numpy(),
+                "chunk_len": sl.str.len().to_numpy().astype(np.int64)}))
+        if not frames:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "chunk_id": pd.Series([], dtype=np.int64),
+                "chunk_text": pd.Series([], dtype=str),
+                "chunk_len": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.map_batches(explode, batch_format="pandas")
+
+
+SQL_DOC_CHUNKS = f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(greatest(length(text), 1) AS BIGINT),
+                      {CHUNK_STRIDE})) AS p
+  FROM documents
+)
+SELECT doc_id, CAST(p / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       substr(text, CAST(p + 1 AS BIGINT), {CHUNK_SIZE}) AS chunk_text,
+       CAST(length(substr(text, CAST(p + 1 AS BIGINT), {CHUNK_SIZE}))
+            AS BIGINT) AS chunk_len
+FROM pos ORDER BY doc_id, chunk_id
+"""
+
+
 TEXT_QUERIES = {
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
     "vocab_overlap": (q_vocab_overlap, SQL_VOCAB_OVERLAP),

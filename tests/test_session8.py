@@ -1,0 +1,83 @@
+"""Pins for the session-8 additions: RAG-style chunk explode
+(reconstruction + boundary laws) and per-field confidence AUC
+(exact brute-force pairwise agreement)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_doc_chunks_reconstructs_documents(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        q_doc_chunks,
+    )
+    out = q_doc_chunks(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(docs.doc_id, docs.text))
+    assert set(out.doc_id) == set(docs.doc_id)  # no doc disappears
+    for doc_id, g in out.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        t = texts[doc_id]
+        # chunk ordinals are gapless from 0
+        assert list(g.chunk_id) == list(range(len(g)))
+        # stride-prefix concatenation reconstructs the document exactly
+        rebuilt = "".join(c[:CHUNK_STRIDE] for c in g.chunk_text[:-1])
+        rebuilt += g.chunk_text.iloc[-1]
+        assert rebuilt == t
+        # every chunk except the last is either full-size or covers the
+        # tail; overlap between neighbours is CHUNK_SIZE - CHUNK_STRIDE
+        for prev, cur, k in zip(g.chunk_text, g.chunk_text[1:],
+                                g.chunk_id[1:]):
+            assert t[k * CHUNK_STRIDE:
+                     k * CHUNK_STRIDE + CHUNK_SIZE] == cur
+            assert prev[CHUNK_STRIDE:] == cur[:CHUNK_SIZE - CHUNK_STRIDE]
+        assert (g.chunk_len == g.chunk_text.str.len()).all()
+
+
+def test_extract_auc_matches_pairwise_bruteforce(ray_session) -> None:
+    import __ray_entry__ as e
+
+    out = e.queries()["extract_auc"](SF).set_index("field")
+    # reconstruct the (confidence, correct) pairs exactly as the
+    # operator does, then score with the O(n^2) textbook definition
+    import pyarrow.parquet as pq2
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.evaluate import (
+        _CONF_FIELDS,
+        _doc_checks,
+    )
+
+    (_docs, gt_path), _ = e._corpus_for(SF)
+    gt = {r["doc_id"]: r for r in pq2.read_table(gt_path).to_pylist()}
+    res_rows = []
+    for ref_batch in e._run_flagship(SF).iter_batches(
+            batch_format="pyarrow"):
+        res_rows.extend(ref_batch.to_pylist())
+    for f in _CONF_FIELDS:
+        pos, neg = [], []
+        for row in res_rows:
+            g = gt.get(row["doc_id"])
+            if g is None:
+                continue
+            checks = _doc_checks(row, g)
+            if checks[f] is None:
+                continue
+            cm = int(float(row[f"{f}_confidence"] or 0.0) * 1000)
+            (pos if checks[f] else neg).append(cm)
+        row = out.loc[f]
+        assert row.n_pos == len(pos) and row.n_neg == len(neg)
+        if not pos or not neg:
+            assert row.auc_milli == -1
+            continue
+        p = np.asarray(pos)[:, None]
+        n = np.asarray(neg)[None, :]
+        u2 = int((2 * (p > n) + (p == n)).sum())
+        assert row.u2 == u2
+        assert row.auc_milli == (1000 * u2) // (2 * len(pos) * len(neg))
