@@ -482,14 +482,16 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ------------------------------------------------ Q11: important parts
 Q11_NATION = "NATION_3"
-Q11_FRACTION = 1000          # keep parts with value * FRACTION > total
+Q11_MEAN_MULT = 2            # keep parts with value > MULT x mean value
 
 
 def q_important_parts(sf_dir: str) -> rd.Dataset:
     """TPC-H Q11 shape: per-part inventory value restricted to one
     nation's suppliers, kept only where the part's value exceeds a
-    fixed fraction of the GLOBAL total — the decorrelated
-    global-scalar-threshold query.
+    multiple of the GLOBAL mean part value — the decorrelated
+    global-scalar-threshold query.  (TPC-H scales its total-value
+    fraction by 1/SF; a mean-relative threshold is the scale-free
+    equivalent — value*n > MULT*total is selective at every sf.)
 
     Shape at scale: supplier pre-filters to the nation through a
     suppkey-bucketed cogroup; per-part values reduce through per-batch
@@ -534,15 +536,17 @@ def q_important_parts(sf_dir: str) -> rd.Dataset:
                                   num_buckets=16)
 
     def block_total(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"t": [np.int64(df.val.sum())]})
+        return pd.DataFrame({"t": [np.int64(df.val.sum())],
+                             "n": [np.int64(len(df))]})
 
     # a zero-block per_pk (nation absent at tiny sf) yields a
     # column-less to_pandas — treat as total 0
     tp = per_pk.map_batches(block_total, batch_format="pandas").to_pandas()
     total = int(tp.t.sum()) if "t" in tp.columns else 0
+    n_parts = int(tp.n.sum()) if "n" in tp.columns else 0
 
     def keep_important(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[df.val.to_numpy() * Q11_FRACTION > total]
+        d = df[df.val.to_numpy() * n_parts > Q11_MEAN_MULT * total]
         return pd.DataFrame({
             "l_partkey": d.pk.to_numpy().astype(np.int64),
             "value_scaled": d.val.to_numpy().astype(np.int64)})
@@ -570,7 +574,8 @@ WITH v AS (
 )
 SELECT l_partkey, value_scaled
 FROM v
-WHERE value_scaled * {Q11_FRACTION} > (SELECT SUM(value_scaled) FROM v)
+WHERE value_scaled * (SELECT COUNT(*) FROM v)
+      > {Q11_MEAN_MULT} * (SELECT SUM(value_scaled) FROM v)
 ORDER BY l_partkey
 """
 

@@ -63,7 +63,7 @@ def test_priority_waiting_strict_inequality(ray_session) -> None:
 # --------------------------------------- Q11 global-threshold boundary
 def test_important_parts_threshold_and_conservation(ray_session) -> None:
     from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.tpchx import (
-        Q11_FRACTION,
+        Q11_MEAN_MULT,
         q_important_parts,
     )
     out = q_important_parts(SF).to_pandas()
@@ -82,11 +82,12 @@ def test_important_parts_threshold_and_conservation(ray_session) -> None:
     v = (np.round(li.l_extendedprice * 100).astype(np.int64)
          * (100 - np.round(li.l_discount * 100).astype(np.int64)))
     per = v.groupby(li.l_partkey).sum()
-    total = int(per.sum())
-    exp = per[per * Q11_FRACTION > total]
+    total, n_parts = int(per.sum()), len(per)
+    exp = per[per * n_parts > Q11_MEAN_MULT * total]
     assert dict(zip(out.l_partkey, out.value_scaled)) == exp.to_dict()
-    # every returned part is strictly above the global fraction
-    assert (out.value_scaled.to_numpy() * Q11_FRACTION > total).all()
+    # every returned part is strictly above MULT x the global mean
+    assert (out.value_scaled.to_numpy() * n_parts
+            > Q11_MEAN_MULT * total).all()
 
 
 # ------------------------------------------------ Q18 HAVING boundary
