@@ -393,7 +393,8 @@ _GATE_ORDER = [
     "doc_quality", "bpe_tokens", "token_histogram", "distinct_flags",
     "events_json", "pii_mask", "repetition_stats", "doc_tokens",
     "stratified_sample", "source_quota", "lang_id", "ocr_correct",
-    "doc_sentences", "doc_chunks", "weighted_sample", "k_anonymity",
+    "doc_sentences", "doc_chunks", "chunk_dup_stats", "shard_manifest",
+    "weighted_sample", "k_anonymity",
     "event_gaps",
     "user_scd2", "customer_quartiles", "nation_top_names",
     "parts_coordered", "bfs_hops",

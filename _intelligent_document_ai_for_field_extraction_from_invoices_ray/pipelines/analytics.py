@@ -3557,7 +3557,76 @@ FROM events GROUP BY 1, 2, 3 ORDER BY event_type, isodow, hour
 """
 
 
+# ------------------------------------------------------- shard manifest
+SHARD_N = 64                 # training output shards
+SHARD_MIX = 2654435761       # Knuth multiplicative hash (fits int64
+#                              products for doc_id < 2^31 at test scale;
+#                              the point is DETERMINISTIC placement both
+#                              engines can compute, not crypto quality)
+SHARD_CKSUM_P = 2305843009213693951  # 2^61 - 1 (Mersenne)
+
+
+def q_shard_manifest(sf_dir: str) -> pd.DataFrame:
+    """Deterministic training-shard assignment + balance audit — the
+    write-side manifest a resumable 100-TB job needs: every doc maps to
+    a shard by a pure function of its id (re-runs and retries place
+    rows identically), and each shard row carries an order-independent
+    content checksum so a resumed run can verify finished shards
+    without re-reading them (pairs with state/manifest.py's lineage
+    records).
+
+    Shape at scale: one pass of per-batch partials (shard, n, chars,
+    cksum-mod-p, min/max doc_id) — a bounded SHARD_N x blocks exchange,
+    no data shuffle at all (the manifest is metadata; the actual
+    write_parquet would partition by the same key)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        did = df.doc_id.to_numpy().astype(np.int64)
+        h = (did * SHARD_MIX) % 4294967296
+        shard = h % SHARD_N
+        chars = df.n_chars.to_numpy().astype(np.int64)
+        term = (did * 31 + chars) % SHARD_CKSUM_P
+        g = pd.DataFrame({"shard_id": shard, "n": 1, "chars": chars,
+                          "ck": term, "lo": did, "hi": did})
+        out = g.groupby("shard_id", as_index=False).agg(
+            n_docs=("n", "sum"), total_chars=("chars", "sum"),
+            cksum=("ck", "sum"), min_doc_id=("lo", "min"),
+            max_doc_id=("hi", "max"))
+        # mod p per partial keeps the running sum far from int64 wrap
+        # at any batch size ((Σx) % p == (Σ(x%p)) % p for x >= 0)
+        out["cksum"] = out.cksum % SHARD_CKSUM_P
+        return out.astype(np.int64)
+
+    parts = (ds.map_batches(partial, batch_format="pandas").to_pandas())
+    out = parts.groupby("shard_id", as_index=False).agg(
+        n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"),
+        cksum=("cksum", "sum"), min_doc_id=("min_doc_id", "min"),
+        max_doc_id=("max_doc_id", "max"))
+    out["cksum"] = (out.cksum % SHARD_CKSUM_P).astype(np.int64)
+    return (out.astype(np.int64).sort_values("shard_id")
+            .reset_index(drop=True))
+
+
+SQL_SHARD_MANIFEST = f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         ((doc_id * {SHARD_MIX}) % 4294967296) % {SHARD_N} AS shard_id,
+         (doc_id * 31 + n_chars) % {SHARD_CKSUM_P} AS term
+  FROM documents
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(term) % {SHARD_CKSUM_P} AS BIGINT) AS cksum,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
+    "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "brand_pareto": (q_brand_pareto, SQL_BRAND_PARETO),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),

@@ -1581,8 +1581,96 @@ FROM pos ORDER BY doc_id, chunk_id
 """
 
 
+# ------------------------------------------------------- chunk_dup_stats
+def q_chunk_dup_stats(sf_dir: str) -> pd.DataFrame:
+    """Chunk-level redundancy audit per source — after chunking for
+    embeddings (see q_doc_chunks), how much of the chunk stream is
+    duplicate text?  This is the measurement that decides whether to
+    dedup BEFORE the (expensive) embedding stage.
+
+    Shape at scale: per-batch (source, chunk_text) pre-counts, ONE
+    text-hash-bucketed exchange (equal texts always co-locate, so
+    per-bucket distinct counts ADD across buckets); driver merge is
+    sources x buckets rows."""
+    from .grouping import bucketed_group_apply
+
+    ds = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.text.str.len().to_numpy()
+        n_chunks = (np.maximum(n, 1) - 1) // CHUNK_STRIDE + 1
+        frames = []
+        for k in range(int(n_chunks.max(initial=0))):
+            m = n_chunks > k
+            frames.append(pd.DataFrame({
+                "source": df.source[m].to_numpy(),
+                "chunk_text": df.text[m].str.slice(
+                    k * CHUNK_STRIDE,
+                    k * CHUNK_STRIDE + CHUNK_SIZE).to_numpy()}))
+        if not frames:
+            return pd.DataFrame({"source": pd.Series([], dtype=str),
+                                 "chunk_text": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        out = pd.concat(frames, ignore_index=True)
+        g = out.groupby(["source", "chunk_text"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"}).astype({"cnt": np.int64})
+
+    def bucket_stats(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df.groupby(["source", "chunk_text"], as_index=False)
+             .agg(cnt=("cnt", "sum")))
+        cnt = c.cnt.to_numpy()
+        g = pd.DataFrame({"source": c.source, "cnt": cnt,
+                          "dup": (cnt > 1).astype(np.int64)})
+        out = g.groupby("source", as_index=False).agg(
+            n_chunks=("cnt", "sum"), n_distinct=("cnt", "size"),
+            n_dup_texts=("dup", "sum"), max_occ=("cnt", "max"))
+        out["n_dup_occurrences"] = (
+            g[g.dup == 1].groupby("source").cnt.sum()
+            .reindex(out.source).fillna(0).to_numpy().astype(np.int64))
+        return out.astype({"n_chunks": np.int64, "n_distinct": np.int64,
+                           "n_dup_texts": np.int64, "max_occ": np.int64})
+
+    parts = (bucketed_group_apply(
+        ds.map_batches(chunks, batch_format="pandas"),
+        ["chunk_text"], bucket_stats, num_buckets=16).to_pandas())
+    out = parts.groupby("source", as_index=False).agg(
+        n_chunks=("n_chunks", "sum"), n_distinct=("n_distinct", "sum"),
+        n_dup_texts=("n_dup_texts", "sum"),
+        n_dup_occurrences=("n_dup_occurrences", "sum"),
+        max_occ=("max_occ", "max"))
+    for c in ("n_chunks", "n_distinct", "n_dup_texts",
+              "n_dup_occurrences", "max_occ"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_CHUNK_DUP_STATS = f"""
+WITH pos AS (
+  SELECT source, text,
+         unnest(range(0, CAST(greatest(length(text), 1) AS BIGINT),
+                      {CHUNK_STRIDE})) AS p
+  FROM documents
+), c AS (
+  SELECT source,
+         substr(text, CAST(p + 1 AS BIGINT), {CHUNK_SIZE}) AS chunk_text,
+         COUNT(*) AS cnt
+  FROM pos GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_texts,
+       CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_dup_occurrences,
+       CAST(MAX(cnt) AS BIGINT) AS max_occ
+FROM c GROUP BY source ORDER BY source
+"""
+
+
 TEXT_QUERIES = {
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "chunk_dup_stats": (q_chunk_dup_stats, SQL_CHUNK_DUP_STATS),
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
     "vocab_overlap": (q_vocab_overlap, SQL_VOCAB_OVERLAP),

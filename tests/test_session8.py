@@ -81,3 +81,56 @@ def test_extract_auc_matches_pairwise_bruteforce(ray_session) -> None:
         u2 = int((2 * (p > n) + (p == n)).sum())
         assert row.u2 == u2
         assert row.auc_milli == (1000 * u2) // (2 * len(pos) * len(neg))
+
+
+def test_shard_manifest_covers_corpus_and_balances(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        SHARD_CKSUM_P,
+        SHARD_MIX,
+        SHARD_N,
+        q_shard_manifest,
+    )
+    out = q_shard_manifest(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    # conservation: every document lands in exactly one shard
+    assert int(out.n_docs.sum()) == len(docs)
+    assert int(out.total_chars.sum()) == int(docs.n_chars.sum())
+    # placement is the pure function of doc_id (re-run determinism)
+    did = docs.doc_id.to_numpy().astype(np.int64)
+    shard = (did * SHARD_MIX) % 4294967296 % SHARD_N
+    exp_n = pd.Series(shard).value_counts().sort_index()
+    got = out.set_index("shard_id").n_docs
+    assert got.to_dict() == exp_n.to_dict()
+    # checksum is order-independent: brute-force mod-sum agrees
+    term = (did * 31 + docs.n_chars.to_numpy().astype(np.int64)) \
+        % SHARD_CKSUM_P
+    for sid, row in out.set_index("shard_id").iterrows():
+        assert row.cksum == int(term[shard == sid].sum()) % SHARD_CKSUM_P
+    # no empty or runaway shard at this corpus size
+    assert out.n_docs.max() <= 4 * max(1, out.n_docs.min())
+
+
+def test_chunk_dup_stats_bruteforce(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        q_chunk_dup_stats,
+    )
+    out = q_chunk_dup_stats(SF).set_index("source")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text", "source"]).to_pandas()
+    from collections import Counter
+    per: dict[str, Counter] = {}
+    for _, r in docs.iterrows():
+        t = r.text
+        for p in range(0, max(len(t), 1), CHUNK_STRIDE):
+            per.setdefault(r.source, Counter())[t[p:p + CHUNK_SIZE]] += 1
+    for src, c in per.items():
+        row = out.loc[src]
+        assert row.n_chunks == sum(c.values())
+        assert row.n_distinct == len(c)
+        assert row.n_dup_texts == sum(1 for v in c.values() if v > 1)
+        assert row.n_dup_occurrences == sum(v for v in c.values() if v > 1)
+        assert row.max_occ == max(c.values())
+    assert set(out.index) == set(per)
