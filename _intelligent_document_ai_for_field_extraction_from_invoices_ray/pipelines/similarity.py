@@ -1085,7 +1085,79 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------- embed_dim_stats
+def q_embed_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension moment audit of the embedding space — the
+    dimension-collapse / variance-imbalance check run before trusting
+    cosine similarity or training PQ codebooks on a corpus.  Values
+    quantize to micro-units with floor (the label_centroids convention
+    — np.round is half-even, DuckDB round half-away) so every sum is
+    exact int64 and reduction-order-independent.
+
+    Shape at scale: per-batch partials (dim, n, sum_q, sum_q2) — a
+    bounded d x blocks exchange, raw vectors never shuffle; the final
+    64-row variance math runs in Python bigints (n*sum_q2 overflows
+    int64 past ~10^5 rows; the per-batch partials themselves stay
+    int64-safe to ~10^6-row batches, far above any block size)."""
+    from ..sources.io import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"], rows_per_block=2000)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        q = np.floor(flat.astype(np.float64) * 1_000_000).astype(np.int64)
+        mat = q.reshape(batch.num_rows, -1)
+        d = mat.shape[1]
+        return pd.DataFrame({
+            "dim": np.arange(1, d + 1, dtype=np.int64),
+            "n": np.full(d, batch.num_rows, dtype=np.int64),
+            "sum_q": mat.sum(axis=0),
+            "sum_q2": (mat * mat).sum(axis=0)})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("dim", as_index=False).sum())
+    rows = []
+    for r in parts.itertuples():
+        n, sq, sq2 = int(r.n), int(r.sum_q), int(r.sum_q2)  # bigints
+        rows.append({
+            "dim": int(r.dim), "n": n, "sum_q": sq, "sum_q2": sq2,
+            "mean_micro": sq // n,
+            "var_micro2": (n * sq2 - sq * sq) // (n * n)})
+    return (pd.DataFrame(rows).astype(np.int64)
+            .sort_values("dim").reset_index(drop=True))
+
+
+SQL_EMBED_DIM_STATS = """
+WITH q AS (
+  SELECT i AS dim,
+         CAST(floor(CAST(list_extract(embedding, CAST(i AS INTEGER))
+                         AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+), s AS (
+  SELECT dim, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(v) AS HUGEINT) AS sq,
+         CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sq2
+  FROM q GROUP BY 1
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+       CAST(sq AS BIGINT) AS sum_q, CAST(sq2 AS BIGINT) AS sum_q2,
+       -- sum_q can be negative and DuckDB // truncates toward zero
+       -- while numpy/Python floor: subtract the positive remainder
+       -- first (the type_trend identity), then the division is exact
+       CAST((sq - ((sq % n) + n) % n) // n AS BIGINT) AS mean_micro,
+       -- the variance numerator is >= 0 (Cauchy-Schwarz), so plain
+       -- truncating // already equals floor there
+       CAST((n * sq2 - sq * sq) // (n * n) AS BIGINT) AS var_micro2
+FROM s ORDER BY dim
+"""
+
+
 SIM_QUERIES = {
+    "embed_dim_stats": (q_embed_dim_stats, SQL_EMBED_DIM_STATS),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),

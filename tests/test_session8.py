@@ -134,3 +134,23 @@ def test_chunk_dup_stats_bruteforce(ray_session) -> None:
         assert row.n_dup_occurrences == sum(v for v in c.values() if v > 1)
         assert row.max_occ == max(c.values())
     assert set(out.index) == set(per)
+
+
+def test_embed_dim_stats_bruteforce_moments(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.similarity import (
+        q_embed_dim_stats,
+    )
+    out = q_embed_dim_stats(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["embedding"]).to_pandas()
+    mat = np.floor(np.stack(emb.embedding.to_numpy()).astype(np.float64)
+                   * 1_000_000).astype(object)  # python ints, no wrap
+    n = mat.shape[0]
+    assert list(out.dim) == list(range(1, mat.shape[1] + 1))
+    for j, row in enumerate(out.itertuples()):
+        col = [int(v) for v in mat[:, j]]
+        sq, sq2 = sum(col), sum(v * v for v in col)
+        assert (row.n, row.sum_q, row.sum_q2) == (n, sq, sq2)
+        assert row.mean_micro == sq // n          # Python FLOOR division
+        assert row.var_micro2 == (n * sq2 - sq * sq) // (n * n)
+        assert row.var_micro2 >= 0
