@@ -448,7 +448,8 @@ _GATE_ORDER = [
     "asof_latest_order",
     "sorted_neighborhood",
     "shingle_pairs", "dup_passages", "jaccard_pairs",
-    "segment_status_native", "dedup_clusters", "clean_corpus",
+    "segment_status_native", "dedup_clusters", "dup_cluster_sizes",
+    "clean_corpus",
     # --- tier 2: rows-only, ordered by information value (flagship
     # family is additionally smoke-checked by entry(); the first
     # extract_* entry pays the cached flagship run).  extract_evaluate

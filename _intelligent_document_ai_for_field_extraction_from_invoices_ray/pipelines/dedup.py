@@ -1544,8 +1544,60 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ------------------------------------------------- cluster composition
+def q_dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Near-dup cluster size histogram — the composition report that
+    turns the CC labeling into a dedup POLICY input (how much of the
+    corpus sits in 2-doc pairs vs giant templates decides keep-one vs
+    keep-none).  Chains q_dedup_clusters, so the memoized shingle edge
+    set and the CC run are shared with the rest of the dedup family.
+
+    Shape at scale: ONE cluster-bucketed exchange of (cluster_id)
+    partial counts finishes exact per-cluster sizes; the histogram is
+    per-batch (size, count) partials with a driver merge bounded by the
+    number of DISTINCT sizes (<= corpus max cluster size, in practice
+    tens)."""
+    from .grouping import bucketed_group_apply
+
+    cl = q_dedup_clusters(sf_dir).map_batches(
+        lambda b: b.select(["cluster_id"]), batch_format="pyarrow")
+
+    def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("cluster_id", as_index=False).size()
+               .rename(columns={"size": "sz"}))
+        return out.astype({"cluster_id": np.int64, "sz": np.int64})
+
+    sizes = bucketed_group_apply(cl, ["cluster_id"], per_cluster,
+                                 num_buckets=16)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("sz", as_index=False)
+               .agg(n_clusters=("cluster_id", "size"),
+                    n_docs=("sz", "sum")))
+        return out.astype(np.int64)
+
+    parts = sizes.map_batches(hist, batch_format="pandas").to_pandas()
+    out = (parts.groupby("sz", as_index=False)
+           .agg(n_clusters=("n_clusters", "sum"),
+                n_docs=("n_docs", "sum"))
+           .rename(columns={"sz": "cluster_size"})
+           .astype(np.int64))
+    return out.sort_values("cluster_size").reset_index(drop=True)
+
+
+SQL_DUP_CLUSTER_SIZES = f"""
+WITH c AS ({SQL_DEDUP_CLUSTERS}),
+s AS (SELECT cluster_id, COUNT(*) AS sz FROM c GROUP BY 1)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
 DEDUP_QUERIES = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "dup_cluster_sizes": (q_dup_cluster_sizes, SQL_DUP_CLUSTER_SIZES),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "shingle_pairs": (q_shingle_pairs, SQL_SHINGLE_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

@@ -154,3 +154,20 @@ def test_embed_dim_stats_bruteforce_moments(ray_session) -> None:
         assert row.mean_micro == sq // n          # Python FLOOR division
         assert row.var_micro2 == (n * sq2 - sq * sq) // (n * n)
         assert row.var_micro2 >= 0
+
+
+def test_dup_cluster_sizes_conservation(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.dedup import (
+        q_dedup_clusters,
+        q_dup_cluster_sizes,
+    )
+    out = q_dup_cluster_sizes(SF)
+    cl = q_dedup_clusters(SF).to_pandas()
+    # conservation: histogram covers every doc and every cluster
+    assert int(out.n_docs.sum()) == len(cl)
+    assert int(out.n_clusters.sum()) == cl.cluster_id.nunique()
+    # definitional identity per bin: n_docs = size * n_clusters
+    assert (out.n_docs == out.cluster_size * out.n_clusters).all()
+    # brute force the histogram from the labeling itself
+    szs = cl.groupby("cluster_id").size().value_counts().sort_index()
+    assert dict(zip(out.cluster_size, out.n_clusters)) == szs.to_dict()
