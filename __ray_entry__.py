@@ -394,7 +394,7 @@ _GATE_ORDER = [
     "events_json", "pii_mask", "repetition_stats", "doc_tokens",
     "stratified_sample", "source_quota", "lang_id", "ocr_correct",
     "doc_sentences", "doc_chunks", "chunk_dup_stats", "shard_manifest",
-    "embed_dim_stats",
+    "embed_dim_stats", "token_coverage_curve",
     "weighted_sample", "k_anonymity",
     "event_gaps",
     "user_scd2", "customer_quartiles", "nation_top_names",
@@ -466,7 +466,7 @@ _GATE_ORDER = [
     "value_quantile_sketch",
     "embed_semantic_dedup", "embed_kmeans", "embed_ann_lsh",
     "embed_ann_ivf", "embed_ann_ivfpq",
-    "simhash_pairs", "minhash_pairs",
+    "simhash_pairs", "minhash_pairs", "neardup_quality",
     "extract_with_fallback", "media_features", "media_phash",
     "media_phash_pairs", "extract_fields",
 ]

@@ -1595,6 +1595,47 @@ FROM s GROUP BY 1 ORDER BY 1
 """
 
 
+# ------------------------------------------- approximate-dedup scoring
+def q_neardup_quality(sf_dir: str) -> pd.DataFrame:
+    """Precision/recall of the MinHash+LSH near-dup pairs against the
+    EXACT shingle-jaccard >=0.8 ground truth — the quality scorecard an
+    approximate dedup needs before it may replace the exact join at
+    scale.  Previously only a pytest pin; as a registered query the
+    number lands in the driver gate artifacts.
+
+    Shape at scale: both pair sets come from the per-process memoized
+    shingle machinery (no recompute); ONE pair-bucketed cogroup counts
+    |truth|, |pred|, |hit| per bucket (equal pairs co-locate), and the
+    driver merge is buckets x 1 rows."""
+    from .grouping import bucketed_cogroup
+
+    true_pairs = shingle_edges_cached(sf_dir).map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    pred_pairs = minhash_lsh_pairs(_docs(sf_dir), jaccard_milli=800,
+                                   sets=sets_cached(sf_dir, "shingle")
+                                   ).map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+
+    def stats(tf: pd.DataFrame, pf: pd.DataFrame) -> pd.DataFrame:
+        tset = set(zip(tf.doc_a.to_numpy(), tf.doc_b.to_numpy()))
+        pset = set(zip(pf.doc_a.to_numpy(), pf.doc_b.to_numpy()))
+        return pd.DataFrame({
+            "n_true": [np.int64(len(tset))],
+            "n_pred": [np.int64(len(pset))],
+            "n_hit": [np.int64(len(tset & pset))]})
+
+    parts = bucketed_cogroup(true_pairs, pred_pairs,
+                             ["doc_a", "doc_b"], ["doc_a", "doc_b"],
+                             stats, num_buckets=16).to_pandas()
+    nt, npred, nh = (int(parts.n_true.sum()), int(parts.n_pred.sum()),
+                     int(parts.n_hit.sum()))
+    return pd.DataFrame({
+        "n_true": [nt], "n_pred": [npred], "n_hit": [nh],
+        "precision_milli": [(1000 * nh) // npred if npred else -1],
+        "recall_milli": [(1000 * nh) // nt if nt else -1],
+    }).astype(np.int64)
+
+
 DEDUP_QUERIES = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dup_cluster_sizes": (q_dup_cluster_sizes, SQL_DUP_CLUSTER_SIZES),
@@ -1608,4 +1649,5 @@ DEDUP_QUERIES = {
     # against shingle_pairs by tests/test_properties.py
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),   # not SQL-expressible
+    "neardup_quality": (q_neardup_quality, None),  # scores an approx op
 }

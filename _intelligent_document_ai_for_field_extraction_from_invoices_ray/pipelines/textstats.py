@@ -1668,8 +1668,98 @@ FROM c GROUP BY source ORDER BY source
 """
 
 
+# -------------------------------------------------- token_coverage_curve
+COVERAGE_KS = (10, 30, 100, 300)
+
+
+def q_token_coverage_curve(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary-sizing curve: what fraction of all word-BIGRAM
+    occurrences do the top-k most frequent bigrams cover, for a ladder
+    of k — the measurement behind choosing a tokenizer vocab size
+    (unigrams are useless here: the synthetic corpus has only 31
+    distinct words, bigrams give a ~10^3 vocabulary).
+
+    Shape at scale: per-batch bigram pre-counts -> ONE gram-bucketed
+    exchange for exact global counts -> per-bucket top-max(k) (lossless:
+    a global top-k member is a top-k member of its bucket) -> driver
+    resort of <= max(k) x buckets rows; ties broken by gram text so the
+    curve is deterministic."""
+    from .grouping import bucketed_group_apply
+
+    ds = _docs(sf_dir)
+    kmax = max(COVERAGE_KS)
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, int] = {}
+        for t in df.text:
+            w = t.split()
+            for a, b in zip(w, w[1:]):
+                g = a + " " + b
+                rows[g] = rows.get(g, 0) + 1
+        if not rows:
+            return pd.DataFrame({"gram": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        out = pd.DataFrame({"gram": list(rows), "cnt": list(rows.values())})
+        return out.astype({"cnt": np.int64})
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("gram", as_index=False).agg(cnt=("cnt", "sum"))
+        c["cnt"] = c.cnt.astype(np.int64)
+        return c.sort_values(["cnt", "gram"],
+                             ascending=[False, True]).head(kmax)
+
+    # the global total needs no gram exchange at all: it is
+    # sum(max(len(words)-1, 0)) per document — one per-batch sum
+    def occ(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.text.str.split().str.len().fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({"t": [np.int64(np.maximum(n - 1, 0).sum())]})
+
+    total = int(ds.map_batches(occ, batch_format="pandas")
+                .to_pandas().t.sum())
+
+    parts = bucketed_group_apply(
+        ds.map_batches(grams, batch_format="pandas"),
+        ["gram"], bucket_top, num_buckets=16).to_pandas()
+    ranked = parts.sort_values(["cnt", "gram"],
+                               ascending=[False, True]).reset_index(drop=True)
+    out_rows = []
+    for k in COVERAGE_KS:
+        covered = int(ranked.cnt.head(k).sum())
+        out_rows.append({"k": k, "covered_occ": covered,
+                         "total_occ": total,
+                         "coverage_milli": (1000 * covered) // total
+                         if total else 0})
+    return pd.DataFrame(out_rows).astype(np.int64)
+
+
+SQL_TOKEN_COVERAGE_CURVE = r"""
+WITH w AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS a
+  FROM documents WHERE trim(text) <> ''
+), g AS (
+  SELECT unnest(list_transform(range(1, len(a)),
+                               i -> a[i] || ' ' || a[i+1])) AS gram
+  FROM w WHERE len(a) > 1
+), c AS (
+  SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1
+), r AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS rn FROM c
+)
+SELECT CAST(v.k AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN r.rn <= v.k THEN r.cnt ELSE 0 END) AS BIGINT)
+         AS covered_occ,
+       CAST((SELECT SUM(cnt) FROM c) AS BIGINT) AS total_occ,
+       CAST(1000 * SUM(CASE WHEN r.rn <= v.k THEN r.cnt ELSE 0 END)
+            // (SELECT SUM(cnt) FROM c) AS BIGINT) AS coverage_milli
+FROM (VALUES (10), (30), (100), (300)) AS v(k), r
+GROUP BY v.k ORDER BY k
+"""
+
+
 TEXT_QUERIES = {
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "token_coverage_curve": (q_token_coverage_curve,
+                             SQL_TOKEN_COVERAGE_CURVE),
     "chunk_dup_stats": (q_chunk_dup_stats, SQL_CHUNK_DUP_STATS),
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),

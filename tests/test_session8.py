@@ -171,3 +171,49 @@ def test_dup_cluster_sizes_conservation(ray_session) -> None:
     # brute force the histogram from the labeling itself
     szs = cl.groupby("cluster_id").size().value_counts().sort_index()
     assert dict(zip(out.cluster_size, out.n_clusters)) == szs.to_dict()
+
+
+def test_token_coverage_curve_bruteforce(ray_session) -> None:
+    from collections import Counter
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import (
+        COVERAGE_KS,
+        q_token_coverage_curve,
+    )
+    out = q_token_coverage_curve(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    c = Counter()
+    for t in docs.text:
+        w = t.split()
+        c.update(a + " " + b for a, b in zip(w, w[1:]))
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    assert list(out.k) == list(COVERAGE_KS)
+    prev = -1
+    for row in out.itertuples():
+        covered = sum(v for _, v in ranked[:row.k])
+        assert row.covered_occ == covered
+        assert row.total_occ == total
+        assert row.coverage_milli == (1000 * covered) // total
+        assert row.covered_occ >= prev          # monotone in k
+        prev = row.covered_occ
+
+
+def test_neardup_quality_consistent_with_pair_queries(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.dedup import (
+        q_minhash_pairs,
+        q_neardup_quality,
+        q_shingle_pairs,
+    )
+    out = q_neardup_quality(SF).iloc[0]
+    t = q_shingle_pairs(SF).to_pandas()
+    p = q_minhash_pairs(SF).to_pandas()
+    tset = set(zip(t.doc_a, t.doc_b))
+    pset = set(zip(p.doc_a, p.doc_b))
+    assert out.n_true == len(tset) and out.n_pred == len(pset)
+    assert out.n_hit == len(tset & pset)
+    # LSH may miss but never invents: predicted pairs are verified, so
+    # precision must be exact-1000 whenever n_pred > 0
+    if out.n_pred:
+        assert out.precision_milli == 1000
