@@ -394,7 +394,7 @@ _GATE_ORDER = [
     "events_json", "pii_mask", "repetition_stats", "doc_tokens",
     "stratified_sample", "source_quota", "lang_id", "ocr_correct",
     "doc_sentences", "doc_chunks", "chunk_dup_stats", "shard_manifest",
-    "embed_dim_stats", "token_coverage_curve",
+    "embed_dim_stats", "token_coverage_curve", "split_leakage_audit",
     "weighted_sample", "k_anonymity",
     "event_gaps",
     "user_scd2", "customer_quartiles", "nation_top_names",

@@ -3625,8 +3625,93 @@ FROM d GROUP BY 1 ORDER BY 1
 """
 
 
+# -------------------------------------------------- split leakage audit
+SPLIT_CUTOFF = "2024-01-22"
+
+
+def q_split_leakage_audit(sf_dir: str) -> pd.DataFrame:
+    """Temporal train/test split accounting + entity-leakage audit: a
+    time cutoff splits the event log, and the audit reports how many
+    USERS appear on both sides — the quantity that decides whether a
+    user-level model evaluated on the test window is contaminated.
+
+    Shape at scale: per-batch (user, n_train, n_test) partials -> ONE
+    user-bucketed exchange -> per-bucket classification counts -> a
+    3-integer driver merge.  Events never shuffle, only per-user
+    partial counters do."""
+    from .grouping import bucketed_group_apply
+
+    cut = int(pd.Timestamp(SPLIT_CUTOFF).value // 1_000_000_000)
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = np.asarray(_epoch_s(df.ts))
+        d = pd.DataFrame({
+            "user_id": df.user_id.to_numpy().astype(np.int64),
+            "tr": (s < cut).astype(np.int64)})
+        d["te"] = 1 - d.tr
+        return (d.groupby("user_id", as_index=False)
+                .agg(n_train=("tr", "sum"), n_test=("te", "sum"))
+                .astype(np.int64))
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("user_id", as_index=False)
+             .agg(n_train=("n_train", "sum"), n_test=("n_test", "sum")))
+        both = (g.n_train > 0) & (g.n_test > 0)
+        return pd.DataFrame({
+            "n_train_events": [np.int64(g.n_train.sum())],
+            "n_test_events": [np.int64(g.n_test.sum())],
+            "users_train_only": [np.int64(((g.n_train > 0)
+                                           & (g.n_test == 0)).sum())],
+            "users_test_only": [np.int64(((g.n_train == 0)
+                                          & (g.n_test > 0)).sum())],
+            "users_both": [np.int64(both.sum())]})
+
+    parts = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], classify, num_buckets=16).to_pandas()
+    out = pd.DataFrame([{
+        "n_train_events": int(parts.n_train_events.sum()),
+        "n_test_events": int(parts.n_test_events.sum()),
+        "users_train_only": int(parts.users_train_only.sum()),
+        "users_test_only": int(parts.users_test_only.sum()),
+        "users_both": int(parts.users_both.sum()),
+    }])
+    n_users = int(out.users_train_only.iloc[0]
+                  + out.users_test_only.iloc[0] + out.users_both.iloc[0])
+    out["leakage_milli"] = ((1000 * out.users_both) // n_users
+                            if n_users else 0)
+    return out.astype(np.int64)
+
+
+SQL_SPLIT_LEAKAGE_AUDIT = f"""
+WITH u AS (
+  SELECT user_id,
+         SUM(CASE WHEN ts < TIMESTAMP '{SPLIT_CUTOFF}' THEN 1 ELSE 0 END)
+           AS n_train,
+         SUM(CASE WHEN ts >= TIMESTAMP '{SPLIT_CUTOFF}' THEN 1 ELSE 0
+             END) AS n_test
+  FROM events GROUP BY 1
+)
+SELECT CAST(SUM(n_train) AS BIGINT) AS n_train_events,
+       CAST(SUM(n_test) AS BIGINT) AS n_test_events,
+       CAST(SUM(CASE WHEN n_train > 0 AND n_test = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS users_train_only,
+       CAST(SUM(CASE WHEN n_train = 0 AND n_test > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS users_test_only,
+       CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS users_both,
+       CAST(1000 * SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1
+                       ELSE 0 END) // COUNT(*) AS BIGINT)
+         AS leakage_milli
+FROM u
+"""
+
+
 ANALYTICS_QUERIES = {
     "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
+    "split_leakage_audit": (q_split_leakage_audit,
+                            SQL_SPLIT_LEAKAGE_AUDIT),
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "brand_pareto": (q_brand_pareto, SQL_BRAND_PARETO),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),

@@ -217,3 +217,24 @@ def test_neardup_quality_consistent_with_pair_queries(ray_session) -> None:
     # precision must be exact-1000 whenever n_pred > 0
     if out.n_pred:
         assert out.precision_milli == 1000
+
+
+def test_split_leakage_audit_bruteforce(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        SPLIT_CUTOFF,
+        q_split_leakage_audit,
+    )
+    out = q_split_leakage_audit(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    cut = pd.Timestamp(SPLIT_CUTOFF)
+    tr = ev[ev.ts < cut].groupby("user_id").size()
+    te = ev[ev.ts >= cut].groupby("user_id").size()
+    assert out.n_train_events == len(ev[ev.ts < cut])
+    assert out.n_test_events == len(ev) - out.n_train_events
+    both = set(tr.index) & set(te.index)
+    assert out.users_both == len(both)
+    assert out.users_train_only == len(set(tr.index) - both)
+    assert out.users_test_only == len(set(te.index) - both)
+    n = out.users_train_only + out.users_test_only + out.users_both
+    assert out.leakage_milli == (1000 * out.users_both) // n
