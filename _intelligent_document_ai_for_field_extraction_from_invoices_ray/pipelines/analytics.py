@@ -3708,10 +3708,95 @@ FROM u
 """
 
 
+# ------------------------------------------------- coordinated sampling
+CS_MIX = 2654435761          # shared with shard_manifest: same family
+CS_PCT = 5                   # keep ~5% of orderkeys
+
+
+def q_coordinated_sample(sf_dir: str) -> pd.DataFrame:
+    """Consistent (coordinated) sampling across orders AND lineitem by
+    a shared pure hash of the join key — how a dev corpus is cut from
+    100 TB with referential integrity intact and ZERO joins: both
+    tables filter independently on h(orderkey), and closure holds by
+    construction.  The audit row proves it: sampled lineitems' distinct
+    orderkeys == sampled orders (every lineitem parent is sampled too).
+
+    Shape at scale: two independent filtered scans with per-batch
+    count/sum partials; the only exchange is the bounded audit
+    distinct (orderkey-bucketed partial distincts)."""
+    from .grouping import bucketed_group_apply
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def keep(keys: np.ndarray) -> np.ndarray:
+        return ((keys * CS_MIX) % 4294967296) % 100 < CS_PCT
+
+    def o_part(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.o_orderkey.to_numpy().astype(np.int64)
+        m = keep(k)
+        return pd.DataFrame({
+            "n_orders": [np.int64(m.sum())],
+            "order_cents": [np.int64(_cents(df.o_totalprice)[m].sum())]})
+
+    def l_part(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.l_orderkey.to_numpy().astype(np.int64)
+        m = keep(k)
+        return pd.DataFrame({
+            "ok": k[m], "cents": _cents(df.l_extendedprice)[m]})
+
+    op = orders.map_batches(o_part, batch_format="pandas").to_pandas()
+    lp = li.map_batches(l_part, batch_format="pandas")
+
+    def l_stats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_li": [np.int64(len(df))],
+            "li_cents": [np.int64(df.cents.sum())],
+            "n_li_orders": [np.int64(df.ok.nunique())]})
+
+    ls = bucketed_group_apply(lp, ["ok"], l_stats,
+                              num_buckets=16).to_pandas()
+    n_orders = int(op.n_orders.sum())
+    n_li_orders = int(ls.n_li_orders.sum()) if len(ls) else 0
+    return pd.DataFrame([{
+        "n_orders": n_orders,
+        "order_cents": int(op.order_cents.sum()),
+        "n_lineitems": int(ls.n_li.sum()) if len(ls) else 0,
+        "lineitem_cents": int(ls.li_cents.sum()) if len(ls) else 0,
+        "n_lineitem_orders": n_li_orders,
+        # referential closure: every sampled lineitem's parent sampled
+        "n_orphan_orders": n_li_orders - min(n_li_orders, n_orders),
+    }]).astype(np.int64)
+
+
+SQL_COORDINATED_SAMPLE = f"""
+WITH so AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE ((o_orderkey * {CS_MIX}) % 4294967296) % 100 < {CS_PCT}
+), sl AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE ((l_orderkey * {CS_MIX}) % 4294967296) % 100 < {CS_PCT}
+)
+SELECT CAST((SELECT COUNT(*) FROM so) AS BIGINT) AS n_orders,
+       CAST((SELECT SUM(cents) FROM so) AS BIGINT) AS order_cents,
+       CAST((SELECT COUNT(*) FROM sl) AS BIGINT) AS n_lineitems,
+       CAST((SELECT SUM(cents) FROM sl) AS BIGINT) AS lineitem_cents,
+       CAST((SELECT COUNT(DISTINCT l_orderkey) FROM sl) AS BIGINT)
+         AS n_lineitem_orders,
+       CAST(GREATEST((SELECT COUNT(DISTINCT l_orderkey) FROM sl)
+                     - (SELECT COUNT(*) FROM so), 0) AS BIGINT)
+         AS n_orphan_orders
+"""
+
+
 ANALYTICS_QUERIES = {
     "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
     "split_leakage_audit": (q_split_leakage_audit,
                             SQL_SPLIT_LEAKAGE_AUDIT),
+    "coordinated_sample": (q_coordinated_sample, SQL_COORDINATED_SAMPLE),
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "brand_pareto": (q_brand_pareto, SQL_BRAND_PARETO),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),

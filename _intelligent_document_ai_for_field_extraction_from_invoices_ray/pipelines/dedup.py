@@ -1595,6 +1595,66 @@ FROM s GROUP BY 1 ORDER BY 1
 """
 
 
+# ------------------------------------------------- incremental ingest
+def q_ingest_dedup_new(sf_dir: str) -> rd.Dataset:
+    """Incremental-ingestion dedup: treat the doc_id midpoint as the
+    boundary between the EXISTING corpus and a NEW ingest batch, and
+    report each new doc that NEAR-duplicates (3-shingle jaccard >=0.8)
+    some existing doc, with the earliest existing match as the
+    canonical keeper — the production shape where every nightly batch
+    dedups against the accumulated corpus, not just against itself.
+
+    Shape at scale: reuses the memoized verified shingle edge set (no
+    recompute — the same table backs shingle_pairs, dedup_clusters,
+    clean_corpus and minhash); the boundary filter and the per-new-doc
+    keeper argmin are per-batch combiners + ONE new-doc-bucketed
+    exchange of (new_doc_id, min_keeper, cnt) partials."""
+    import pyarrow.parquet as _pqt
+
+    from .grouping import bucketed_group_apply
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    n_docs = _pqt.read_metadata(docs_path).num_rows
+    cut = n_docs // 2            # doc_id < cut = existing corpus
+
+    edges = shingle_edges_cached(sf_dir).map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+
+    def cross_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # pairs are (doc_a < doc_b); old ids all < cut, so the existing
+        # side of a cross pair is always doc_a
+        m = (df.doc_a.to_numpy() < cut) & (df.doc_b.to_numpy() >= cut)
+        d = df[m]
+        out = (d.groupby("doc_b", as_index=False)
+               .agg(keeper_doc_id=("doc_a", "min"),
+                    n_existing_matches=("doc_a", "size")))
+        return out.rename(columns={"doc_b": "new_doc_id"}) \
+                  .astype(np.int64)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("new_doc_id", as_index=False)
+                .agg(keeper_doc_id=("keeper_doc_id", "min"),
+                     n_existing_matches=("n_existing_matches", "sum"))
+                .astype(np.int64))
+
+    return bucketed_group_apply(
+        edges.map_batches(cross_partial, batch_format="pandas"),
+        ["new_doc_id"], combine, num_buckets=16).sort("new_doc_id")
+
+
+# wraps the exact shingle-pair oracle so both stay in lockstep
+SQL_INGEST_DEDUP_NEW = f"""
+WITH p AS ({SQL_SHINGLE_PAIRS}),
+b AS (SELECT (SELECT COUNT(*) FROM documents) // 2 AS cut)
+SELECT p.doc_b AS new_doc_id,
+       CAST(MIN(p.doc_a) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_existing_matches
+FROM p, b
+WHERE p.doc_a < b.cut AND p.doc_b >= b.cut
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ------------------------------------------- approximate-dedup scoring
 def q_neardup_quality(sf_dir: str) -> pd.DataFrame:
     """Precision/recall of the MinHash+LSH near-dup pairs against the
@@ -1639,6 +1699,7 @@ def q_neardup_quality(sf_dir: str) -> pd.DataFrame:
 DEDUP_QUERIES = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dup_cluster_sizes": (q_dup_cluster_sizes, SQL_DUP_CLUSTER_SIZES),
+    "ingest_dedup_new": (q_ingest_dedup_new, SQL_INGEST_DEDUP_NEW),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "shingle_pairs": (q_shingle_pairs, SQL_SHINGLE_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

@@ -284,6 +284,14 @@ def run_bench() -> dict:
     timed("large_orders", tpchx.q_large_orders)
     timed("promo_suppliers", tpchx.q_promo_suppliers)
     timed("waiting_suppliers", tpchx.q_waiting_suppliers)
+    timed("doc_chunks", textstats.q_doc_chunks)
+    timed("chunk_dup_stats", textstats.q_chunk_dup_stats)
+    timed("token_coverage_curve", textstats.q_token_coverage_curve)
+    timed("shard_manifest", analytics.q_shard_manifest)
+    timed("split_leakage_audit", analytics.q_split_leakage_audit)
+    timed("embed_dim_stats", similarity.q_embed_dim_stats)
+    timed("dup_cluster_sizes", dedup.q_dup_cluster_sizes)
+    timed("neardup_quality", dedup.q_neardup_quality)
 
     result = {
         "metric": "end-to-end extraction sec (flagship interleaved-doc pipeline) + per-query sec",

@@ -238,3 +238,52 @@ def test_split_leakage_audit_bruteforce(ray_session) -> None:
     assert out.users_test_only == len(set(te.index) - both)
     n = out.users_train_only + out.users_test_only + out.users_both
     assert out.leakage_milli == (1000 * out.users_both) // n
+
+
+def test_coordinated_sample_referential_closure(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        CS_MIX,
+        CS_PCT,
+        q_coordinated_sample,
+    )
+    out = q_coordinated_sample(SF).iloc[0]
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_extendedprice"]).to_pandas()
+
+    def keep(k):
+        return ((k.astype(np.int64) * CS_MIX) % 4294967296) % 100 < CS_PCT
+
+    so = o[keep(o.o_orderkey.to_numpy())]
+    sl = li[keep(li.l_orderkey.to_numpy())]
+    assert out.n_orders == len(so) and out.n_lineitems == len(sl)
+    assert out.order_cents == int(np.round(so.o_totalprice * 100).sum())
+    assert out.lineitem_cents == int(np.round(sl.l_extendedprice
+                                              * 100).sum())
+    assert out.n_lineitem_orders == sl.l_orderkey.nunique()
+    # the coordinated property itself: every sampled lineitem's parent
+    # order is sampled (closure holds with NO join)
+    assert set(sl.l_orderkey) <= set(so.o_orderkey)
+    assert out.n_orphan_orders == 0
+
+
+def test_ingest_dedup_new_against_pairs(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.dedup import (
+        q_ingest_dedup_new,
+        q_shingle_pairs,
+    )
+    out = q_ingest_dedup_new(SF).to_pandas()
+    pairs = q_shingle_pairs(SF).to_pandas()
+    n = len(pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]))
+    cut = n // 2
+    cross = pairs[(pairs.doc_a < cut) & (pairs.doc_b >= cut)]
+    exp = (cross.groupby("doc_b")
+           .agg(keeper=("doc_a", "min"), cnt=("doc_a", "size")))
+    assert dict(zip(out.new_doc_id, out.keeper_doc_id)) \
+        == exp.keeper.to_dict()
+    assert dict(zip(out.new_doc_id, out.n_existing_matches)) \
+        == exp.cnt.to_dict()
+    # every reported keeper really is on the existing side
+    assert (out.keeper_doc_id < cut).all()
+    assert (out.new_doc_id >= cut).all()
