@@ -1756,8 +1756,59 @@ GROUP BY v.k ORDER BY k
 """
 
 
+# --------------------------------------------------- doc_rank_in_source
+def q_doc_rank_in_source(sf_dir: str) -> rd.Dataset:
+    """Per-document exact rank WITHIN its source by length (ties broken
+    by doc_id), plus the milli-scaled normalized rank — the per-row
+    grouped-window primitive behind percentile features and
+    curriculum ordering, emitted for EVERY row (unlike the grouped
+    quantile summaries, which reduce).
+
+    Shape at scale: ONE source-bucketed exchange co-locates each
+    source's rows; the in-bucket rank is one vectorized argsort per
+    source run — no per-row Python, no global sort."""
+    from .grouping import bucketed_group_apply
+
+    ds = _docs(sf_dir, columns=("doc_id", "source", "n_chars"))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        out_parts = []
+        for src, g in df.groupby("source"):
+            g = g.sort_values(["n_chars", "doc_id"])
+            n = len(g)
+            r = np.arange(1, n + 1, dtype=np.int64)
+            out_parts.append(pd.DataFrame({
+                "doc_id": g.doc_id.to_numpy().astype(np.int64),
+                "source": np.full(n, src),
+                "n_chars": g.n_chars.to_numpy().astype(np.int64),
+                "rank_in_source": r,
+                "rank_milli": (1000 * (r - 1)) // (n - 1)
+                if n > 1 else np.zeros(n, dtype=np.int64)}))
+        return pd.concat(out_parts, ignore_index=True)
+
+    return bucketed_group_apply(ds, ["source"], rank,
+                                num_buckets=16).sort("doc_id")
+
+
+SQL_DOC_RANK_IN_SOURCE = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CAST(rk AS BIGINT) AS rank_in_source,
+       CAST(CASE WHEN n > 1 THEN (1000 * (rk - 1)) // (n - 1)
+                 ELSE 0 END AS BIGINT) AS rank_milli
+FROM r ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES = {
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "doc_rank_in_source": (q_doc_rank_in_source, SQL_DOC_RANK_IN_SOURCE),
     "token_coverage_curve": (q_token_coverage_curve,
                              SQL_TOKEN_COVERAGE_CURVE),
     "chunk_dup_stats": (q_chunk_dup_stats, SQL_CHUNK_DUP_STATS),

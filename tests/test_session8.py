@@ -287,3 +287,25 @@ def test_ingest_dedup_new_against_pairs(ray_session) -> None:
     # every reported keeper really is on the existing side
     assert (out.keeper_doc_id < cut).all()
     assert (out.new_doc_id >= cut).all()
+
+
+def test_doc_rank_in_source_is_permutation(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import (
+        q_doc_rank_in_source,
+    )
+    out = q_doc_rank_in_source(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source",
+                                  "n_chars"]).to_pandas()
+    assert len(out) == len(docs)
+    for src, g in out.groupby("source"):
+        n = len(g)
+        # ranks are a permutation of 1..n within the source
+        assert sorted(g.rank_in_source) == list(range(1, n + 1))
+        # rank order agrees with the (n_chars, doc_id) sort order
+        s = g.sort_values("rank_in_source")
+        expect = g.sort_values(["n_chars", "doc_id"])
+        assert list(s.doc_id) == list(expect.doc_id)
+        # normalized rank endpoints
+        assert s.rank_milli.iloc[0] == 0
+        assert s.rank_milli.iloc[-1] == (1000 if n > 1 else 0)
