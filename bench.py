@@ -292,6 +292,9 @@ def run_bench() -> dict:
     timed("embed_dim_stats", similarity.q_embed_dim_stats)
     timed("dup_cluster_sizes", dedup.q_dup_cluster_sizes)
     timed("neardup_quality", dedup.q_neardup_quality)
+    timed("ingest_dedup_new", dedup.q_ingest_dedup_new)
+    timed("coordinated_sample", analytics.q_coordinated_sample)
+    timed("doc_rank_in_source", textstats.q_doc_rank_in_source)
 
     result = {
         "metric": "end-to-end extraction sec (flagship interleaved-doc pipeline) + per-query sec",
