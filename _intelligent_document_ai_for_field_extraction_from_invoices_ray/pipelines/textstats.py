@@ -1806,8 +1806,81 @@ FROM r ORDER BY doc_id
 """
 
 
+# -------------------------------------------------------- corpus_report
+def q_corpus_report(sf_dir: str) -> pd.DataFrame:
+    """One-row corpus datasheet — the dataset-card numbers (volume,
+    diversity, redundancy) a training run records before it starts:
+    doc/char/token totals, source and language cardinalities, distinct
+    text count and the exact-duplicate rate.
+
+    Shape at scale: one pass of per-batch partials for the additive
+    stats (langs/sources are bounded-cardinality full-key partials,
+    the documented domain_stats convention); the ONLY exchange is the
+    md5-bucketed distinct-text count (per-bucket distincts add, the
+    exact_dedup machinery).  Driver merge is a handful of rows."""
+    from .grouping import bucketed_group_apply
+
+    ds = _docs(sf_dir, columns=("doc_id", "text", "source", "lang"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.text.str.split().str.len().fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(df))],
+            "total_chars": [np.int64(df.text.str.len().sum())],
+            "total_tokens": [np.int64(toks.sum())],
+            "srcs": [",".join(sorted(set(df.source)))],
+            "langs": [",".join(sorted(set(df.lang)))]})
+
+    import hashlib as _h
+
+    def fps(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "fp": [_h.md5(t.encode("utf-8")).hexdigest()
+                   for t in df.text]})
+
+    def bucket_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"d": [np.int64(df.fp.nunique())]})
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    distinct = int(bucketed_group_apply(
+        ds.map_batches(fps, batch_format="pandas"),
+        ["fp"], bucket_distinct, num_buckets=16).to_pandas().d.sum())
+    n_docs = int(p.n_docs.sum())
+    srcs = sorted({s for row in p.srcs for s in row.split(",") if s})
+    langs = sorted({s for row in p.langs for s in row.split(",") if s})
+    return pd.DataFrame([{
+        "n_docs": n_docs,
+        "total_chars": int(p.total_chars.sum()),
+        "total_tokens": int(p.total_tokens.sum()),
+        "n_sources": len(srcs),
+        "n_langs": len(langs),
+        "n_distinct_texts": distinct,
+        "dup_docs": n_docs - distinct,
+        "dup_rate_milli": (1000 * (n_docs - distinct)) // n_docs
+        if n_docs else 0,
+    }]).astype(np.int64)
+
+
+SQL_CORPUS_REPORT = r"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE array_length(regexp_split_to_array(trim(text),
+                                                        '\s+')) END)
+            AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_docs,
+       CAST(1000 * (COUNT(*) - COUNT(DISTINCT md5(text))) // COUNT(*)
+            AS BIGINT) AS dup_rate_milli
+FROM documents
+"""
+
+
 TEXT_QUERIES = {
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
     "doc_rank_in_source": (q_doc_rank_in_source, SQL_DOC_RANK_IN_SOURCE),
     "token_coverage_curve": (q_token_coverage_curve,
                              SQL_TOKEN_COVERAGE_CURVE),

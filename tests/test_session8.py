@@ -309,3 +309,23 @@ def test_doc_rank_in_source_is_permutation(ray_session) -> None:
         # normalized rank endpoints
         assert s.rank_milli.iloc[0] == 0
         assert s.rank_milli.iloc[-1] == (1000 if n > 1 else 0)
+
+
+def test_corpus_report_bruteforce(ray_session) -> None:
+    import hashlib
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import (
+        q_corpus_report,
+    )
+    out = q_corpus_report(SF).iloc[0]
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    assert out.n_docs == len(docs)
+    assert out.total_chars == int(docs.text.str.len().sum())
+    assert out.total_tokens == sum(len(t.split()) for t in docs.text)
+    assert out.n_sources == docs.source.nunique()
+    assert out.n_langs == docs.lang.nunique()
+    distinct = len({hashlib.md5(t.encode()).hexdigest()
+                    for t in docs.text})
+    assert out.n_distinct_texts == distinct
+    assert out.dup_docs == len(docs) - distinct
+    assert out.dup_rate_milli == (1000 * out.dup_docs) // len(docs)
