@@ -295,6 +295,7 @@ def run_bench() -> dict:
     timed("ingest_dedup_new", dedup.q_ingest_dedup_new)
     timed("coordinated_sample", analytics.q_coordinated_sample)
     timed("doc_rank_in_source", textstats.q_doc_rank_in_source)
+    timed("corpus_report", textstats.q_corpus_report)
 
     result = {
         "metric": "end-to-end extraction sec (flagship interleaved-doc pipeline) + per-query sec",
