@@ -3792,11 +3792,153 @@ SELECT CAST((SELECT COUNT(*) FROM so) AS BIGINT) AS n_orders,
 """
 
 
+# --------------------------------------------------- zone prune audit
+ZP_USER_LO, ZP_USER_HI = 5, 12
+ZP_CENT_LO, ZP_CENT_HI = 1_000, 3_000
+ZP_ID_BLOCK = 256            # rows per block in the arrival layout
+
+
+def q_zone_prune_audit(sf_dir: str) -> pd.DataFrame:
+    """Does the Z-order clustering actually prune scans?  For one fixed
+    two-dimensional range predicate, compare zone-map pruning under the
+    Morton layout (zorder_layout's zblock) against the naive
+    arrival-order layout (event_id // block): zones scanned, rows
+    scanned, and the matching-row count — the number a table OPTIMIZE
+    decision is made on.
+
+    Shape at scale: ONE pass computes per-batch zone partials for BOTH
+    layouts plus the exact match count; two bounded zone-bucketed
+    merges (zones ≤ 4096 / n_rows/block); the overlap test runs on the
+    merged zone maps (driver-side, zone-count bounded)."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def parts(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df.user_id.to_numpy().astype(np.int64)
+        cents = np.floor(df.value.to_numpy(dtype=np.float64)
+                         * 100.0).astype(np.int64)
+        eid = df.event_id.to_numpy().astype(np.int64)
+        x = uid % 65536
+        y = ((cents % 65536) + 65536) % 65536
+        z = np.zeros(len(df), dtype=np.int64)
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        match = ((uid >= ZP_USER_LO) & (uid <= ZP_USER_HI)
+                 & (cents >= ZP_CENT_LO) & (cents <= ZP_CENT_HI))
+        rows = []
+        for kind, blk in (("z", z >> 20), ("id", eid // ZP_ID_BLOCK)):
+            g = pd.DataFrame({"blk": blk, "uid": uid, "cents": cents})
+            p = g.groupby("blk", as_index=False).agg(
+                n=("uid", "size"),
+                ulo=("uid", "min"), uhi=("uid", "max"),
+                clo=("cents", "min"), chi=("cents", "max"))
+            p.insert(0, "kind", kind)
+            rows.append(p)
+        out = pd.concat(rows, ignore_index=True)
+        # exact match count travels as its own (kind='m') marker row so
+        # the zone merge can sum it without double-counting per layout
+        out_match = pd.DataFrame({
+            "kind": ["m"], "blk": [np.int64(-1)],
+            "n": [np.int64(match.sum())], "ulo": [np.int64(0)],
+            "uhi": [np.int64(0)], "clo": [np.int64(0)],
+            "chi": [np.int64(0)]})
+        return pd.concat([out, out_match], ignore_index=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["kind", "blk"], as_index=False).agg(
+            n=("n", "sum"), ulo=("ulo", "min"), uhi=("uhi", "max"),
+            clo=("clo", "min"), chi=("chi", "max"))
+        g["n"] = g.n.astype(np.int64)
+        return g
+
+    zones = bucketed_group_apply(
+        ds.map_batches(parts, batch_format="pandas"),
+        ["kind", "blk"], merge, num_buckets=16).to_pandas()
+    n_match = int(zones[zones.kind == "m"].n.sum())
+    out = {}
+    for kind in ("z", "id"):
+        zk = zones[zones.kind == kind]
+        scanned = zk[(zk.uhi >= ZP_USER_LO) & (zk.ulo <= ZP_USER_HI)
+                     & (zk.chi >= ZP_CENT_LO) & (zk.clo <= ZP_CENT_HI)]
+        out[f"n_zones_{kind}"] = len(zk)
+        out[f"zones_scanned_{kind}"] = len(scanned)
+        out[f"rows_scanned_{kind}"] = int(scanned.n.sum())
+    n_rows = int(zones[zones.kind == "z"].n.sum())
+    return pd.DataFrame([{
+        "n_rows": n_rows, "n_match": n_match, **out,
+        "scan_milli_z": (1000 * out["rows_scanned_z"]) // n_rows,
+        "scan_milli_id": (1000 * out["rows_scanned_id"]) // n_rows,
+    }]).astype(np.int64)
+
+
+def _zp_interleave_sql() -> str:
+    return " | ".join(
+        f"(((u >> {i}) & 1) << {2 * i}) | (((c >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16))
+
+
+SQL_ZONE_PRUNE_AUDIT = f"""
+WITH base AS (
+  SELECT event_id, user_id AS uid,
+         CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM events
+), zb AS (
+  SELECT ({_zp_interleave_sql()}) >> 20 AS blk, uid, cents
+  FROM (SELECT uid % 65536 AS u,
+               ((cents % 65536) + 65536) % 65536 AS c, uid, cents
+        FROM base)
+), ib AS (
+  SELECT event_id // {ZP_ID_BLOCK} AS blk, uid, cents FROM base
+), zz AS (
+  SELECT blk, COUNT(*) AS n, MIN(uid) ulo, MAX(uid) uhi,
+         MIN(cents) clo, MAX(cents) chi FROM zb GROUP BY 1
+), iz AS (
+  SELECT blk, COUNT(*) AS n, MIN(uid) ulo, MAX(uid) uhi,
+         MIN(cents) clo, MAX(cents) chi FROM ib GROUP BY 1
+)
+SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM base
+             WHERE uid BETWEEN {ZP_USER_LO} AND {ZP_USER_HI}
+               AND cents BETWEEN {ZP_CENT_LO} AND {ZP_CENT_HI})
+            AS BIGINT) AS n_match,
+       CAST((SELECT COUNT(*) FROM zz) AS BIGINT) AS n_zones_z,
+       CAST((SELECT COUNT(*) FROM zz
+             WHERE uhi >= {ZP_USER_LO} AND ulo <= {ZP_USER_HI}
+               AND chi >= {ZP_CENT_LO} AND clo <= {ZP_CENT_HI})
+            AS BIGINT) AS zones_scanned_z,
+       CAST((SELECT COALESCE(SUM(n), 0) FROM zz
+             WHERE uhi >= {ZP_USER_LO} AND ulo <= {ZP_USER_HI}
+               AND chi >= {ZP_CENT_LO} AND clo <= {ZP_CENT_HI})
+            AS BIGINT) AS rows_scanned_z,
+       CAST((SELECT COUNT(*) FROM iz) AS BIGINT) AS n_zones_id,
+       CAST((SELECT COUNT(*) FROM iz
+             WHERE uhi >= {ZP_USER_LO} AND ulo <= {ZP_USER_HI}
+               AND chi >= {ZP_CENT_LO} AND clo <= {ZP_CENT_HI})
+            AS BIGINT) AS zones_scanned_id,
+       CAST((SELECT COALESCE(SUM(n), 0) FROM iz
+             WHERE uhi >= {ZP_USER_LO} AND ulo <= {ZP_USER_HI}
+               AND chi >= {ZP_CENT_LO} AND clo <= {ZP_CENT_HI})
+            AS BIGINT) AS rows_scanned_id,
+       CAST(1000 * (SELECT COALESCE(SUM(n), 0) FROM zz
+                    WHERE uhi >= {ZP_USER_LO} AND ulo <= {ZP_USER_HI}
+                      AND chi >= {ZP_CENT_LO} AND clo <= {ZP_CENT_HI})
+            // (SELECT COUNT(*) FROM base) AS BIGINT) AS scan_milli_z,
+       CAST(1000 * (SELECT COALESCE(SUM(n), 0) FROM iz
+                    WHERE uhi >= {ZP_USER_LO} AND ulo <= {ZP_USER_HI}
+                      AND chi >= {ZP_CENT_LO} AND clo <= {ZP_CENT_HI})
+            // (SELECT COUNT(*) FROM base) AS BIGINT) AS scan_milli_id
+FROM (SELECT 1)
+"""
+
+
 ANALYTICS_QUERIES = {
     "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
     "split_leakage_audit": (q_split_leakage_audit,
                             SQL_SPLIT_LEAKAGE_AUDIT),
     "coordinated_sample": (q_coordinated_sample, SQL_COORDINATED_SAMPLE),
+    "zone_prune_audit": (q_zone_prune_audit, SQL_ZONE_PRUNE_AUDIT),
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "brand_pareto": (q_brand_pareto, SQL_BRAND_PARETO),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),

@@ -329,3 +329,30 @@ def test_corpus_report_bruteforce(ray_session) -> None:
     assert out.n_distinct_texts == distinct
     assert out.dup_docs == len(docs) - distinct
     assert out.dup_rate_milli == (1000 * out.dup_docs) // len(docs)
+
+
+def test_zone_prune_audit_semantics(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        ZP_CENT_HI,
+        ZP_CENT_LO,
+        ZP_USER_HI,
+        ZP_USER_LO,
+        q_zone_prune_audit,
+    )
+    out = q_zone_prune_audit(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id",
+                                "value"]).to_pandas()
+    cents = np.floor(ev.value.to_numpy(np.float64) * 100).astype(np.int64)
+    match = ((ev.user_id >= ZP_USER_LO) & (ev.user_id <= ZP_USER_HI)
+             & (cents >= ZP_CENT_LO) & (cents <= ZP_CENT_HI))
+    assert out.n_rows == len(ev)
+    assert out.n_match == int(match.sum())
+    # zone maps can never prune a matching row: scanned >= matching
+    assert out.rows_scanned_z >= out.n_match
+    assert out.rows_scanned_id >= out.n_match
+    assert out.zones_scanned_z <= out.n_zones_z
+    assert out.zones_scanned_id <= out.n_zones_id
+    # the whole point: the Morton layout scans fewer rows than the
+    # arrival layout for this 2-D predicate
+    assert out.rows_scanned_z < out.rows_scanned_id
