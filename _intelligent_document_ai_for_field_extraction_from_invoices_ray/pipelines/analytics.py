@@ -3933,12 +3933,186 @@ FROM (SELECT 1)
 """
 
 
+# ---------------------------------------------- percent-of-parent rollup
+def q_nation_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical share-of-parent report: each nation's order revenue
+    as a share of its REGION's revenue, and each region's share of the
+    GLOBAL total — the percent-of-parent rollup (distinct from CUBE /
+    grouping sets, which aggregate levels independently; here each
+    level divides by its parent's aggregate).
+
+    Shape at scale: revenue reduces through ONE custkey-bucketed
+    cogroup (orders x customer) into per-nation partials; nation/region
+    are the fixed broadcast dims, so the two-level share math runs on a
+    25-row driver frame.  All shares are exact floored milli."""
+    from .grouping import bucketed_cogroup
+
+    nat = _pq(sf_dir, "nation",
+              ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def o_slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ck": df.o_custkey.to_numpy().astype(np.int64),
+            "cents": _cents(df.o_totalprice)})
+
+    def per_nation(of: pd.DataFrame, cf: pd.DataFrame) -> pd.DataFrame:
+        nk = pd.Series(cf.c_nationkey.to_numpy().astype(np.int64),
+                       index=cf.c_custkey.to_numpy().astype(np.int64))
+        d = of.copy()
+        d["nk"] = d.ck.map(nk).astype(np.int64)
+        return (d.groupby("nk", as_index=False)
+                .agg(cents=("cents", "sum")).astype(np.int64))
+
+    parts = bucketed_cogroup(
+        orders.map_batches(o_slim, batch_format="pandas"),
+        cust, ["ck"], ["c_custkey"], per_nation,
+        num_buckets=16).to_pandas()
+    nrev = (parts.groupby("nk", as_index=False)
+            .agg(cents=("cents", "sum")))
+    d = nrev.merge(nat, left_on="nk", right_on="n_nationkey") \
+            .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    rrev = d.groupby("r_name").cents.sum()
+    total = int(d.cents.sum())
+    out = pd.DataFrame({
+        "r_name": d.r_name,
+        "n_name": d.n_name,
+        "nation_cents": d.cents.astype(np.int64),
+        "region_cents": d.r_name.map(rrev).astype(np.int64)})
+    out["nation_share_milli"] = (1000 * out.nation_cents
+                                 // out.region_cents).astype(np.int64)
+    out["region_share_milli"] = (1000 * out.region_cents
+                                 // total).astype(np.int64)
+    return (out.sort_values(["r_name", "n_name"])
+            .reset_index(drop=True))
+
+
+SQL_NATION_REVENUE_SHARE = """
+WITH nr AS (
+  SELECT r.r_name, n.n_name,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS nation_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, nation_cents,
+       CAST(SUM(nation_cents) OVER (PARTITION BY r_name) AS BIGINT)
+         AS region_cents,
+       CAST(1000 * nation_cents
+            // SUM(nation_cents) OVER (PARTITION BY r_name) AS BIGINT)
+         AS nation_share_milli,
+       CAST(1000 * SUM(nation_cents) OVER (PARTITION BY r_name)
+            // SUM(nation_cents) OVER () AS BIGINT)
+         AS region_share_milli
+FROM nr ORDER BY r_name, n_name
+"""
+
+
+# ------------------------------------------- difference-in-differences
+DID_CUTOFF = "2024-01-15"
+DID_TREAT, DID_CONTROL = "purchase", "click"
+
+
+def q_events_did(sf_dir: str) -> pd.DataFrame:
+    """Difference-in-differences over the event log: mean event value
+    of the treatment type vs the control type, before vs after a
+    cutoff — the 2x2 causal-analytics primitive.  Cell means are
+    floored micro-cents (sum*1000 // n) and the DiD estimate is the
+    exact integer (post_t - pre_t) - (post_c - pre_c).
+
+    Shape at scale: one pass of per-batch (group, period, n, cents)
+    partials — a 4-cell bounded merge, no shuffle at all."""
+    cut = int(pd.Timestamp(DID_CUTOFF).value // 1_000_000_000)
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.event_type.isin([DID_TREAT, DID_CONTROL]).to_numpy()
+        d = df[keep]
+        s = np.asarray(_epoch_s(d.ts))
+        g = pd.DataFrame({
+            "grp": (d.event_type == DID_TREAT).to_numpy()
+            .astype(np.int64),
+            "post": (s >= cut).astype(np.int64),
+            "cents": _cents(d.value)})
+        return (g.groupby(["grp", "post"], as_index=False)
+                .agg(n=("cents", "size"), cents=("cents", "sum"))
+                .astype(np.int64))
+
+    parts = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+             .groupby(["grp", "post"], as_index=False)
+             .agg(n=("n", "sum"), cents=("cents", "sum")))
+    cells = {(int(r.grp), int(r.post)): (int(r.n), int(r.cents))
+             for r in parts.itertuples()}
+
+    def mean_milli(grp: int, post: int) -> int:
+        n, c = cells.get((grp, post), (0, 0))
+        return (1000 * c) // n if n else 0
+
+    rows = []
+    for grp, name in ((1, DID_TREAT), (0, DID_CONTROL)):
+        for post in (0, 1):
+            n, c = cells.get((grp, post), (0, 0))
+            rows.append({"grp": name, "period": "post" if post
+                         else "pre", "n_events": n, "sum_cents": c,
+                         "mean_millicents": mean_milli(grp, post)})
+    out = pd.DataFrame(rows)
+    did = ((mean_milli(1, 1) - mean_milli(1, 0))
+           - (mean_milli(0, 1) - mean_milli(0, 0)))
+    out["did_millicents"] = np.int64(did)
+    return out.astype({"n_events": np.int64, "sum_cents": np.int64,
+                       "mean_millicents": np.int64,
+                       "did_millicents": np.int64})
+
+
+SQL_EVENTS_DID = f"""
+WITH c AS (
+  SELECT CASE WHEN event_type = '{DID_TREAT}' THEN '{DID_TREAT}'
+              ELSE '{DID_CONTROL}' END AS grp,
+         CASE WHEN ts >= TIMESTAMP '{DID_CUTOFF}' THEN 'post'
+              ELSE 'pre' END AS period,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM events WHERE event_type IN ('{DID_TREAT}', '{DID_CONTROL}')
+  GROUP BY 1, 2
+), m AS (
+  SELECT grp, period, n_events, sum_cents,
+         CAST(1000 * sum_cents // n_events AS BIGINT) AS mean_millicents
+  FROM c
+), d AS (
+  SELECT CAST(
+    (MAX(CASE WHEN grp = '{DID_TREAT}' AND period = 'post'
+         THEN mean_millicents END)
+     - MAX(CASE WHEN grp = '{DID_TREAT}' AND period = 'pre'
+           THEN mean_millicents END))
+    - (MAX(CASE WHEN grp = '{DID_CONTROL}' AND period = 'post'
+           THEN mean_millicents END)
+       - MAX(CASE WHEN grp = '{DID_CONTROL}' AND period = 'pre'
+             THEN mean_millicents END)) AS BIGINT) AS did
+  FROM m
+)
+SELECT m.grp, m.period, m.n_events, m.sum_cents, m.mean_millicents,
+       (SELECT did FROM d) AS did_millicents
+FROM m
+ORDER BY CASE WHEN m.grp = '{DID_TREAT}' THEN 0 ELSE 1 END,
+         CASE WHEN m.period = 'pre' THEN 0 ELSE 1 END
+"""
+
+
 ANALYTICS_QUERIES = {
     "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
     "split_leakage_audit": (q_split_leakage_audit,
                             SQL_SPLIT_LEAKAGE_AUDIT),
     "coordinated_sample": (q_coordinated_sample, SQL_COORDINATED_SAMPLE),
     "zone_prune_audit": (q_zone_prune_audit, SQL_ZONE_PRUNE_AUDIT),
+    "nation_revenue_share": (q_nation_revenue_share,
+                             SQL_NATION_REVENUE_SHARE),
+    "events_did": (q_events_did, SQL_EVENTS_DID),
     "parts_coordered": (q_parts_coordered, SQL_PARTS_COORDERED),
     "brand_pareto": (q_brand_pareto, SQL_BRAND_PARETO),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),

@@ -356,3 +356,54 @@ def test_zone_prune_audit_semantics(ray_session) -> None:
     # the whole point: the Morton layout scans fewer rows than the
     # arrival layout for this 2-D predicate
     assert out.rows_scanned_z < out.rows_scanned_id
+
+
+def test_nation_revenue_share_sums(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        q_nation_revenue_share,
+    )
+    out = q_nation_revenue_share(SF)
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_totalprice"]).to_pandas()
+    total = int(np.round(orders.o_totalprice * 100).sum())
+    # conservation: nation cents sum to the global total
+    assert int(out.nation_cents.sum()) == total
+    for _, g in out.groupby("r_name"):
+        # nations partition their region's revenue exactly
+        assert int(g.nation_cents.sum()) == int(g.region_cents.iloc[0])
+        # floored milli shares sum to <= 1000 and within rounding slack
+        s = int(g.nation_share_milli.sum())
+        assert 1000 - len(g) < s <= 1000
+    # region shares cover the total the same way
+    rs = out.drop_duplicates("r_name").region_share_milli
+    assert 1000 - len(rs) < int(rs.sum()) <= 1000
+
+
+def test_events_did_cell_identity(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        DID_CONTROL,
+        DID_CUTOFF,
+        DID_TREAT,
+        q_events_did,
+    )
+    out = q_events_did(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts",
+                                "value"]).to_pandas()
+    cut = pd.Timestamp(DID_CUTOFF)
+    means = {}
+    for grp in (DID_TREAT, DID_CONTROL):
+        for period in ("pre", "post"):
+            d = ev[(ev.event_type == grp)
+                   & ((ev.ts >= cut) if period == "post"
+                      else (ev.ts < cut))]
+            cents = np.round(d.value * 100).astype(np.int64)
+            row = out[(out.grp == grp) & (out.period == period)].iloc[0]
+            assert row.n_events == len(d)
+            assert row.sum_cents == int(cents.sum())
+            means[(grp, period)] = (1000 * int(cents.sum())) // len(d)
+            assert row.mean_millicents == means[(grp, period)]
+    did = ((means[(DID_TREAT, "post")] - means[(DID_TREAT, "pre")])
+           - (means[(DID_CONTROL, "post")]
+              - means[(DID_CONTROL, "pre")]))
+    assert (out.did_millicents == did).all()
