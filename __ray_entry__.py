@@ -397,7 +397,7 @@ _GATE_ORDER = [
     "embed_dim_stats", "token_coverage_curve", "split_leakage_audit",
     "coordinated_sample", "ingest_dedup_new", "doc_rank_in_source",
     "corpus_report", "zone_prune_audit", "nation_revenue_share",
-    "events_did",
+    "events_did", "ab_test_eval", "seasonal_backtest",
     "weighted_sample", "k_anonymity",
     "event_gaps",
     "user_scd2", "customer_quartiles", "nation_top_names",

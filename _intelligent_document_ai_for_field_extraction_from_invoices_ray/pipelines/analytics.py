@@ -4104,8 +4104,193 @@ ORDER BY CASE WHEN m.grp = '{DID_TREAT}' THEN 0 ELSE 1 END,
 """
 
 
+# ----------------------------------------------------- A/B test readout
+AB_MIX = 2654435761
+AB_CONV_TYPE = "purchase"
+
+
+def q_ab_test_eval(sf_dir: str) -> pd.DataFrame:
+    """Experiment readout: users hash-split into variants A/B, converted
+    = has at least one purchase event; report per-variant conversion
+    and the two-proportion z-test decision with ALL divisions cleared
+    (the events_rate_anomaly trick): z^2 > 3.8416 (alpha = 0.05) iff
+    10000*D^2*N > 38416*nA*nB*C*(N-C) where D = cA*nB - cB*nA, all in
+    Python bigints on a 2-cell driver frame.
+
+    Shape at scale: per-batch (user, converted) partials -> ONE
+    user-bucketed exchange for exact per-user conversion -> per-bucket
+    (variant, n, conv) counts -> 2-row merge."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": df.user_id.to_numpy().astype(np.int64),
+            "conv": (df.event_type == AB_CONV_TYPE).to_numpy()
+            .astype(np.int64)})
+        return (d.groupby("user_id", as_index=False)
+                .agg(conv=("conv", "max")).astype(np.int64))
+
+    def per_variant(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("user_id", as_index=False)
+             .agg(conv=("conv", "max")))
+        uid = g.user_id.to_numpy()
+        variant = ((uid * AB_MIX) % 4294967296) % 2
+        out = pd.DataFrame({"variant": variant,
+                            "conv": g.conv.to_numpy()})
+        return (out.groupby("variant", as_index=False)
+                .agg(n_users=("conv", "size"),
+                     n_converted=("conv", "sum")).astype(np.int64))
+
+    parts = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], per_variant, num_buckets=16).to_pandas()
+    g = (parts.groupby("variant", as_index=False)
+         .agg(n_users=("n_users", "sum"),
+              n_converted=("n_converted", "sum")))
+    cells = {int(r.variant): (int(r.n_users), int(r.n_converted))
+             for r in g.itertuples()}
+    na, ca = cells.get(0, (0, 0))
+    nb, cb = cells.get(1, (0, 0))
+    n, c = na + nb, ca + cb
+    d = ca * nb - cb * na
+    sig = int(n > 0 and 0 < c < n
+              and 10000 * d * d * n > 38416 * na * nb * c * (n - c))
+    return pd.DataFrame([{
+        "n_a": na, "conv_a": ca,
+        "rate_a_milli": (1000 * ca) // na if na else 0,
+        "n_b": nb, "conv_b": cb,
+        "rate_b_milli": (1000 * cb) // nb if nb else 0,
+        "significant": sig,
+    }]).astype(np.int64)
+
+
+SQL_AB_TEST_EVAL = f"""
+WITH u AS (
+  SELECT user_id,
+         ((user_id * {AB_MIX}) % 4294967296) % 2 AS variant,
+         MAX(CASE WHEN event_type = '{AB_CONV_TYPE}' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY 1, 2
+), v AS (
+  SELECT variant, COUNT(*) AS n, SUM(conv) AS c
+  FROM u GROUP BY 1
+), w AS (
+  SELECT CAST(MAX(CASE WHEN variant = 0 THEN n END) AS HUGEINT) AS na,
+         CAST(MAX(CASE WHEN variant = 0 THEN c END) AS HUGEINT) AS ca,
+         CAST(MAX(CASE WHEN variant = 1 THEN n END) AS HUGEINT) AS nb,
+         CAST(MAX(CASE WHEN variant = 1 THEN c END) AS HUGEINT) AS cb
+  FROM v
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+       CAST(1000 * ca // na AS BIGINT) AS rate_a_milli,
+       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+       CAST(1000 * cb // nb AS BIGINT) AS rate_b_milli,
+       CAST(CASE WHEN (ca + cb) > 0 AND (ca + cb) < (na + nb)
+                  AND 10000 * (ca*nb - cb*na) * (ca*nb - cb*na)
+                      * (na + nb)
+                      > 38416 * na * nb * (ca + cb)
+                        * (na + nb - ca - cb)
+            THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM w
+"""
+
+
+# ----------------------------------------------- seasonal-naive backtest
+BT_CUTOFF = "2024-01-22"
+
+
+def q_seasonal_backtest(sf_dir: str) -> pd.DataFrame:
+    """Forecast-quality backtest: a seasonal-naive model (per
+    (day-of-week, hour) mean value learned on events BEFORE the
+    cutoff) scored by MAE on events after it — the temporal
+    train/evaluate loop as one distributed query.  Day-of-week comes
+    from pure epoch arithmetic ((days + 4) % 7) so neither engine's
+    calendar convention leaks in; all errors are exact scaled ints.
+
+    Shape at scale: pass 1 reduces train events to a 168-cell
+    (dow, hour) model (per-batch partials, bounded merge); the model
+    broadcasts into pass 2, which sums |1000*cents - mean_milli| per
+    batch — two scans, zero shuffles."""
+    cut = int(pd.Timestamp(BT_CUTOFF).value // 1_000_000_000)
+    ds = _pq(sf_dir, "events", ["ts", "value"])
+
+    def keyed(df: pd.DataFrame):
+        s = np.asarray(_epoch_s(df.ts))
+        dow = (s // 86400 + 4) % 7
+        hour = (s % 86400) // 3600
+        return s, dow * 24 + hour, _cents(df.value)
+
+    def train_part(df: pd.DataFrame) -> pd.DataFrame:
+        s, key, cents = keyed(df)
+        m = s < cut
+        g = pd.DataFrame({"key": key[m], "n": 1, "cents": cents[m]})
+        return (g.groupby("key", as_index=False)
+                .agg(n=("n", "sum"), cents=("cents", "sum"))
+                .astype(np.int64))
+
+    tp = (ds.map_batches(train_part, batch_format="pandas").to_pandas()
+          .groupby("key", as_index=False)
+          .agg(n=("n", "sum"), cents=("cents", "sum")))
+    lookup = np.zeros(168, dtype=np.int64)    # (dow, hour) model table
+    for r in tp.itertuples():
+        lookup[int(r.key)] = (1000 * int(r.cents)) // int(r.n)
+    n_cells = len(tp)
+
+    def test_part(df: pd.DataFrame) -> pd.DataFrame:
+        s, key, cents = keyed(df)
+        m = s >= cut
+        pred = lookup[key[m]]                 # vectorized 168-cell map
+        err = np.abs(1000 * cents[m] - pred)
+        return pd.DataFrame({"n": [np.int64(m.sum())],
+                             "abs_err": [np.int64(err.sum())]})
+
+    te = ds.map_batches(test_part, batch_format="pandas").to_pandas()
+    n_test, abs_err = int(te.n.sum()), int(te.abs_err.sum())
+    return pd.DataFrame([{
+        "n_train": int(tp.n.sum()),
+        "n_test": n_test,
+        "n_model_cells": n_cells,
+        "sum_abs_err_millicents": abs_err,
+        "mae_millicents": abs_err // n_test if n_test else 0,
+    }]).astype(np.int64)
+
+
+SQL_SEASONAL_BACKTEST = f"""
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), k AS (
+  SELECT s, cents,
+         ((s // 86400 + 4) % 7) * 24 + (s % 86400) // 3600 AS key
+  FROM e
+), model AS (
+  SELECT key, CAST(1000 * SUM(cents) // COUNT(*) AS BIGINT)
+           AS mean_milli
+  FROM k WHERE s < epoch(TIMESTAMP '{BT_CUTOFF}') GROUP BY 1
+), test AS (
+  SELECT k.cents, COALESCE(m.mean_milli, 0) AS pred
+  FROM k LEFT JOIN model m ON m.key = k.key
+  WHERE k.s >= epoch(TIMESTAMP '{BT_CUTOFF}')
+)
+SELECT CAST((SELECT SUM(1) FROM k
+             WHERE s < epoch(TIMESTAMP '{BT_CUTOFF}')) AS BIGINT)
+         AS n_train,
+       CAST((SELECT COUNT(*) FROM test) AS BIGINT) AS n_test,
+       CAST((SELECT COUNT(*) FROM model) AS BIGINT) AS n_model_cells,
+       CAST((SELECT SUM(abs(1000 * cents - pred)) FROM test) AS BIGINT)
+         AS sum_abs_err_millicents,
+       CAST((SELECT SUM(abs(1000 * cents - pred)) FROM test)
+            // (SELECT COUNT(*) FROM test) AS BIGINT) AS mae_millicents
+"""
+
+
 ANALYTICS_QUERIES = {
     "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
+    "ab_test_eval": (q_ab_test_eval, SQL_AB_TEST_EVAL),
+    "seasonal_backtest": (q_seasonal_backtest, SQL_SEASONAL_BACKTEST),
     "split_leakage_audit": (q_split_leakage_audit,
                             SQL_SPLIT_LEAKAGE_AUDIT),
     "coordinated_sample": (q_coordinated_sample, SQL_COORDINATED_SAMPLE),

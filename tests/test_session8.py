@@ -407,3 +407,52 @@ def test_events_did_cell_identity(ray_session) -> None:
            - (means[(DID_CONTROL, "post")]
               - means[(DID_CONTROL, "pre")]))
     assert (out.did_millicents == did).all()
+
+
+def test_ab_test_eval_bruteforce(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        AB_CONV_TYPE,
+        AB_MIX,
+        q_ab_test_eval,
+    )
+    out = q_ab_test_eval(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    conv = (ev.assign(c=(ev.event_type == AB_CONV_TYPE))
+            .groupby("user_id").c.max())
+    variant = (conv.index.to_numpy().astype(np.int64)
+               * AB_MIX) % 4294967296 % 2
+    na, nb = int((variant == 0).sum()), int((variant == 1).sum())
+    ca = int(conv.to_numpy()[variant == 0].sum())
+    cb = int(conv.to_numpy()[variant == 1].sum())
+    assert (out.n_a, out.conv_a, out.n_b, out.conv_b) == (na, ca, nb, cb)
+    n, c, d = na + nb, ca + cb, ca * nb - cb * na
+    sig = int(0 < c < n
+              and 10000 * d * d * n > 38416 * na * nb * c * (n - c))
+    assert out.significant == sig
+
+
+def test_seasonal_backtest_bruteforce(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        BT_CUTOFF,
+        q_seasonal_backtest,
+    )
+    out = q_seasonal_backtest(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    s = ev.ts.astype("datetime64[ns]").astype("int64") // 10**9
+    key = (s // 86400 + 4) % 7 * 24 + (s % 86400) // 3600
+    cents = np.round(ev.value * 100).astype(np.int64)
+    cut = int(pd.Timestamp(BT_CUTOFF).value // 10**9)
+    tr, te = s < cut, s >= cut
+    model = {}
+    for k, g in pd.DataFrame({"k": key[tr],
+                              "c": cents[tr]}).groupby("k"):
+        model[k] = (1000 * int(g.c.sum())) // len(g)
+    pred = np.array([model.get(k, 0) for k in key[te]])
+    err = int(np.abs(1000 * cents[te].to_numpy() - pred).sum())
+    assert out.n_train == int(tr.sum())
+    assert out.n_test == int(te.sum())
+    assert out.n_model_cells == len(model)
+    assert out.sum_abs_err_millicents == err
+    assert out.mae_millicents == err // int(te.sum())
