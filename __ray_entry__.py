@@ -398,6 +398,7 @@ _GATE_ORDER = [
     "coordinated_sample", "ingest_dedup_new", "doc_rank_in_source",
     "corpus_report", "zone_prune_audit", "nation_revenue_share",
     "events_did", "ab_test_eval", "seasonal_backtest",
+    "event_dedup_window",
     "weighted_sample", "k_anonymity",
     "event_gaps",
     "user_scd2", "customer_quartiles", "nation_top_names",
@@ -465,7 +466,7 @@ _GATE_ORDER = [
     "extract_evaluate", "extract_report", "extract_calibration",
     "extract_auc",
     "span_scalars", "extract_error_samples", "extract_cost",
-    "extract_error_buckets", "events_hll_users",
+    "extract_error_buckets", "events_hll_users", "hll_accuracy",
     "value_quantile_sketch",
     "embed_semantic_dedup", "embed_kmeans", "embed_ann_lsh",
     "embed_ann_ivf", "embed_ann_ivfpq",

@@ -1070,6 +1070,135 @@ FROM cum GROUP BY event_type ORDER BY event_type
 
 
 # ------------------------------------------------------------ HLL distinct
+DEDUP_WINDOW_S = 3600
+
+
+def q_event_dedup_window(sf_dir: str) -> pd.DataFrame:
+    """Streaming duplicate suppression: an event is suppressed when the
+    SAME logical event — identical (user, type, value cents) — already
+    occurred within the previous DEDUP_WINDOW_S seconds (LAG semantics:
+    measured against the previous OCCURRENCE, suppressed or not; the
+    stateful last-KEPT variant needs an iterative scan and is noted,
+    not implemented).  This is the at-least-once -> effectively-once
+    idempotency primitive in front of every event ingest.
+
+    Shape at scale: ONE (user, type, cents)-bucketed exchange
+    co-locates each logical key's occurrences; in-bucket the previous
+    occurrence is a vectorized composite-key sort + shift, no per-key
+    Python; the report merge is |event_type| bounded."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events",
+             ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df.user_id.to_numpy().astype(np.int64),
+            "event_type": df.event_type.to_numpy(),
+            "cents": np.round(df.value.to_numpy(np.float64)
+                              * 100).astype(np.int64),
+            "s": df.ts.astype("datetime64[ns]").astype("int64")
+            .to_numpy() // 1_000_000_000,
+            "event_id": df.event_id.to_numpy().astype(np.int64)})
+
+    def suppress(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "event_type", "cents", "s",
+                            "event_id"])
+        same_key = ((d.user_id.to_numpy()[1:]
+                     == d.user_id.to_numpy()[:-1])
+                    & (d.event_type.to_numpy()[1:]
+                       == d.event_type.to_numpy()[:-1])
+                    & (d.cents.to_numpy()[1:]
+                       == d.cents.to_numpy()[:-1]))
+        gap = d.s.to_numpy()[1:] - d.s.to_numpy()[:-1]
+        sup = np.concatenate(
+            ([False], same_key & (gap <= DEDUP_WINDOW_S)))
+        out = pd.DataFrame({"event_type": d.event_type.to_numpy(),
+                            "sup": sup.astype(np.int64)})
+        return (out.groupby("event_type", as_index=False)
+                .agg(n_events=("sup", "size"),
+                     n_suppressed=("sup", "sum")).astype(
+                         {"n_events": np.int64,
+                          "n_suppressed": np.int64}))
+
+    parts = bucketed_group_apply(
+        ds.map_batches(slim, batch_format="pandas"),
+        ["user_id", "event_type", "cents"], suppress,
+        num_buckets=16).to_pandas()
+    out = (parts.groupby("event_type", as_index=False)
+           .agg(n_events=("n_events", "sum"),
+                n_suppressed=("n_suppressed", "sum")))
+    out["suppress_milli"] = ((1000 * out.n_suppressed)
+                             // out.n_events).astype(np.int64)
+    out["n_events"] = out.n_events.astype(np.int64)
+    out["n_suppressed"] = out.n_suppressed.astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENT_DEDUP_WINDOW = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+), l AS (
+  SELECT event_type, s,
+         LAG(s) OVER (PARTITION BY user_id, event_type, cents
+                      ORDER BY s, event_id) AS prev_s
+  FROM e
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN prev_s IS NOT NULL
+                      AND s - prev_s <= {DEDUP_WINDOW_S}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+       CAST(1000 * SUM(CASE WHEN prev_s IS NOT NULL
+                             AND s - prev_s <= {DEDUP_WINDOW_S}
+                       THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+         AS suppress_milli
+FROM l GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_hll_accuracy(sf_dir: str) -> pd.DataFrame:
+    """Sketch-error scorecard: HLL estimate vs EXACT distinct users per
+    event type, with the signed error in milli — turns the pytest-only
+    accuracy pin into a driver-gate artifact (the neardup_quality idea
+    applied to the sketch family).  Rows-only (the estimate is not
+    SQL-expressible); the exact side reuses the bounded per-type
+    distinct machinery."""
+    est = q_events_hll_users(sf_dir).rename(
+        columns={"approx_users": "hll_users"})
+    ev = _pq(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "user_id": batch.column("user_id").to_numpy()})
+        return df.drop_duplicates()
+
+    from .grouping import bucketed_group_apply
+
+    def exact(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates().groupby("event_type", as_index=False)
+             .agg(exact_users=("user_id", "nunique")))
+        g["exact_users"] = g.exact_users.astype(np.int64)
+        return g
+
+    ex = (bucketed_group_apply(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "user_id"], exact, num_buckets=16).to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(exact_users=("exact_users", "sum")))
+    out = est.merge(ex, on="event_type")
+    out["err_milli"] = ((1000 * (out.hll_users - out.exact_users))
+                        // out.exact_users).astype(np.int64)
+    out["hll_users"] = out.hll_users.astype(np.int64)
+    out["exact_users"] = out.exact_users.astype(np.int64)
+    return (out[["event_type", "hll_users", "exact_users", "err_milli"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
 def q_events_hll_users(sf_dir: str) -> pd.DataFrame:
     """Approximate distinct users per event type via HyperLogLog
     (p=12, ~1.6% σ): per-batch 4096-byte register partials, one tiny
@@ -2048,6 +2177,8 @@ QUERIES = {
     "event_followers": (q_event_followers, SQL_EVENT_FOLLOWERS),
     "events_value_quantiles": (q_events_value_quantiles, SQL_EVENTS_VALUE_QUANTILES),
     "events_hll_users": (q_events_hll_users, None),   # approximate: rows-only
+    "hll_accuracy": (q_hll_accuracy, None),           # scores the sketch
+    "event_dedup_window": (q_event_dedup_window, SQL_EVENT_DEDUP_WINDOW),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "parts_ordered_large": (q_parts_ordered_large, SQL_PARTS_ORDERED_LARGE),
     "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),

@@ -456,3 +456,40 @@ def test_seasonal_backtest_bruteforce(ray_session) -> None:
     assert out.n_model_cells == len(model)
     assert out.sum_abs_err_millicents == err
     assert out.mae_millicents == err // int(te.sum())
+
+
+def test_event_dedup_window_bruteforce(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
+        DEDUP_WINDOW_S,
+        q_event_dedup_window,
+    )
+    out = q_event_dedup_window(SF).set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["cents"] = np.round(ev.value * 100).astype(np.int64)
+    ev["s"] = ev.ts.astype("datetime64[ns]").astype("int64") // 10**9
+    counts: dict[str, list[int]] = {}
+    for (_, t, _), g in ev.groupby(["user_id", "event_type", "cents"]):
+        g = g.sort_values(["s", "event_id"])
+        s = g.s.to_numpy()
+        sup = int(((s[1:] - s[:-1]) <= DEDUP_WINDOW_S).sum())
+        c = counts.setdefault(t, [0, 0])
+        c[0] += len(g)
+        c[1] += sup
+    for t, (n, sup) in counts.items():
+        row = out.loc[t]
+        assert row.n_events == n
+        assert row.n_suppressed == sup
+        assert row.suppress_milli == (1000 * sup) // n
+
+
+def test_hll_accuracy_within_bound(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.relational import (
+        q_hll_accuracy,
+    )
+    out = q_hll_accuracy(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    exact = ev.groupby("event_type").user_id.nunique()
+    assert dict(zip(out.event_type, out.exact_users)) == exact.to_dict()
+    # p=12 HLL: |error| well under 5% on these cardinalities
+    assert (out.err_milli.abs() <= 50).all()
