@@ -4287,8 +4287,90 @@ SELECT CAST((SELECT SUM(1) FROM k
 """
 
 
+# --------------------------------------- two-sample KS distribution test
+KS_A, KS_B = "purchase", "click"
+
+
+def q_events_ks_test(sf_dir: str) -> pd.DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two event types — the distribution-drift test a
+    pipeline runs before trusting that two cohorts/sources are
+    exchangeable.  Exact integers throughout: with counts a_i, b_i per
+    cents value, D = max_i |A_i*nb - B_i*na| (A,B cumulative), and
+    ks_milli = 1000*D // (na*nb).
+
+    Shape at scale: the exchange is a per-batch (cents, group) count
+    histogram — bounded by the VALUE RESOLUTION (distinct cents), not
+    the corpus — merged in one cents-bucketed exchange; the ordered
+    cumulative scan runs driver-side over that resolution-bounded
+    histogram (a corpus-sized value domain would swap in the
+    range-partitioned prefix machinery of late_events/value_drawdown)."""
+    from .grouping import bucketed_group_apply
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.event_type.isin([KS_A, KS_B]).to_numpy()
+        d = df[keep]
+        g = pd.DataFrame({
+            "cents": _cents(d.value),
+            "ga": (d.event_type == KS_A).to_numpy().astype(np.int64)})
+        g["gb"] = 1 - g.ga
+        return (g.groupby("cents", as_index=False)
+                .agg(a=("ga", "sum"), b=("gb", "sum")).astype(np.int64))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("cents", as_index=False)
+                .agg(a=("a", "sum"), b=("b", "sum")).astype(np.int64))
+
+    hist = (bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["cents"], merge, num_buckets=16).to_pandas()
+        .sort_values("cents"))
+    na, nb = int(hist.a.sum()), int(hist.b.sum())
+    ca = hist.a.to_numpy().cumsum()
+    cb = hist.b.to_numpy().cumsum()
+    d = int(np.abs(ca.astype(object) * nb
+                   - cb.astype(object) * na).max()) if len(hist) else 0
+    return pd.DataFrame([{
+        "n_a": na, "n_b": nb,
+        "n_values": len(hist),
+        "d_scaled": d,
+        "ks_milli": (1000 * d) // (na * nb) if na and nb else 0,
+    }]).astype(np.int64)
+
+
+SQL_EVENTS_KS_TEST = f"""
+WITH h AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         SUM(CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN event_type = '{KS_B}' THEN 1 ELSE 0 END) AS b
+  FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+  GROUP BY 1
+), c AS (
+  SELECT cents,
+         SUM(a) OVER (ORDER BY cents) AS ca,
+         SUM(b) OVER (ORDER BY cents) AS cb
+  FROM h
+), t AS (
+  SELECT CAST((SELECT SUM(a) FROM h) AS HUGEINT) AS na,
+         CAST((SELECT SUM(b) FROM h) AS HUGEINT) AS nb
+)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS n_values,
+       CAST((SELECT MAX(abs(CAST(ca AS HUGEINT) * t.nb
+                            - CAST(cb AS HUGEINT) * t.na)) FROM c)
+            AS BIGINT) AS d_scaled,
+       CAST(1000 * (SELECT MAX(abs(CAST(ca AS HUGEINT) * t.nb
+                                   - CAST(cb AS HUGEINT) * t.na))
+                    FROM c) // (t.na * t.nb) AS BIGINT) AS ks_milli
+FROM t
+"""
+
+
 ANALYTICS_QUERIES = {
     "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
+    "events_ks_test": (q_events_ks_test, SQL_EVENTS_KS_TEST),
     "ab_test_eval": (q_ab_test_eval, SQL_AB_TEST_EVAL),
     "seasonal_backtest": (q_seasonal_backtest, SQL_SEASONAL_BACKTEST),
     "split_leakage_audit": (q_split_leakage_audit,

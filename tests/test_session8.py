@@ -493,3 +493,28 @@ def test_hll_accuracy_within_bound(ray_session) -> None:
     assert dict(zip(out.event_type, out.exact_users)) == exact.to_dict()
     # p=12 HLL: |error| well under 5% on these cardinalities
     assert (out.err_milli.abs() <= 50).all()
+
+
+def test_events_ks_test_matches_scipy_free_bruteforce(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.analytics import (
+        KS_A,
+        KS_B,
+        q_events_ks_test,
+    )
+    out = q_events_ks_test(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    a = np.sort(np.round(ev.value[ev.event_type == KS_A] * 100)
+                .astype(np.int64))
+    b = np.sort(np.round(ev.value[ev.event_type == KS_B] * 100)
+                .astype(np.int64))
+    assert (out.n_a, out.n_b) == (len(a), len(b))
+    # textbook exact KS over the union of observed thresholds
+    thresholds = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, thresholds, side="right")
+    cb = np.searchsorted(b, thresholds, side="right")
+    d = int(np.abs(ca.astype(object) * len(b)
+                   - cb.astype(object) * len(a)).max())
+    assert out.d_scaled == d
+    assert out.ks_milli == (1000 * d) // (len(a) * len(b))
+    assert out.n_values == len(thresholds)
