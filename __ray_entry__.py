@@ -398,7 +398,7 @@ _GATE_ORDER = [
     "coordinated_sample", "ingest_dedup_new", "doc_rank_in_source",
     "corpus_report", "zone_prune_audit", "nation_revenue_share",
     "events_did", "ab_test_eval", "seasonal_backtest",
-    "event_dedup_window", "events_ks_test",
+    "event_dedup_window", "events_ks_test", "blocklist_filter_rate",
     "weighted_sample", "k_anonymity",
     "event_gaps",
     "user_scd2", "customer_quartiles", "nation_top_names",

@@ -1878,8 +1878,78 @@ FROM documents
 """
 
 
+# ------------------------------------------------- blocklist filter rate
+BLOCKLIST = ("slow", "scan", "crash")   # crash: dead term, audit shows 0
+
+
+def q_blocklist_filter_rate(sf_dir: str) -> pd.DataFrame:
+    """Safety/content-filter audit: per source, how many documents a
+    term-blocklist filter would drop, with per-term hit counts — the
+    filter-rate report a corpus curation run reviews before committing
+    a blocklist (a term that nukes 40% of one source is probably
+    overbroad).  Whole-word semantics via tokenization on whitespace
+    (substring matching would flag 'error' inside 'terror').
+
+    Shape at scale: pure per-batch vectorized token-set membership +
+    bounded (source x term) partials — no shuffle at all."""
+    ds = _docs(sf_dir, columns=("text", "source"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.text.str.split()
+        hits = {t: toks.apply(lambda w, t=t: t in w).to_numpy()
+                for t in BLOCKLIST}
+        any_hit = np.logical_or.reduce(list(hits.values()))
+        g = pd.DataFrame({"source": df.source.to_numpy(),
+                          "n": 1, "flagged": any_hit.astype(np.int64)})
+        for t in BLOCKLIST:
+            g[f"hit_{t}"] = hits[t].astype(np.int64)
+        agg = {"n_docs": ("n", "sum"), "n_flagged": ("flagged", "sum")}
+        agg.update({f"hit_{t}": (f"hit_{t}", "sum")
+                    for t in BLOCKLIST})
+        return (g.groupby("source", as_index=False).agg(**agg)
+                .astype({c: np.int64 for c in
+                         ["n_docs", "n_flagged"]
+                         + [f"hit_{t}" for t in BLOCKLIST]}))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cols = ["n_docs", "n_flagged"] + [f"hit_{t}" for t in BLOCKLIST]
+    out = (parts.groupby("source", as_index=False)
+           .agg(**{c: (c, "sum") for c in cols}))
+    out["flag_milli"] = ((1000 * out.n_flagged)
+                         // out.n_docs).astype(np.int64)
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _blocklist_sql() -> str:
+    def has(t: str) -> str:
+        # whole-word: pad both sides with spaces
+        return (f"CASE WHEN ' ' || text || ' ' LIKE '% {t} %' "
+                "THEN 1 ELSE 0 END")
+
+    hit_cols = ",\n       ".join(
+        f"CAST(SUM({has(t)}) AS BIGINT) AS hit_{t}" for t in BLOCKLIST)
+    any_hit = " + ".join(has(t) for t in BLOCKLIST)
+    return f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ({any_hit}) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       {hit_cols},
+       CAST(1000 * SUM(CASE WHEN ({any_hit}) > 0 THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS flag_milli
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+SQL_BLOCKLIST_FILTER_RATE = _blocklist_sql()
+
+
 TEXT_QUERIES = {
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "blocklist_filter_rate": (q_blocklist_filter_rate,
+                              SQL_BLOCKLIST_FILTER_RATE),
     "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
     "doc_rank_in_source": (q_doc_rank_in_source, SQL_DOC_RANK_IN_SOURCE),
     "token_coverage_curve": (q_token_coverage_curve,

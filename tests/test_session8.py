@@ -518,3 +518,24 @@ def test_events_ks_test_matches_scipy_free_bruteforce(ray_session) -> None:
     assert out.d_scaled == d
     assert out.ks_milli == (1000 * d) // (len(a) * len(b))
     assert out.n_values == len(thresholds)
+
+
+def test_blocklist_filter_rate_bruteforce(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.textstats import (
+        BLOCKLIST,
+        q_blocklist_filter_rate,
+    )
+    out = q_blocklist_filter_rate(SF).set_index("source")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text", "source"]).to_pandas()
+    for src, g in docs.groupby("source"):
+        toks = [set(t.split()) for t in g.text]
+        row = out.loc[src]
+        assert row.n_docs == len(g)
+        flagged = sum(1 for w in toks if any(t in w for t in BLOCKLIST))
+        assert row.n_flagged == flagged
+        for t in BLOCKLIST:
+            assert row[f"hit_{t}"] == sum(1 for w in toks if t in w)
+        assert row.flag_milli == (1000 * flagged) // len(g)
+    # whole-word semantics: a dead term stays dead
+    assert int(out.hit_crash.sum()) == 0
