@@ -296,6 +296,15 @@ def run_bench() -> dict:
     timed("coordinated_sample", analytics.q_coordinated_sample)
     timed("doc_rank_in_source", textstats.q_doc_rank_in_source)
     timed("corpus_report", textstats.q_corpus_report)
+    timed("zone_prune_audit", analytics.q_zone_prune_audit)
+    timed("nation_revenue_share", analytics.q_nation_revenue_share)
+    timed("events_did", analytics.q_events_did)
+    timed("ab_test_eval", analytics.q_ab_test_eval)
+    timed("seasonal_backtest", analytics.q_seasonal_backtest)
+    timed("events_ks_test", analytics.q_events_ks_test)
+    timed("event_dedup_window", relational.q_event_dedup_window)
+    timed("hll_accuracy", relational.q_hll_accuracy)
+    timed("blocklist_filter_rate", textstats.q_blocklist_filter_rate)
 
     result = {
         "metric": "end-to-end extraction sec (flagship interleaved-doc pipeline) + per-query sec",
