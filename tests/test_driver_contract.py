@@ -95,3 +95,28 @@ def test_gate_order_covers_every_query():
                 f"SQL-checked {name!r} enumerates after a rows-only query"
         else:
             seen_rows_only = True
+
+
+def test_gate_order_matches_registry(ray_session) -> None:
+    """Every _GATE_ORDER name is a registered query and every registered
+    query has a gate position — a misspelled registration would
+    silently fall to the tail of the driver gate otherwise."""
+    import __ray_entry__ as e
+
+    qs = set(e.queries())
+    gate = list(e._GATE_ORDER)
+    assert len(gate) == len(set(gate)), "duplicate gate entries"
+    missing_from_registry = set(gate) - qs
+    assert not missing_from_registry
+    unordered = qs - set(gate)
+    assert not unordered, f"queries missing a gate position: {unordered}"
+
+
+def test_oracles_are_subset_of_queries(ray_session) -> None:
+    import __ray_entry__ as e
+
+    qs, sql = e.queries(), e.oracle_sql()
+    assert set(sql) <= set(qs)
+    # every oracle is non-trivial SQL mentioning at least one table/view
+    for k, s in sql.items():
+        assert isinstance(s, str) and "SELECT" in s.upper(), k
