@@ -3868,8 +3868,10 @@ def q_zone_prune_audit(sf_dir: str) -> pd.DataFrame:
     n_rows = int(zones[zones.kind == "z"].n.sum())
     return pd.DataFrame([{
         "n_rows": n_rows, "n_match": n_match, **out,
-        "scan_milli_z": (1000 * out["rows_scanned_z"]) // n_rows,
-        "scan_milli_id": (1000 * out["rows_scanned_id"]) // n_rows,
+        "scan_milli_z": (1000 * out["rows_scanned_z"]) // n_rows
+        if n_rows else 0,
+        "scan_milli_id": (1000 * out["rows_scanned_id"]) // n_rows
+        if n_rows else 0,
     }]).astype(np.int64)
 
 
@@ -4080,10 +4082,21 @@ WITH c AS (
            AS sum_cents
   FROM events WHERE event_type IN ('{DID_TREAT}', '{DID_CONTROL}')
   GROUP BY 1, 2
+), scaffold AS (
+  SELECT g.grp, p.period
+  FROM (VALUES ('{DID_TREAT}'), ('{DID_CONTROL}')) AS g(grp),
+       (VALUES ('pre'), ('post')) AS p(period)
 ), m AS (
-  SELECT grp, period, n_events, sum_cents,
-         CAST(1000 * sum_cents // n_events AS BIGINT) AS mean_millicents
-  FROM c
+  -- zero-filled 2x2: a missing cell must read n=0/mean=0 exactly like
+  -- the engine's cells.get((grp, post), (0, 0)) default
+  SELECT s.grp, s.period,
+         CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events,
+         CAST(COALESCE(c.sum_cents, 0) AS BIGINT) AS sum_cents,
+         CAST(CASE WHEN COALESCE(c.n_events, 0) > 0
+              THEN 1000 * c.sum_cents // c.n_events ELSE 0 END
+              AS BIGINT) AS mean_millicents
+  FROM scaffold s
+  LEFT JOIN c ON c.grp = s.grp AND c.period = s.period
 ), d AS (
   SELECT CAST(
     (MAX(CASE WHEN grp = '{DID_TREAT}' AND period = 'post'
@@ -4177,16 +4190,24 @@ WITH u AS (
   SELECT variant, COUNT(*) AS n, SUM(conv) AS c
   FROM u GROUP BY 1
 ), w AS (
-  SELECT CAST(MAX(CASE WHEN variant = 0 THEN n END) AS HUGEINT) AS na,
-         CAST(MAX(CASE WHEN variant = 0 THEN c END) AS HUGEINT) AS ca,
-         CAST(MAX(CASE WHEN variant = 1 THEN n END) AS HUGEINT) AS nb,
-         CAST(MAX(CASE WHEN variant = 1 THEN c END) AS HUGEINT) AS cb
+  -- COALESCE: an absent variant must read 0 exactly like the
+  -- engine's cells.get(v, (0, 0)) default, not NULL
+  SELECT CAST(COALESCE(MAX(CASE WHEN variant = 0 THEN n END), 0)
+              AS HUGEINT) AS na,
+         CAST(COALESCE(MAX(CASE WHEN variant = 0 THEN c END), 0)
+              AS HUGEINT) AS ca,
+         CAST(COALESCE(MAX(CASE WHEN variant = 1 THEN n END), 0)
+              AS HUGEINT) AS nb,
+         CAST(COALESCE(MAX(CASE WHEN variant = 1 THEN c END), 0)
+              AS HUGEINT) AS cb
   FROM v
 )
 SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
-       CAST(1000 * ca // na AS BIGINT) AS rate_a_milli,
+       CAST(CASE WHEN na > 0 THEN 1000 * ca // na ELSE 0 END AS BIGINT)
+         AS rate_a_milli,
        CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
-       CAST(1000 * cb // nb AS BIGINT) AS rate_b_milli,
+       CAST(CASE WHEN nb > 0 THEN 1000 * cb // nb ELSE 0 END AS BIGINT)
+         AS rate_b_milli,
        CAST(CASE WHEN (ca + cb) > 0 AND (ca + cb) < (na + nb)
                   AND 10000 * (ca*nb - cb*na) * (ca*nb - cb*na)
                       * (na + nb)

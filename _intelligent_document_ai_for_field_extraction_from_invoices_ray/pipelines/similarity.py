@@ -1118,13 +1118,19 @@ def q_embed_dim_stats(sf_dir: str) -> pd.DataFrame:
             "sum_q": mat.sum(axis=0),
             "sum_q2": (mat * mat).sum(axis=0)})
 
-    parts = (ds.map_batches(partial, batch_format="pyarrow")
-             .to_pandas().groupby("dim", as_index=False).sum())
+    raw = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # merge the (dim x blocks) partials in PYTHON bigints: a pandas
+    # int64 groupby sum of sum_q2 wraps past ~9.2e6 embedding rows
+    # (q^2 ~ 1e12 each) while the SQL oracle sums in HUGEINT
+    acc: dict[int, list[int]] = {}
+    for r in raw.itertuples():
+        a = acc.setdefault(int(r.dim), [0, 0, 0])
+        a[0] += int(r.n); a[1] += int(r.sum_q); a[2] += int(r.sum_q2)
     rows = []
-    for r in parts.itertuples():
-        n, sq, sq2 = int(r.n), int(r.sum_q), int(r.sum_q2)  # bigints
+    for dim in sorted(acc):
+        n, sq, sq2 = acc[dim]
         rows.append({
-            "dim": int(r.dim), "n": n, "sum_q": sq, "sum_q2": sq2,
+            "dim": dim, "n": n, "sum_q": sq, "sum_q2": sq2,
             "mean_micro": sq // n,
             "var_micro2": (n * sq2 - sq * sq) // (n * n)})
     return (pd.DataFrame(rows).astype(np.int64)

@@ -30,6 +30,15 @@ from ..functions import vocab as V
 _STOP_SQL = "(" + ",".join(f"'{w}'" for w in sorted(V.STOPWORDS)) + ")"
 
 
+def _typed_empty(**cols) -> "pa.Table":
+    """Explicitly-typed zero-row Arrow table — an empty pandas OBJECT
+    column infers Arrow ``null`` and poisons shuffle schema tracking
+    ("new schema: ." -> silent row loss); every group fn here that can
+    emit zero rows WITH a string column returns one of these (same
+    convention as tpchx._typed_empty / dedup._empty_table)."""
+    return pa.table({k: pa.array([], type=t) for k, t in cols.items()})
+
+
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
     from ..sources.io import read_parquet_sized
     # text-heavy per-row map work (tokenizers) wants parallelism sooner
@@ -1556,11 +1565,9 @@ def q_doc_chunks(sf_dir: str) -> rd.Dataset:
                 "chunk_text": sl.to_numpy(),
                 "chunk_len": sl.str.len().to_numpy().astype(np.int64)}))
         if not frames:
-            return pd.DataFrame({
-                "doc_id": pd.Series([], dtype=np.int64),
-                "chunk_id": pd.Series([], dtype=np.int64),
-                "chunk_text": pd.Series([], dtype=str),
-                "chunk_len": pd.Series([], dtype=np.int64)})
+            return _typed_empty(doc_id=pa.int64(), chunk_id=pa.int64(),
+                                chunk_text=pa.string(),
+                                chunk_len=pa.int64())
         return pd.concat(frames, ignore_index=True)
 
     return ds.map_batches(explode, batch_format="pandas")
@@ -1608,9 +1615,8 @@ def q_chunk_dup_stats(sf_dir: str) -> pd.DataFrame:
                     k * CHUNK_STRIDE,
                     k * CHUNK_STRIDE + CHUNK_SIZE).to_numpy()}))
         if not frames:
-            return pd.DataFrame({"source": pd.Series([], dtype=str),
-                                 "chunk_text": pd.Series([], dtype=str),
-                                 "cnt": pd.Series([], dtype=np.int64)})
+            return _typed_empty(source=pa.string(),
+                                chunk_text=pa.string(), cnt=pa.int64())
         out = pd.concat(frames, ignore_index=True)
         g = out.groupby(["source", "chunk_text"], as_index=False).size()
         return g.rename(columns={"size": "cnt"}).astype({"cnt": np.int64})
@@ -1697,8 +1703,7 @@ def q_token_coverage_curve(sf_dir: str) -> pd.DataFrame:
                 g = a + " " + b
                 rows[g] = rows.get(g, 0) + 1
         if not rows:
-            return pd.DataFrame({"gram": pd.Series([], dtype=str),
-                                 "cnt": pd.Series([], dtype=np.int64)})
+            return _typed_empty(gram=pa.string(), cnt=pa.int64())
         out = pd.DataFrame({"gram": list(rows), "cnt": list(rows.values())})
         return out.astype({"cnt": np.int64})
 
@@ -1923,9 +1928,14 @@ def q_blocklist_filter_rate(sf_dir: str) -> pd.DataFrame:
 
 
 def _blocklist_sql() -> str:
+    # any-whitespace word boundaries, matching Python str.split():
+    # fold tab/newline/CR into spaces before the padded LIKE
+    ws = ("replace(replace(replace(text, chr(9), ' '), chr(10), ' '), "
+          "chr(13), ' ')")
+
     def has(t: str) -> str:
         # whole-word: pad both sides with spaces
-        return (f"CASE WHEN ' ' || text || ' ' LIKE '% {t} %' "
+        return (f"CASE WHEN ' ' || {ws} || ' ' LIKE '% {t} %' "
                 "THEN 1 ELSE 0 END")
 
     hit_cols = ",\n       ".join(

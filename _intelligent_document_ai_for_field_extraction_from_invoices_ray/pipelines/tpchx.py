@@ -531,9 +531,12 @@ def q_important_parts(sf_dir: str) -> rd.Dataset:
         return (df.groupby("pk", as_index=False)
                 .agg(val=("val", "sum")).astype(np.int64))
 
-    from .grouping import bucketed_group_apply
-    per_pk = bucketed_group_apply(vals, ["pk"], per_part,
-                                  num_buckets=16)
+    from .grouping import bucketed_group_apply, maybe_checkpoint
+    # TWO consumers read per_pk (the scalar total below and the final
+    # filter) — checkpoint so the lineitem scan + cogroup + group-apply
+    # run once, not twice (respects GRAFT_SETS_RESCAN)
+    per_pk = maybe_checkpoint(
+        bucketed_group_apply(vals, ["pk"], per_part, num_buckets=16))
 
     def block_total(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"t": [np.int64(df.val.sum())],
