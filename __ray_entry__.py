@@ -423,6 +423,7 @@ _GATE_ORDER = [
     "promo_share", "top_supplier", "event_seasonality", "lang_confusion",
     "lang_length_quantiles",
     "priority_waiting", "ship_class_counts", "large_orders",
+    "fulfillment_lag_quantiles",
     "important_parts", "promo_suppliers", "waiting_suppliers",
     "min_bal_supplier", "supplier_cnt", "nation_volume",
     "product_profit",

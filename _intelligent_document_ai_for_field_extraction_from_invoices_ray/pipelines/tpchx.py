@@ -974,7 +974,112 @@ FROM h WHERE lo = hi GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------- fulfillment lag quantiles
+def q_fulfillment_lag_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Order-to-last-shipment lag percentiles per priority (p50/p90/p99
+    in whole days) — the fulfillment-SLA report, computed the
+    bounded-histogram way: lag values live in a DAY domain (a few
+    thousand distinct values at any corpus size), so per-(priority,
+    lag) counts are an exchange bounded by the domain, not the corpus,
+    and exact quantiles come from a cumulative scan of that histogram
+    (contrast lang_length_quantiles, which co-locates full multisets).
+    Ranks use the integer ceil(p*n) convention on both sides.  Day
+    arithmetic subtracts two FLOORED epoch-days so no negative-division
+    convention can leak in.
+
+    Shape at scale: lineitem pre-reduces per batch to per-order MAX
+    shipdate (semilattice); ONE orderkey cogroup attaches priority;
+    per-batch (priority, lag_days) counts merge in one bounded
+    exchange; the quantile scan is 5 x |day domain| driver rows."""
+    from .grouping import bucketed_cogroup, bucketed_group_apply
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def li_max(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "ok": df.l_orderkey.to_numpy().astype(np.int64),
+            "sd": _epoch_s(df.l_shipdate) // 86400})
+        return d.groupby("ok", as_index=False).sd.max()
+
+    def lag_counts(lf: pd.DataFrame, of: pd.DataFrame) -> pd.DataFrame:
+        if not len(lf) or not len(of):
+            return _typed_empty(pri=pa.string(), lag_days=pa.int64(),
+                                cnt=pa.int64())
+        mx = lf.groupby("ok").sd.max()
+        od = _epoch_s(of.o_orderdate) // 86400
+        sd = of.o_orderkey.map(mx)
+        has_li = sd.notna().to_numpy()   # inner-join semantics: orders
+        lag = sd.to_numpy()[has_li] - od[has_li]  # w/o lineitems drop
+        g = pd.DataFrame({
+            "pri": of.o_orderpriority.to_numpy()[has_li],
+            "lag_days": lag.astype(np.int64)})
+        out = (g.groupby(["pri", "lag_days"], as_index=False)
+               .agg(cnt=("lag_days", "size")))
+        return out.astype({"lag_days": np.int64, "cnt": np.int64})
+
+    counts = bucketed_cogroup(
+        li.map_batches(li_max, batch_format="pandas"),
+        orders, ["ok"], ["o_orderkey"], lag_counts, num_buckets=16)
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pri, g in df.groupby("pri", sort=True):
+            h = (g.groupby("lag_days", as_index=False)
+                 .agg(cnt=("cnt", "sum")).sort_values("lag_days"))
+            n = int(h.cnt.sum())
+            cum = h.cnt.to_numpy().cumsum()
+            days = h.lag_days.to_numpy()
+
+            def at(rank: int) -> int:
+                return int(days[np.searchsorted(cum, rank)])
+
+            rows.append((pri, n, at((n + 1) // 2),
+                         at((9 * n + 9) // 10), at((99 * n + 99) // 100)))
+        return pd.DataFrame(rows, columns=[
+            "o_orderpriority", "n_orders", "p50_days", "p90_days",
+            "p99_days"]).astype({"n_orders": np.int64,
+                                 "p50_days": np.int64,
+                                 "p90_days": np.int64,
+                                 "p99_days": np.int64})
+
+    out = (bucketed_group_apply(counts, ["pri"], quantiles,
+                                num_buckets=4).to_pandas())
+    return (out.sort_values("o_orderpriority").reset_index(drop=True))
+
+
+SQL_FULFILLMENT_LAG_QUANTILES = """
+WITH m AS (
+  SELECT l_orderkey AS ok,
+         MAX(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400) AS sd
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o.o_orderpriority AS pri,
+         m.sd - CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400
+           AS lag_days
+  FROM orders o JOIN m ON m.ok = o.o_orderkey
+), r AS (
+  SELECT pri, lag_days,
+         ROW_NUMBER() OVER (PARTITION BY pri ORDER BY lag_days) AS rn,
+         COUNT(*) OVER (PARTITION BY pri) AS n
+  FROM j
+)
+SELECT pri AS o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN lag_days END)
+            AS BIGINT) AS p50_days,
+       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_days END)
+            AS BIGINT) AS p90_days,
+       CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN lag_days END)
+            AS BIGINT) AS p99_days
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 TPCHX_QUERIES = {
+    "fulfillment_lag_quantiles": (q_fulfillment_lag_quantiles,
+                                  SQL_FULFILLMENT_LAG_QUANTILES),
     "min_bal_supplier": (q_min_bal_supplier, SQL_MIN_BAL_SUPPLIER),
     "priority_waiting": (q_priority_waiting, SQL_PRIORITY_WAITING),
     "nation_volume": (q_nation_volume, SQL_NATION_VOLUME),

@@ -145,3 +145,29 @@ def test_waiting_suppliers_unique_holder(ray_session) -> None:
             sk = next(iter(holders))
             counts[sk] = counts.get(sk, 0) + 1
     assert dict(zip(out.s_suppkey, out.numwait)) == counts
+
+
+def test_fulfillment_lag_quantiles_bruteforce(ray_session) -> None:
+    from _intelligent_document_ai_for_field_extraction_from_invoices_ray.pipelines.tpchx import (
+        q_fulfillment_lag_quantiles,
+    )
+    out = q_fulfillment_lag_quantiles(SF).set_index("o_orderpriority")
+    li = _li(["l_orderkey", "l_shipdate"])
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    sd = (li.l_shipdate.astype("datetime64[ns]").astype("int64")
+          // 10**9 // 86400)
+    mx = sd.groupby(li.l_orderkey).max()
+    od = (orders.o_orderdate.astype("datetime64[ns]").astype("int64")
+          // 10**9 // 86400)
+    lag = orders.o_orderkey.map(mx) - od
+    keep = lag.notna()
+    d = pd.DataFrame({"pri": orders.o_orderpriority[keep],
+                      "lag": lag[keep].astype(np.int64)})
+    for pri, g in d.groupby("pri"):
+        v = np.sort(g.lag.to_numpy())
+        n = len(v)
+        row = out.loc[pri]
+        assert row.n_orders == n
+        assert row.p50_days == v[(n + 1) // 2 - 1]
+        assert row.p90_days == v[(9 * n + 9) // 10 - 1]
+        assert row.p99_days == v[(99 * n + 99) // 100 - 1]
