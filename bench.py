@@ -305,6 +305,7 @@ def run_bench() -> dict:
     timed("event_dedup_window", relational.q_event_dedup_window)
     timed("hll_accuracy", relational.q_hll_accuracy)
     timed("blocklist_filter_rate", textstats.q_blocklist_filter_rate)
+    timed("fulfillment_lag_quantiles", tpchx.q_fulfillment_lag_quantiles)
 
     result = {
         "metric": "end-to-end extraction sec (flagship interleaved-doc pipeline) + per-query sec",
